@@ -1,0 +1,497 @@
+"""picasso_tpu.lib — shared utilities for the localization data model.
+
+DataFrame/recarray helpers, metadata access, sanity filtering, geometry
+(picks), kinetics fitting and the pairwise-shift solver used by drift
+correction.
+
+Behavioral reference: picasso/lib.py (get_from_metadata :878,
+ensure_sanity :1786, minimize_shifts :2034, fit_cum_exp :1273,
+calculate_optimal_bins :1540, check_if_in_polygon :1885,
+check_if_in_rectangle :1956, polygon_area :2228, pick_areas :2303).
+All hot paths here are vectorized numpy / jnp instead of numba loops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Literal
+
+import numpy as np
+import pandas as pd
+from scipy import optimize
+
+# ---------------------------------------------------------------------------
+# Metadata access
+# ---------------------------------------------------------------------------
+
+
+class AutoDict(dict):
+    """A dict that creates nested AutoDicts on missing keys (cf.
+    picasso/lib.py:608)."""
+
+    def __getitem__(self, key):
+        try:
+            return super().__getitem__(key)
+        except KeyError:
+            value = type(self)()
+            self[key] = value
+            return value
+
+
+def get_from_metadata(
+    info: list[dict] | dict,
+    key: Any,
+    default=None,
+    *,
+    raise_error: bool = False,
+) -> Any:
+    """Fetch ``key`` from a metadata dict or info chain (list of dicts,
+    searched newest-to-oldest). Matches picasso/lib.py:878 semantics,
+    including the truthiness-based skip of falsy values in lists."""
+    if isinstance(info, dict):
+        if raise_error and key not in info:
+            raise KeyError(f"Key '{key}' not found in metadata.")
+        return info.get(key, default)
+    elif isinstance(info, list):
+        for block in info[::-1]:
+            if val := block.get(key):
+                return val
+        if raise_error:
+            raise KeyError(f"Key '{key}' not found in metadata.")
+        return default
+    raise ValueError("info must be a dict or a list of dicts.")
+
+
+# ---------------------------------------------------------------------------
+# Localization table sanity
+# ---------------------------------------------------------------------------
+
+_NONNEGATIVE_COLUMNS = [
+    "x",
+    "y",
+    "lpx",
+    "lpy",
+    "lpz",
+    "photons",
+    "ellipticity",
+    "sx",
+    "sy",
+]
+
+
+def ensure_sanity(locs: pd.DataFrame, info: list[dict]) -> pd.DataFrame:
+    """Drop non-finite rows, rows outside the FOV and rows with negative
+    precision/photon columns. Run on every load AND save, like the
+    reference (picasso/lib.py:1786)."""
+    locs = locs.copy()
+    locs.replace([np.inf, -np.inf], np.nan, inplace=True)
+    locs.dropna(axis=0, how="any", inplace=True)
+    for key in ("Width", "Height", "Frames"):
+        if get_from_metadata(info, key) is None:
+            raise KeyError(f"Metadata is missing required key: '{key}'")
+    locs = locs[locs["x"] < get_from_metadata(info, "Width")]
+    locs = locs[locs["y"] < get_from_metadata(info, "Height")]
+    for col in _NONNEGATIVE_COLUMNS:
+        if col in locs.columns:
+            locs = locs[locs[col] >= 0]
+    return locs
+
+
+def append_to_rec(
+    locs: pd.DataFrame, data: np.ndarray, name: str
+) -> pd.DataFrame:
+    """Add a column to a locs table (API-compatible with the reference's
+    recarray-era helper, picasso/lib.py:1660)."""
+    locs = locs.copy()
+    locs[name] = data
+    return locs
+
+
+def merge_locs(
+    locs_list: list[pd.DataFrame], increment_frames: bool = False
+) -> pd.DataFrame:
+    """Concatenate several locs tables; optionally shift the frame
+    numbers of each subsequent table past the previous table's maximum
+    (picasso/lib.py:1700)."""
+    if increment_frames:
+        shifted = []
+        offset = 0
+        for locs in locs_list:
+            locs = locs.copy()
+            locs["frame"] = locs["frame"] + offset
+            offset = int(locs["frame"].max()) + 1 if len(locs) else offset
+            shifted.append(locs)
+        locs_list = shifted
+    return pd.concat(locs_list, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Geometry: picks
+# ---------------------------------------------------------------------------
+
+
+def is_loc_at(
+    x: float, y: float, locs: pd.DataFrame, r: float
+) -> np.ndarray:
+    """Boolean mask of locs within radius r of (x, y)
+    (picasso/lib.py:1836)."""
+    dx = locs["x"].to_numpy() - x
+    dy = locs["y"].to_numpy() - y
+    return dx * dx + dy * dy < r * r
+
+
+def locs_at(x: float, y: float, locs: pd.DataFrame, r: float) -> pd.DataFrame:
+    """Locs within radius r of (x, y) (picasso/lib.py:1861)."""
+    return locs[is_loc_at(x, y, locs, r)]
+
+
+def check_if_in_polygon(
+    x: np.ndarray, y: np.ndarray, X: np.ndarray, Y: np.ndarray
+) -> np.ndarray:
+    """Ray-casting point-in-polygon test, vectorized over points
+    (picasso/lib.py:1885)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    n = len(X)
+    inside = np.zeros(len(x), dtype=bool)
+    j = n - 1
+    for i in range(n):
+        cond = (Y[i] > y) != (Y[j] > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (X[j] - X[i]) * (y - Y[i]) / (Y[j] - Y[i]) + X[i]
+        crossing = cond & (x < xint)
+        inside ^= crossing
+        j = i
+    return inside
+
+
+def check_if_in_rectangle(
+    x: np.ndarray,
+    y: np.ndarray,
+    X: np.ndarray,
+    Y: np.ndarray,
+) -> np.ndarray:
+    """Point-in-(possibly rotated)-rectangle test via the polygon path
+    (picasso/lib.py:1956)."""
+    return check_if_in_polygon(x, y, X, Y)
+
+
+def polygon_area(X: np.ndarray, Y: np.ndarray) -> float:
+    """Shoelace polygon area (picasso/lib.py:2228)."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    return 0.5 * abs(np.dot(X, np.roll(Y, -1)) - np.dot(Y, np.roll(X, -1)))
+
+
+def pick_areas_polygon(picks: list) -> np.ndarray:
+    """Areas of polygon picks (picasso/lib.py:2303)."""
+    areas = []
+    for pick in picks:
+        pick = np.asarray(pick)
+        if len(pick) < 3:
+            continue
+        areas.append(polygon_area(pick[:, 0], pick[:, 1]))
+    return np.array(areas)
+
+
+def pick_areas_circle(picks: list, r: float) -> np.ndarray:
+    """Areas of circular picks (picasso/lib.py:2270)."""
+    return np.pi * r**2 * np.ones(len(picks))
+
+
+def pick_areas_rectangle(picks: list, w: float) -> np.ndarray:
+    """Areas of rectangular picks given width w (picasso/lib.py:2285)."""
+    areas = []
+    for (xs, ys), (xe, ye) in picks:
+        length = np.hypot(xe - xs, ye - ys)
+        areas.append(length * w)
+    return np.array(areas)
+
+
+def get_pick_rectangle_corners(
+    start_x: float, start_y: float, end_x: float, end_y: float, width: float
+) -> tuple[list[float], list[float]]:
+    """4 corners of a rectangle defined by a center line and a width
+    (picasso/lib.py:2005-like helper used for rectangle picks)."""
+    if end_x == start_x:
+        alpha = np.pi / 2
+    else:
+        alpha = np.arctan((end_y - start_y) / (end_x - start_x))
+    dx = width * np.sin(alpha) / 2
+    dy = width * np.cos(alpha) / 2
+    x1 = start_x - dx
+    x2 = start_x + dx
+    x4 = end_x - dx
+    x3 = end_x + dx
+    y1 = start_y + dy
+    y2 = start_y - dy
+    y4 = end_y + dy
+    y3 = end_y - dy
+    return [x1, x2, x3, x4], [y1, y2, y3, y4]
+
+
+# ---------------------------------------------------------------------------
+# Kinetics
+# ---------------------------------------------------------------------------
+
+
+def cumulative_exponential(
+    x: np.ndarray, a: float, t: float, c: float
+) -> np.ndarray:
+    """a * (1 - exp(-x/t)) + c — model for binding-kinetics CDFs."""
+    return a * (1 - np.exp(-x / t)) + c
+
+
+def fit_cum_exp(data: np.ndarray) -> dict:
+    """Fit a cumulative exponential to sorted event durations
+    (picasso/lib.py:1273)."""
+    data = np.sort(np.asarray(data, dtype=np.float64))
+    n = len(data)
+    y = np.arange(1, n + 1)
+    data_min = data.min()
+    data_max = data.max()
+    p0 = [n, float(np.mean(data)), data_min]
+    bounds = ([0, data_min, 0], [np.inf, data_max, np.inf])
+    popt, _ = optimize.curve_fit(
+        cumulative_exponential, data, y, p0=p0, bounds=bounds
+    )
+    return {
+        "best_values": {"a": popt[0], "t": popt[1], "c": popt[2]},
+        "data": data,
+        "best_fit": cumulative_exponential(data, *popt),
+    }
+
+
+def estimate_kinetic_rate(data: np.ndarray) -> float:
+    """Mean dark/bright time via cumulative-exponential fit
+    (picasso/lib.py:1325)."""
+    data = np.asarray(data, dtype=np.float64)
+    if len(data) > 2:
+        if data.max() - data.min() == 0:
+            return float(np.nanmean(data))
+        return float(fit_cum_exp(data)["best_values"]["t"])
+    return float(np.nanmean(data))
+
+
+# ---------------------------------------------------------------------------
+# Histograms / binning
+# ---------------------------------------------------------------------------
+
+
+def calculate_optimal_bins(
+    data: np.ndarray,
+    max_n_bins: int | None = None,
+    sample_size: int = 1_000_000,
+) -> np.ndarray:
+    """Freedman–Diaconis display bins (picasso/lib.py:1540)."""
+    data = np.asarray(data)
+    n = len(data)
+    if n == 0:
+        return np.array([0.0, 1.0])
+    if data.dtype.kind == "f":
+        data_min, data_max = np.nanmin(data), np.nanmax(data)
+    else:
+        data_min, data_max = data.min(), data.max()
+    if n > sample_size:
+        rng = np.random.default_rng(0)
+        sample = data[rng.choice(n, sample_size, replace=False)]
+    else:
+        sample = data
+    if sample.dtype.kind == "f":
+        sample = sample[np.isfinite(sample)]
+    if len(sample) == 0:
+        return np.array([data_min - 1.0, data_max + 1.0])
+    iqr = np.subtract(*np.percentile(sample, [75, 25]))
+    if iqr == 0:
+        return np.array([data[0] - 1.0, data[0] + 1.0])
+    bin_size = 2 * iqr * n ** (-1 / 3)
+    if data.dtype.kind in ("u", "i") and bin_size < 1:
+        bin_size = 1
+    bin_min = data_min - bin_size / 2
+    try:
+        n_bins = int((data_max - bin_min) / bin_size)
+    except Exception:
+        n_bins = 10
+    if max_n_bins and n_bins > max_n_bins:
+        n_bins = max_n_bins
+    return np.linspace(bin_min, data_max, n_bins)
+
+
+def hist2d(
+    x: np.ndarray,
+    y: np.ndarray,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    nx: int,
+    ny: int,
+) -> np.ndarray:
+    """Fast uniform-bin 2D histogram, counts[ix, iy]; right-edge values
+    folded into the last bin like np.histogram2d
+    (picasso/lib.py:1602)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    finite = np.isfinite(x) & np.isfinite(y)
+    x, y = x[finite], y[finite]
+    dx = (x_max - x_min) / nx
+    dy = (y_max - y_min) / ny
+    ix = ((x - x_min) / dx).astype(np.int64)
+    iy = ((y - y_min) / dy).astype(np.int64)
+    ix[ix == nx] = nx - 1
+    iy[iy == ny] = ny - 1
+    keep = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    counts = np.bincount(ix[keep] * ny + iy[keep], minlength=nx * ny)
+    return counts.reshape(nx, ny)
+
+
+# ---------------------------------------------------------------------------
+# Drift: pairwise-shift least-squares solver
+# ---------------------------------------------------------------------------
+
+
+def minimize_shifts(
+    shifts_x: np.ndarray,
+    shifts_y: np.ndarray,
+    shifts_z: np.ndarray | None = None,
+):
+    """Solve per-segment shifts from all-pairs relative shifts by
+    least squares — the RCC "redundancy" step (picasso/lib.py:2034).
+
+    Builds the pair → interval incidence matrix and solves with pinv;
+    cumulative sums give the absolute shift of each segment relative to
+    the first."""
+    n = shifts_x.shape[0]
+    n_pairs = n * (n - 1) // 2
+    n_dims = 2 if shifts_z is None else 3
+    rij = np.zeros((n_pairs, n_dims))
+    A = np.zeros((n_pairs, n - 1))
+    k = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            rij[k, 0] = shifts_y[i, j]
+            rij[k, 1] = shifts_x[i, j]
+            if n_dims == 3:
+                rij[k, 2] = shifts_z[i, j]
+            A[k, i:j] = 1
+            k += 1
+    Dj = np.linalg.pinv(A) @ rij
+    shift_y = np.insert(np.cumsum(Dj[:, 0]), 0, 0)
+    shift_x = np.insert(np.cumsum(Dj[:, 1]), 0, 0)
+    if n_dims == 2:
+        return shift_y, shift_x
+    shift_z = np.insert(np.cumsum(Dj[:, 2]), 0, 0)
+    return shift_y, shift_x, shift_z
+
+
+# ---------------------------------------------------------------------------
+# Progress reporting
+# ---------------------------------------------------------------------------
+
+
+class MockProgress:
+    """No-op progress reporter (picasso/lib.py:426)."""
+
+    def __init__(self, *a, **kw):
+        pass
+
+    def set_value(self, value):
+        pass
+
+    def update(self, n=1):
+        pass
+
+    def close(self):
+        pass
+
+    def zero_progress(self, description: str | None = None):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class TqdmProgress:
+    """tqdm-backed progress reporter (picasso/lib.py:464)."""
+
+    def __init__(self, total: int, description: str = "", **kw):
+        from tqdm import tqdm
+
+        self._tqdm = tqdm(total=total, desc=description, **kw)
+        self._value = 0
+
+    def set_value(self, value: int):
+        delta = value - self._value
+        if delta > 0:
+            self._tqdm.update(delta)
+            self._value = value
+
+    def update(self, n: int = 1):
+        self._value += n
+        self._tqdm.update(n)
+
+    def close(self):
+        self._tqdm.close()
+
+    def zero_progress(self, description: str | None = None):
+        if description is not None:
+            self._tqdm.set_description(description)
+        self._tqdm.reset()
+        self._value = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def progress_reporter(
+    progress: Callable[[int], None] | Literal["console"] | None,
+    total: int,
+    description: str = "",
+):
+    """Normalize the reference's progress_callback convention
+    ("console" | callable | None) to a reporter object."""
+    if progress == "console":
+        return TqdmProgress(total, description)
+    return MockProgress()
+
+
+# ---------------------------------------------------------------------------
+# Batch mapping over files
+# ---------------------------------------------------------------------------
+
+
+def locs_glob_map(
+    func: Callable,
+    pattern: str,
+    args=[],
+    kwargs={},
+    extension: str = "",
+) -> list:
+    """Map a function over all locs files matching a glob pattern and
+    save outputs with an extension-inserted filename
+    (picasso/lib.py:2112)."""
+    import glob as _glob
+    import os as _os
+
+    from picasso_tpu import io as _io
+
+    paths = _glob.glob(pattern)
+    results = []
+    for path in paths:
+        locs, info = _io.load_locs(path)
+        result = func(locs, info, path, *args, **kwargs)
+        if extension:
+            base, ext = _os.path.splitext(path)
+            out_path = base + "_" + extension + ".hdf5"
+            out_locs, out_info = result
+            _io.save_locs(out_path, out_locs, out_info)
+        results.append(result)
+    return results

@@ -1,0 +1,191 @@
+"""Shared fixtures for the picasso_tpu test suite.
+
+Mirrors the reference test strategy (reference tests/conftest.py):
+bundled-real-data fixtures, synthetic ground-truth Gaussian spot
+factories (noiseless and Poisson-noised), and shared constants.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths
+compile and execute without TPU hardware; the env vars must be set
+before jax is imported anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pandas as pd
+import pytest
+
+_LOCAL_DATA = os.path.join(os.path.dirname(__file__), "data")
+_REFERENCE_DATA = "/root/reference/tests/data"
+# Bundled real data lives in the (read-only) reference mount; a local
+# tests/data dir takes precedence if present.
+DATA_DIR = (
+    _LOCAL_DATA
+    if os.path.exists(os.path.join(_LOCAL_DATA, "testdata.raw"))
+    else _REFERENCE_DATA
+)
+
+# Shared constants (same values as the reference conftest :200-203).
+CAMERA_INFO = {"Baseline": 0, "Sensitivity": 1, "Gain": 1}
+BOX = 7
+MIN_NG = 5000
+PIXELSIZE = 130
+
+# Real 3D astigmatism calibration (reference conftest :207-229).
+CALIB_3D = {
+    "X Coefficients": [
+        -1.6680708772714857e-18,
+        2.4038209829154137e-15,
+        2.1771067332017187e-12,
+        -3.0324788231238476e-09,
+        3.5433326085494675e-06,
+        0.0023039289366630425,
+        1.2026032603707493,
+    ],
+    "Y Coefficients": [
+        -1.7708672355491796e-18,
+        9.808249540501714e-16,
+        2.10653248543535e-12,
+        2.228026137415219e-11,
+        3.628007433361433e-06,
+        -0.001646865504353452,
+        1.2257249554338714,
+    ],
+    "Step size in nm": 5.0,
+    "Number of frames": 201,
+    "Magnification factor": 0.79,
+}
+
+
+@pytest.fixture(scope="session")
+def locs_data():
+    from picasso_tpu import io
+
+    return io.load_locs(os.path.join(DATA_DIR, "testdata_locs.hdf5"))
+
+
+@pytest.fixture(scope="session")
+def locs(locs_data):
+    return locs_data[0]
+
+
+@pytest.fixture(scope="session")
+def info(locs_data):
+    return locs_data[1]
+
+
+@pytest.fixture(scope="session")
+def movie_data():
+    from picasso_tpu import io
+
+    return io.load_movie(os.path.join(DATA_DIR, "testdata.raw"))
+
+
+@pytest.fixture(scope="session")
+def movie(movie_data):
+    return movie_data[0]
+
+
+@pytest.fixture(scope="session")
+def movie_info(movie_data):
+    return movie_data[1]
+
+
+# ---------------------------------------------------------------------------
+# Synthetic Gaussian spots with known ground truth
+# ---------------------------------------------------------------------------
+
+
+def make_gaussian_spot(
+    box: int,
+    x0: float,
+    y0: float,
+    sx: float,
+    sy: float,
+    photons: float,
+    bg: float,
+) -> np.ndarray:
+    """Noiseless 2D Gaussian spot; (x0, y0) are offsets from the box
+    center pixel, matching the fitters' coordinate convention."""
+    half = box // 2
+    grid = np.arange(-half, half + 1, dtype=np.float64)
+    gx = np.exp(-0.5 * ((grid - x0) / sx) ** 2) / (sx * np.sqrt(2 * np.pi))
+    gy = np.exp(-0.5 * ((grid - y0) / sy) ** 2) / (sy * np.sqrt(2 * np.pi))
+    return (photons * np.outer(gy, gx) + bg).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def synthetic_spot_factory():
+    def _factory(
+        box: int = 7,
+        x0: float = 0.0,
+        y0: float = 0.0,
+        sx: float = 1.0,
+        sy: float = 1.0,
+        photons: float = 5000.0,
+        bg: float = 10.0,
+        noise: bool = False,
+        seed: int = 0,
+    ) -> np.ndarray:
+        spot = make_gaussian_spot(box, x0, y0, sx, sy, photons, bg)
+        if noise:
+            rng = np.random.default_rng(seed)
+            spot = rng.poisson(np.maximum(spot, 0.0)).astype(np.float32)
+        return spot
+
+    return _factory
+
+
+def _spot_batch(n: int, seed: int, photons_range, noise: bool):
+    box = 7
+    rng = np.random.default_rng(seed)
+    gt = pd.DataFrame(
+        {
+            "x": rng.uniform(-0.5, 0.5, n),
+            "y": rng.uniform(-0.5, 0.5, n),
+            "sx": rng.uniform(0.9, 1.4, n),
+            "sy": rng.uniform(0.9, 1.4, n),
+            "photons": rng.uniform(*photons_range, n),
+            "bg": rng.uniform(5.0, 30.0 if not noise else 20.0, n),
+        }
+    )
+    spots = np.empty((n, box, box), dtype=np.float32)
+    for i in range(n):
+        clean = make_gaussian_spot(
+            box, gt.x[i], gt.y[i], gt.sx[i], gt.sy[i],
+            gt.photons[i], gt.bg[i],
+        )
+        spots[i] = (
+            rng.poisson(np.maximum(clean, 0.0)).astype(np.float32)
+            if noise
+            else clean
+        )
+    return spots, gt
+
+
+@pytest.fixture(scope="module")
+def synthetic_spots():
+    """(spots, ground_truth_df) for clean Gaussian spots."""
+    return _spot_batch(64, 42, (2000.0, 8000.0), noise=False)
+
+
+@pytest.fixture(scope="module")
+def synthetic_spots_noisy():
+    """(spots, ground_truth_df) with Poisson photon noise."""
+    return _spot_batch(32, 123, (5000.0, 12000.0), noise=True)
+
+
+@pytest.fixture(scope="session")
+def real_identifications(movie):
+    from picasso_tpu import localize
+
+    return localize.identify(movie, MIN_NG, BOX, return_info=False)

@@ -1,0 +1,109 @@
+"""lib utilities: metadata access, geometry, shift solver, kinetics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import lib
+
+
+def test_get_from_metadata():
+    info = [{"Width": 32, "Pixelsize": 130}, {"Pixelsize": 108}]
+    assert lib.get_from_metadata(info, "Pixelsize") == 108  # newest wins
+    assert lib.get_from_metadata(info, "Width") == 32
+    assert lib.get_from_metadata(info, "Missing", default=7) == 7
+    with pytest.raises(KeyError):
+        lib.get_from_metadata(info, "Missing", raise_error=True)
+    assert lib.get_from_metadata({"a": 1}, "a") == 1
+
+
+def test_minimize_shifts_recovers_linear_drift():
+    """All-pairs shifts from a linear drift must be solved back exactly."""
+    n = 6
+    true_x = np.arange(n, dtype=float) * 0.5
+    true_y = np.arange(n, dtype=float) * -0.25
+    shifts_x = np.zeros((n, n))
+    shifts_y = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            shifts_x[i, j] = true_x[j] - true_x[i]
+            shifts_y[i, j] = true_y[j] - true_y[i]
+    sy, sx = lib.minimize_shifts(shifts_x, shifts_y)
+    np.testing.assert_allclose(sx, true_x, atol=1e-10)
+    np.testing.assert_allclose(sy, true_y, atol=1e-10)
+
+
+def test_minimize_shifts_3d():
+    n = 4
+    true = np.arange(n, dtype=float)
+    pair = true[None, :] - true[:, None]
+    sy, sx, sz = lib.minimize_shifts(pair, 2 * pair, 3 * pair)
+    np.testing.assert_allclose(sx, pair[0], atol=1e-10)
+    np.testing.assert_allclose(sz, 3 * pair[0], atol=1e-10)
+
+
+def test_check_if_in_polygon():
+    X = np.array([0.0, 4.0, 4.0, 0.0])
+    Y = np.array([0.0, 0.0, 4.0, 4.0])
+    x = np.array([2.0, 5.0, -1.0, 3.9])
+    y = np.array([2.0, 2.0, 2.0, 0.1])
+    inside = lib.check_if_in_polygon(x, y, X, Y)
+    np.testing.assert_array_equal(inside, [True, False, False, True])
+
+
+def test_polygon_area():
+    X = np.array([0.0, 2.0, 2.0, 0.0])
+    Y = np.array([0.0, 0.0, 3.0, 3.0])
+    assert lib.polygon_area(X, Y) == pytest.approx(6.0)
+
+
+def test_locs_at():
+    locs = pd.DataFrame(
+        {"x": np.array([0.0, 1.0, 5.0]), "y": np.array([0.0, 1.0, 5.0])}
+    )
+    picked = lib.locs_at(0.0, 0.0, locs, 2.0)
+    assert len(picked) == 2
+
+
+def test_fit_cum_exp_recovers_rate():
+    rng = np.random.default_rng(0)
+    data = rng.exponential(10.0, 5000)
+    rate = lib.estimate_kinetic_rate(data)
+    assert rate == pytest.approx(10.0, rel=0.1)
+
+
+def test_hist2d_matches_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 10, 1000)
+    y = rng.uniform(0, 5, 1000)
+    ours = lib.hist2d(x, y, 0, 10, 0, 5, 20, 10)
+    ref, _, _ = np.histogram2d(
+        x, y, bins=(20, 10), range=((0, 10), (0, 5))
+    )
+    np.testing.assert_array_equal(ours, ref.astype(int))
+
+
+def test_calculate_optimal_bins():
+    rng = np.random.default_rng(4)
+    data = rng.normal(0, 1, 10000)
+    bins = lib.calculate_optimal_bins(data)
+    assert len(bins) > 10
+    assert bins[0] < data.min()
+    bins_capped = lib.calculate_optimal_bins(data, max_n_bins=10)
+    assert len(bins_capped) == 10
+
+
+def test_merge_locs_increment_frames():
+    a = pd.DataFrame({"frame": np.array([0, 1, 2]), "x": np.zeros(3)})
+    b = pd.DataFrame({"frame": np.array([0, 1]), "x": np.ones(2)})
+    merged = lib.merge_locs([a, b], increment_frames=True)
+    assert list(merged["frame"]) == [0, 1, 2, 3, 4]
+
+
+def test_append_to_rec():
+    locs = pd.DataFrame({"x": np.zeros(3)})
+    out = lib.append_to_rec(locs, np.arange(3), "z")
+    assert "z" in out.columns
+    assert "z" not in locs.columns
