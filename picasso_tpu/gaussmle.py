@@ -1,0 +1,131 @@
+"""picasso_tpu.gaussmle — MLE Gaussian fitting API (Smith et al.,
+Nature Methods 2010).
+
+Same public surface as picasso/gaussmle.py (gaussmle :409,
+gaussmle_async :478, locs_from_fits :957, sigma_uncertainty :1040), but
+the fits run as one batched XLA program on TPU
+(picasso_tpu.ops.mle) instead of per-spot numba threads.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Literal
+
+import numpy as np
+import pandas as pd
+
+from picasso_tpu import lib
+from picasso_tpu.ops import mle as _mle
+
+
+def gaussmle(
+    spots: np.ndarray,
+    eps: float,
+    max_it: int,
+    method: Literal["sigma", "sigmaxy"] = "sigmaxy",
+    progress_callback: (
+        Callable[[int], None] | Literal["console"] | None
+    ) = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fit integrated Gaussians by MLE to a batch of spots.
+
+    Returns (thetas (N, 6), CRLBs (N, 6), likelihoods (N,),
+    iterations (N,)); thetas columns are [x, y, photons, bg, sx, sy]
+    with x/y in box coordinates (center at box//2), matching
+    picasso/gaussmle.py:409-475.
+    """
+    with lib.progress_reporter(
+        progress_callback, len(spots), "Fitting (MLE)"
+    ) as rep:
+        thetas, crlbs, lls, its = _mle.gaussmle_batched(
+            spots, eps, max_it, method=method,
+            progress_callback=rep.set_value,
+        )
+    if callable(progress_callback):
+        progress_callback(len(spots))
+    return thetas, crlbs, lls, its
+
+
+def gaussmle_async(
+    spots: np.ndarray,
+    eps: float,
+    max_it: int,
+    method: Literal["sigma", "sigmaxy"] = "sigmaxy",
+):
+    """API-compatible shim for the reference's thread-pool launcher
+    (picasso/gaussmle.py:478). The batched TPU fit completes eagerly;
+    the returned ``current`` marker is already at N."""
+    thetas, CRLBs, likelihoods, iterations = gaussmle(
+        spots, eps, max_it, method=method
+    )
+    return [len(spots)], thetas, CRLBs, likelihoods, iterations
+
+
+def locs_from_fits(
+    identifications: pd.DataFrame,
+    theta: np.ndarray,
+    CRLBs: np.ndarray,
+    log_likelihoods: np.ndarray,
+    iterations: np.ndarray,
+    box: int,
+) -> pd.DataFrame:
+    """Assemble the locs table from MLE fit results
+    (picasso/gaussmle.py:957-1037)."""
+    box_offset = int(box / 2)
+    x = theta[:, 0] + identifications["x"].to_numpy() - box_offset
+    y = theta[:, 1] + identifications["y"].to_numpy() - box_offset
+    with np.errstate(invalid="ignore"):
+        lpx = np.sqrt(CRLBs[:, 0])
+        lpy = np.sqrt(CRLBs[:, 1])
+        a = np.maximum(theta[:, 4], theta[:, 5])
+        b = np.minimum(theta[:, 4], theta[:, 5])
+        ellipticity = (a - b) / a
+        photons_unc = np.sqrt(CRLBs[:, 2])
+        bg_unc = np.sqrt(CRLBs[:, 3])
+        sx_unc = np.sqrt(CRLBs[:, 4])
+        sy_unc = np.sqrt(CRLBs[:, 5])
+    locs = pd.DataFrame(
+        {
+            "frame": identifications["frame"].to_numpy(dtype=np.uint32),
+            "x": x.astype(np.float32),
+            "y": y.astype(np.float32),
+            "photons": theta[:, 2].astype(np.float32),
+            "sx": theta[:, 4].astype(np.float32),
+            "sy": theta[:, 5].astype(np.float32),
+            "bg": theta[:, 3].astype(np.float32),
+            "lpx": lpx.astype(np.float32),
+            "lpy": lpy.astype(np.float32),
+            "ellipticity": ellipticity.astype(np.float32),
+            "net_gradient": identifications["net_gradient"]
+            .to_numpy()
+            .astype(np.float32),
+            "log_likelihood": log_likelihoods.astype(np.float32),
+            "iterations": iterations.astype(np.uint32),
+            "photons_unc": photons_unc.astype(np.float32),
+            "bg_unc": bg_unc.astype(np.float32),
+            "sx_unc": sx_unc.astype(np.float32),
+            "sy_unc": sy_unc.astype(np.float32),
+        }
+    )
+    if "n_id" in identifications.columns:
+        locs["n_id"] = identifications["n_id"].to_numpy(dtype=np.uint32)
+        locs.sort_values(by=["n_id"], kind="quicksort", inplace=True)
+    else:
+        locs.sort_values(by=["frame"], kind="quicksort", inplace=True)
+    return locs
+
+
+def sigma_uncertainty(
+    sigma,
+    sigma_orth,
+    photons,
+    bg,
+) -> np.ndarray:
+    """Standard error of fitted sigma (Rieger & Stallinga,
+    ChemPhysChem 2014; picasso/gaussmle.py:1040)."""
+    sa2 = sigma**2 + 1 / 12
+    tau = (2 * np.pi * sa2 * bg) / photons
+    delta_sigma_sq = (sigma**2 / (4 * photons)) * (
+        1 + 8 * tau + np.sqrt((8 * tau) / (1 + 2 * tau))
+    )
+    return np.sqrt(delta_sigma_sq)

@@ -1,0 +1,527 @@
+"""picasso_tpu.localize — spot identification, ROI extraction, photon
+conversion and fit orchestration.
+
+Same public surface as picasso/localize.py (identify :639,
+identify_in_frame :295, get_spots :1115, fit2D :1344, localize :1682,
+localize_3D :1818), but identification runs as one XLA program over
+frame batches (picasso_tpu.ops.identify) instead of a ≤60-thread
+work-stealing pool, and all fitters are batched TPU kernels.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Literal
+
+import numpy as np
+import pandas as pd
+
+from picasso_tpu import __version__, avgroi, gausslq, gaussmle, lib
+from picasso_tpu.ops import identify as _identify_ops
+
+# Localization table column taxonomy (picasso/localize.py:52-71).
+LOCALIZATION_COLUMNS = {
+    "Base": [
+        "frame",
+        "x",
+        "y",
+        "photons",
+        "sx",
+        "sy",
+        "bg",
+        "lpx",
+        "lpy",
+        "ellipticity",
+        "net_gradient",
+    ],
+    "3D only": ["z", "d_zcalib", "lpz"],
+    "Picked spots only": ["n_id"],
+    "MLE only": ["log_likelihood", "iterations"],
+}
+MEAN_COLS = LOCALIZATION_COLUMNS["Base"] + LOCALIZATION_COLUMNS["3D only"]
+SET_COLS = [
+    "Frames",
+    "Height",
+    "Width",
+    "Box Size",
+    "Min. Net Gradient",
+    "Pixelsize",
+]
+
+# Frames per device batch during identification. 64 frames of a
+# 2048x2048 movie is ~0.5 GB f32 — sized to overlap host decode with
+# device compute while bounding HBM.
+_ID_FRAME_CHUNK = 64
+
+
+# ---------------------------------------------------------------------------
+# Identification
+# ---------------------------------------------------------------------------
+
+
+def identify_in_image(
+    image: np.ndarray, minimum_ng: float, box: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Identify local maxima + net gradients in one image
+    (picasso/localize.py:248)."""
+    _, y, x, ng = _identify_ops.identify_frames(
+        np.asarray(image, np.float32)[None], minimum_ng, box
+    )
+    return y, x, ng
+
+
+def identify_in_frame(
+    frame: np.ndarray,
+    minimum_ng: float,
+    box: int,
+    roi: tuple[tuple[int, int], tuple[int, int]] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Identify in one frame with optional ROI
+    (picasso/localize.py:295)."""
+    _, y, x, ng = _identify_ops.identify_frames(
+        np.asarray(frame, np.float32)[None], minimum_ng, box, roi=roi
+    )
+    return y, x, ng
+
+
+def identify_by_frame_number(
+    movie,
+    minimum_ng: float,
+    box: int,
+    frame_number: int,
+    *,
+    roi=None,
+    frame_bounds=None,
+    lock=None,
+) -> pd.DataFrame:
+    """Identify in one frame of a movie (picasso/localize.py:340).
+    The ``lock`` argument is accepted for API compatibility."""
+    if frame_bounds is not None:
+        lo = frame_bounds[0] if frame_bounds[0] is not None else 0
+        hi = frame_bounds[1] if frame_bounds[1] is not None else len(movie)
+        lo = max(lo, 0)
+        hi = min(hi, len(movie))
+        if not (lo <= frame_number <= hi):
+            return pd.DataFrame(
+                {
+                    "frame": pd.Series(dtype=int),
+                    "x": pd.Series(dtype=int),
+                    "y": pd.Series(dtype=int),
+                    "net_gradient": pd.Series(dtype=np.float32),
+                }
+            )
+    frame = np.asarray(movie[frame_number])
+    y, x, ng = identify_in_frame(frame, minimum_ng, box, roi)
+    return pd.DataFrame(
+        {
+            "frame": (frame_number * np.ones(len(x))).astype(int),
+            "x": x.astype(int),
+            "y": y.astype(int),
+            "net_gradient": ng.astype(np.float32),
+        }
+    )
+
+
+def identify(
+    movie,
+    minimum_ng: float,
+    box: int,
+    *,
+    roi: tuple[tuple[int, int], tuple[int, int]] | None = None,
+    frame_bounds: tuple[int, int] | None = None,
+    threaded: bool = True,
+    progress_callback: (
+        Callable[[int], None] | Literal["console"] | None
+    ) = None,
+    abort_callback: Callable[[], bool] | None = None,
+    return_info: bool = False,
+) -> pd.DataFrame | tuple[pd.DataFrame, dict]:
+    """Identify spots in a whole movie (picasso/localize.py:639).
+
+    Frames stream through the device in chunks; the ``threaded``
+    argument is accepted for API compatibility (the TPU path is always
+    batched)."""
+    n_frames = len(movie)
+    lo = 0
+    hi = n_frames
+    if frame_bounds is not None:
+        # The reference evaluates per-frame ``lo <= f <= hi`` with
+        # hi = min(bound, n_frames) (localize.py:394-401) — the upper
+        # bound is inclusive.
+        if frame_bounds[0] is not None:
+            lo = max(frame_bounds[0], 0)
+        if frame_bounds[1] is not None:
+            hi = min(frame_bounds[1], n_frames)
+    frames_idx = [f for f in range(n_frames) if lo <= f <= hi]
+
+    all_frames, all_y, all_x, all_ng = [], [], [], []
+    with lib.progress_reporter(
+        progress_callback, len(frames_idx), "Identifying spots"
+    ) as rep:
+        done = 0
+        for start in range(0, len(frames_idx), _ID_FRAME_CHUNK):
+            if abort_callback is not None and abort_callback():
+                return None
+            batch_idx = frames_idx[start:start + _ID_FRAME_CHUNK]
+            if isinstance(movie, np.ndarray) or isinstance(
+                movie, np.memmap
+            ):
+                batch = np.asarray(movie[batch_idx[0]:batch_idx[-1] + 1])
+            else:
+                batch = np.stack(
+                    [np.asarray(movie[i]) for i in batch_idx]
+                )
+            f, y, x, ng = _identify_ops.identify_frames(
+                batch.astype(np.float32),
+                minimum_ng,
+                box,
+                frame_offset=batch_idx[0],
+                roi=roi,
+            )
+            all_frames.append(f)
+            all_y.append(y)
+            all_x.append(x)
+            all_ng.append(ng)
+            done += len(batch_idx)
+            rep.set_value(done)
+            if callable(progress_callback):
+                progress_callback(done)
+    ids = pd.DataFrame(
+        {
+            "frame": np.concatenate(all_frames).astype(int),
+            "x": np.concatenate(all_x).astype(int),
+            "y": np.concatenate(all_y).astype(int),
+            "net_gradient": np.concatenate(all_ng).astype(np.float32),
+        }
+    )
+    ids.sort_values(by="frame", kind="stable", inplace=True)
+    ids.reset_index(drop=True, inplace=True)
+    if return_info:
+        info = {
+            "Generated by": f"Picasso: v{__version__} Identify",
+            "Min. Net Gradient": minimum_ng,
+            "Box Size": box,
+            "ROI": roi,
+            "Frame Bounds": frame_bounds,
+        }
+        return ids, info
+    return ids
+
+
+def picks_to_identifications(
+    picks: list[tuple],
+    *,
+    n_frames: int | None = None,
+    drift: pd.DataFrame | None = None,
+) -> pd.DataFrame:
+    """Convert circular picks to per-frame identifications for
+    re-fitting picked positions (picasso/localize.py:752)."""
+    data = {"frame": [], "x": [], "y": [], "net_gradient": [], "n_id": []}
+    if n_frames is None and drift is not None:
+        n_frames = len(drift)
+    if n_frames is None:
+        raise ValueError("Either n_frames or drift must be provided.")
+    for n_id, (x0, y0) in enumerate(picks):
+        frames = np.arange(n_frames)
+        x = np.full(n_frames, x0, dtype=float)
+        y = np.full(n_frames, y0, dtype=float)
+        if drift is not None:
+            x = x + drift["x"].to_numpy()
+            y = y + drift["y"].to_numpy()
+        data["frame"].extend(frames.tolist())
+        data["x"].extend(np.round(x).astype(int).tolist())
+        data["y"].extend(np.round(y).astype(int).tolist())
+        data["net_gradient"].extend([0.0] * n_frames)
+        data["n_id"].extend([n_id] * n_frames)
+    return pd.DataFrame(data)
+
+
+# ---------------------------------------------------------------------------
+# ROI extraction + photon conversion
+# ---------------------------------------------------------------------------
+
+
+def get_spots(
+    movie,
+    identifications: pd.DataFrame,
+    box: int,
+    camera_info: dict,
+) -> np.ndarray:
+    """Cut (N, box, box) ROIs and convert to photon counts
+    (picasso/localize.py:1115)."""
+    spots = _identify_ops.cut_spots_numpy(
+        movie,
+        identifications["frame"].to_numpy(),
+        identifications["x"].to_numpy(),
+        identifications["y"].to_numpy(),
+        box,
+    )
+    return _identify_ops.to_photons(spots, camera_info)
+
+
+# ---------------------------------------------------------------------------
+# Fitting orchestration
+# ---------------------------------------------------------------------------
+
+
+def fit2D(
+    movie,
+    movie_info: list[dict],
+    camera_info: dict,
+    identifications: pd.DataFrame,
+    box: int,
+    fitting_method: Literal[
+        "gausslq", "gausslq-gpu", "gaussmle", "avg"
+    ] = "gausslq",
+    eps: float = 0.001,
+    max_it: int = 100,
+    mle_method: Literal["sigma", "sigmaxy"] = "sigmaxy",
+    multiprocess: bool = True,
+    progress_callback: (
+        Callable[[int], None] | Literal["console"] | None
+    ) = None,
+    abort_callback: Callable[[], bool] | None = None,
+) -> tuple[pd.DataFrame | None, dict]:
+    """Fit 2D localizations given identified spot positions
+    (picasso/localize.py:1344). ``multiprocess`` is accepted for API
+    compatibility; all methods run batched on device."""
+    assert isinstance(movie_info, list), "movie_info must be a list"
+    assert isinstance(camera_info, dict), "camera_info must be a dict"
+    assert isinstance(
+        identifications, pd.DataFrame
+    ), "identifications must be a DataFrame"
+    assert isinstance(box, int) and box > 0, "box must be a positive integer"
+    assert fitting_method in ("gausslq", "gausslq-gpu", "gaussmle", "avg")
+    assert eps > 0 and max_it > 0
+    assert mle_method in ("sigma", "sigmaxy")
+    if "Pixelsize" not in camera_info:
+        warnings.warn(
+            "Camera info in fit2D does not contain 'Pixelsize'; "
+            "assuming 130."
+        )
+        camera_info["Pixelsize"] = 130
+
+    spots = get_spots(movie, identifications, box, camera_info)
+    em = camera_info["Gain"] > 1
+    if abort_callback is not None and abort_callback():
+        return None, {}
+    if fitting_method in ("gausslq", "gausslq-gpu"):
+        theta = gausslq.fit_spots(spots, progress_callback)
+        locs = gausslq.locs_from_fits(identifications, theta, box, em)
+    elif fitting_method == "gaussmle":
+        thetas, CRLBs, llhoods, iterations = gaussmle.gaussmle(
+            spots, eps, max_it, mle_method, progress_callback
+        )
+        locs = gaussmle.locs_from_fits(
+            identifications, thetas, CRLBs, llhoods, iterations, box
+        )
+    else:  # avg
+        theta = avgroi.fit_spots(spots, progress_callback)
+        locs = avgroi.locs_from_fits(identifications, theta, box, em)
+
+    localize_info = {
+        "Generated by": f"Picasso: v{__version__} Fit 2D",
+        "Fit method": fitting_method,
+    }
+    if fitting_method == "gaussmle":
+        localize_info["Convergence criterion"] = eps
+        localize_info["Max iterations"] = max_it
+    new_info = localize_info | camera_info
+    return locs, new_info
+
+
+# Deprecated aliases kept for API parity with the reference
+# (picasso/localize.py:1148/1214).
+def fit(movie, camera_info, identifications, box, eps=0.001, max_it=100,
+        method="sigmaxy"):
+    spots = get_spots(movie, identifications, box, camera_info)
+    theta, CRLBs, likelihoods, iterations = gaussmle.gaussmle(
+        spots, eps, max_it, method=method
+    )
+    return locs_from_fits(
+        identifications, theta, CRLBs, likelihoods, iterations, box
+    )
+
+
+def locs_from_fits(
+    identifications, theta, CRLBs, likelihoods, iterations, box
+) -> pd.DataFrame:
+    """Legacy fit result assembly (picasso/localize.py:1281)."""
+    y = theta[:, 0] + identifications["y"].to_numpy()
+    x = theta[:, 1] + identifications["x"].to_numpy()
+    lpy = np.sqrt(CRLBs[:, 0])
+    lpx = np.sqrt(CRLBs[:, 1])
+    locs = pd.DataFrame(
+        {
+            "frame": identifications["frame"].astype(np.uint32),
+            "x": x.astype(np.float32),
+            "y": y.astype(np.float32),
+            "photons": theta[:, 2].astype(np.float32),
+            "sx": theta[:, 5].astype(np.float32),
+            "sy": theta[:, 4].astype(np.float32),
+            "bg": theta[:, 3].astype(np.float32),
+            "lpx": lpx.astype(np.float32),
+            "lpy": lpy.astype(np.float32),
+            "net_gradient": identifications["net_gradient"].astype(
+                np.float32
+            ),
+            "likelihood": likelihoods.astype(np.float32),
+            "iterations": iterations.astype(np.int32),
+        }
+    )
+    locs.sort_values(by="frame", kind="quicksort", inplace=True)
+    return locs
+
+
+def localize(
+    movie,
+    camera_info: dict,
+    parameters: dict,
+    *,
+    roi=None,
+    frame_bounds=None,
+    movie_info: list[dict] | None = None,
+    fitting_method: Literal[
+        "gausslq", "gausslq-gpu", "gaussmle", "avg"
+    ] = "gausslq",
+    eps: float = 0.001,
+    max_it: int = 100,
+    mle_method: Literal["sigma", "sigmaxy"] = "sigmaxy",
+    threaded: bool = True,
+    identification_progress_callback=None,
+    fit_progress_callback=None,
+    return_info: bool = False,
+):
+    """Identify + fit spots in 2D (picasso/localize.py:1682)."""
+    if movie_info is None:
+        movie_info = []
+    identifications, identify_info = identify(
+        movie,
+        parameters["Min. Net Gradient"],
+        parameters["Box Size"],
+        roi=roi,
+        frame_bounds=frame_bounds,
+        threaded=threaded,
+        progress_callback=identification_progress_callback,
+        return_info=True,
+    )
+    locs, fit_info = fit2D(
+        movie=movie,
+        movie_info=movie_info,
+        camera_info=camera_info,
+        identifications=identifications,
+        box=parameters["Box Size"],
+        fitting_method=fitting_method,
+        eps=eps,
+        max_it=max_it,
+        mle_method=mle_method,
+        multiprocess=threaded,
+        progress_callback=fit_progress_callback,
+    )
+    info = movie_info + [identify_info] + [fit_info]
+    if return_info:
+        return locs, info
+    return locs
+
+
+def localize_3D(
+    movie,
+    *,
+    movie_info: list[dict],
+    camera_info: dict,
+    box: int,
+    minimum_ng: float,
+    calibration_3d,
+    roi=None,
+    frame_bounds=None,
+    fitting_method: Literal[
+        "gausslq", "gausslq-gpu", "gaussmle"
+    ] = "gausslq",
+    eps: float = 0.001,
+    max_it: int = 100,
+    mle_method: Literal["sigma", "sigmaxy"] = "sigmaxy",
+    multiprocess: bool = True,
+    identification_progress_callback=None,
+    fit_progress_callback=None,
+    fit_z_progress_callback=None,
+) -> tuple[pd.DataFrame, list[dict]]:
+    """2D localization followed by astigmatism z fitting (Huang et al.,
+    Science 2008; picasso/localize.py:1818)."""
+    from picasso_tpu import zfit
+
+    locs, info = localize(
+        movie,
+        camera_info,
+        {"Min. Net Gradient": minimum_ng, "Box Size": box},
+        roi=roi,
+        frame_bounds=frame_bounds,
+        movie_info=movie_info,
+        fitting_method=fitting_method,
+        eps=eps,
+        max_it=max_it,
+        mle_method=mle_method,
+        threaded=multiprocess,
+        identification_progress_callback=identification_progress_callback,
+        fit_progress_callback=fit_progress_callback,
+        return_info=True,
+    )
+    if isinstance(calibration_3d, str):
+        import yaml
+
+        with open(calibration_3d) as f:
+            calibration_3d = yaml.full_load(f)
+    pixelsize = camera_info.get("Pixelsize", 130)
+    locs = zfit.zfit(
+        locs,
+        calibration_3d,
+        pixelsize=pixelsize,
+        progress_callback=fit_z_progress_callback,
+    )
+    info = info + [
+        {
+            "Generated by": f"Picasso: v{__version__} Fit Z",
+            "Calibration": calibration_3d,
+        }
+    ]
+    return locs, info
+
+
+# ---------------------------------------------------------------------------
+# QC metrics (per-file summary; picasso/localize.py:2037-2141)
+# ---------------------------------------------------------------------------
+
+MAX_LOCS = int(1e6)
+
+
+def check_nena(locs, info, callback=None):
+    """NeNA localization precision on (subsampled) locs
+    (picasso/localize.py:2037)."""
+    from picasso_tpu import postprocess
+
+    locs = locs[:MAX_LOCS]
+    result, best_vals = postprocess.nena(locs, info)
+    return float(best_vals[3])
+
+
+def check_kinetics(locs, info):
+    """Mean binding-event length in frames (picasso/localize.py:2073)."""
+    from picasso_tpu import postprocess
+
+    locs = locs[:MAX_LOCS]
+    linked = postprocess.link(locs, info)
+    return float(np.mean(linked["len"]))
+
+
+def check_drift(locs, info, callback=None):
+    """RCC drift magnitude per 1000 frames
+    (picasso/localize.py:2096)."""
+    from picasso_tpu import postprocess
+
+    n_frames = lib.get_from_metadata(info, "Frames")
+    segmentation = max(1, n_frames // 10)
+    drift, _ = postprocess.undrift(
+        locs, info, segmentation, display=False
+    )
+    dx = np.ptp(drift["x"])
+    dy = np.ptp(drift["y"])
+    return float(np.hypot(dx, dy) * 1000 / n_frames)

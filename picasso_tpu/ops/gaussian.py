@@ -1,0 +1,87 @@
+"""Shared integrated-Gaussian PSF math (Smith et al., Nature Methods
+2010 supplement), vectorized for batched evaluation on TPU.
+
+Behavioral reference: picasso/gaussmle.py:268-383 (scalar numba
+versions of the same equations). All functions here operate on arrays
+of pixel offsets ``d = x_k - mu`` of any shape, broadcasting over a
+batch of spots; downstream kernels combine the per-axis factors with
+outer products instead of looping over pixels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+_SQRT_2PI = 2.5066282746310002
+_INV_SQRT2 = 0.70710678118654757
+
+
+def integrated_gaussian(d: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Integral of a unit Gaussian over one pixel (deltaE, eq. 4a/b):
+    0.5 * (erf((d+.5)/(sqrt(2) sigma)) - erf((d-.5)/(sqrt(2) sigma))).
+    (picasso/gaussmle.py:269)"""
+    sq_norm = _INV_SQRT2 / sigma
+    return 0.5 * (erf((d + 0.5) * sq_norm) - erf((d - 0.5) * sq_norm))
+
+
+def derivative_integrated_gaussian(
+    d: jnp.ndarray, sigma: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis factors of d(deltaE)/dmu and d2(deltaE)/dmu2
+    (eq. 11a/14a; picasso/gaussmle.py:283). The caller multiplies by
+    ``photons * PSF_orth``."""
+    a = jnp.exp(-0.5 * ((d + 0.5) / sigma) ** 2)
+    b = jnp.exp(-0.5 * ((d - 0.5) / sigma) ** 2)
+    first = (b - a) / (_SQRT_2PI * sigma)
+    second = ((d - 0.5) * b - (d + 0.5) * a) / (_SQRT_2PI * sigma**3)
+    return first, second
+
+
+def G(n: int, m: int, d: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Helper for sigma derivatives in the anisotropic case (eq. 20a;
+    picasso/gaussmle.py:307):
+    (a_-^m e^{-a_-²/2σ²} - a_+^m e^{-a_+²/2σ²}) / (σ^n sqrt(2π))."""
+    a_minus = d - 0.5
+    a_plus = d + 0.5
+    exp_minus = jnp.exp(-(a_minus**2) / (2 * sigma**2))
+    exp_plus = jnp.exp(-(a_plus**2) / (2 * sigma**2))
+    return (a_minus**m * exp_minus - a_plus**m * exp_plus) / (
+        sigma**n * _SQRT_2PI
+    )
+
+
+def derivative_integrated_gaussian_sigma(
+    d: jnp.ndarray, sigma: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis factors of d(deltaE)/dsigma and d2/dsigma2 in the
+    anisotropic case (eq. 21a/b; picasso/gaussmle.py:320). The caller
+    multiplies by ``photons * PSF_orth``."""
+    first = G(2, 1, d, sigma)
+    second = G(5, 3, d, sigma) - 2 * G(3, 1, d, sigma)
+    return first, second
+
+
+def iso_sigma_axis_terms(
+    d: jnp.ndarray, sigma: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis d(deltaE)/dsigma and d2/dsigma2 for the isotropic-sigma
+    model (picasso/gaussmle.py:340). Returns (dPSF/dsigma,
+    d2PSF/dsigma2) per axis; the caller combines the two axes."""
+    a_plus = (d + 0.5) / (jnp.sqrt(2.0) * sigma)
+    a_minus = (d - 0.5) / (jnp.sqrt(2.0) * sigma)
+    F = a_minus * jnp.exp(-(a_minus**2)) - a_plus * jnp.exp(-(a_plus**2))
+    dPSF = F / (jnp.sqrt(jnp.pi) * sigma)
+    dF = (
+        a_plus * jnp.exp(-(a_plus**2)) * (1 - 2 * a_plus**2)
+        - a_minus * jnp.exp(-(a_minus**2)) * (1 - 2 * a_minus**2)
+    ) / sigma
+    d2PSF = (1 / jnp.sqrt(jnp.pi)) * ((-F / sigma**2) + dF / sigma)
+    return dPSF, d2PSF
+
+
+def gaussian_pdf(d: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Plain (non-integrated) normalized Gaussian used by the LQ model
+    (picasso/gausslq.py:33)."""
+    norm = 0.3989422804014327 / sigma
+    return norm * jnp.exp(-0.5 * (d / sigma) ** 2)

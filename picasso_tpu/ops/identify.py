@@ -1,0 +1,205 @@
+"""Spot identification on TPU: box local-maxima + net-gradient maps
+evaluated for whole frame batches in one XLA program.
+
+Replaces the reference's per-frame numba loops driven by a ≤60-thread
+work-stealing pool (picasso/localize.py:_local_maxima :98,
+_net_gradient :203, identify_in_image :248, identify_async :482).
+
+Semantics matched to the reference:
+- a pixel is a local maximum iff it is the FIRST argmax (row-major) of
+  its (box, box) window — i.e. strictly greater than every earlier
+  pixel in the window and >= every later pixel;
+- only pixels with box_half <= i < Y - box_half - 1 (note the
+  reference's extra -1 on the high side) are eligible
+  (localize.py:122-123);
+- the net gradient is the sum over the box window (center excluded) of
+  the central-difference gradient dotted with unit vectors pointing at
+  the center (localize.py:203-292).
+
+The maps are computed densely on device; the variable-length extraction
+of (y, x, ng) happens on host per frame chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _unit_vector_masks(box: int) -> tuple[np.ndarray, np.ndarray]:
+    """(uy, ux) of shape (box, box): unit vectors from each window
+    position toward the center; center row/col entries handled like the
+    reference meshgrid (localize.py:278-287)."""
+    half = box // 2
+    val = half - np.arange(box, dtype=np.float32)
+    ux = np.tile(val, (box, 1))
+    uy = ux.T.copy()
+    norm = np.sqrt(ux**2 + uy**2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ux = ux / norm
+        uy = uy / norm
+    ux[half, half] = 0.0  # center excluded from the sum
+    uy[half, half] = 0.0
+    return uy, ux
+
+
+@functools.partial(jax.jit, static_argnames=("box",))
+def identify_maps(
+    frames: jnp.ndarray, box: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute (is_maximum, net_gradient) maps for a batch of frames.
+
+    Parameters
+    ----------
+    frames : (B, Y, X) float32
+    box : odd int
+
+    Returns
+    -------
+    maxima : (B, Y, X) bool
+    ng : (B, Y, X) float32 — net gradient at every pixel.
+    """
+    frames = frames.astype(jnp.float32)
+    B, Y, X = frames.shape
+    half = box // 2
+
+    # --- local maxima with first-argmax tie-breaking ---------------------
+    # Pad with +inf so windows touching the border never qualify; the
+    # eligible range is then enforced exactly below.
+    neg = jnp.float32(-jnp.inf)
+    padded = jnp.pad(
+        frames, ((0, 0), (half, half), (half, half)),
+        constant_values=neg,
+    )
+    center = frames
+    is_max = jnp.ones((B, Y, X), dtype=bool)
+    k = 0
+    for dy in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            if dy == 0 and dx == 0:
+                k += 1
+                continue
+            neighbor = jax.lax.dynamic_slice(
+                padded, (0, dy + half, dx + half), (B, Y, X)
+            )
+            if k < (box * box) // 2:
+                # earlier in row-major window order: must be strictly
+                # smaller than the center for the center to be the
+                # first argmax
+                is_max = is_max & (center > neighbor)
+            else:
+                is_max = is_max & (center >= neighbor)
+            k += 1
+
+    # eligible interior (reference bounds localize.py:122-123)
+    yy = jnp.arange(Y)[None, :, None]
+    xx = jnp.arange(X)[None, None, :]
+    eligible = (
+        (yy >= half)
+        & (yy < Y - half - 1)
+        & (xx >= half)
+        & (xx < X - half - 1)
+    )
+    maxima = is_max & eligible
+
+    # --- net gradient ----------------------------------------------------
+    # gy(i,j) = f[i+1,j] - f[i-1,j]; gx(i,j) = f[i,j+1] - f[i,j-1].
+    # The reference's numba kernel uses numpy negative-index wrapping at
+    # i-1 = -1 (localize.py:179-180), which jnp.roll reproduces; the
+    # +1 side never leaves the frame for eligible maxima.
+    gy = jnp.roll(frames, -1, axis=1) - jnp.roll(frames, 1, axis=1)
+    gx = jnp.roll(frames, -1, axis=2) - jnp.roll(frames, 1, axis=2)
+
+    uy, ux = _unit_vector_masks(box)
+    # ng[p] = sum_w gy[p + w] * uy[w] + gx[p + w] * ux[w] — a correlation
+    # of the gradient maps with the unit-vector masks. XLA's conv is
+    # cross-correlation (no kernel flip), which is exactly this sum.
+    def corr(img, kernel):
+        return jax.lax.conv_general_dilated(
+            img[:, None, :, :],
+            jnp.asarray(kernel)[None, None, :, :],
+            window_strides=(1, 1),
+            padding=((half, half), (half, half)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[:, 0]
+
+    ng = corr(gy, uy) + corr(gx, ux)
+    return maxima, ng
+
+
+def identify_frames(
+    frames: np.ndarray,
+    minimum_ng: float,
+    box: int,
+    frame_offset: int = 0,
+    roi: tuple[tuple[int, int], tuple[int, int]] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Identify spots in a batch of frames; returns flat
+    (frame, y, x, net_gradient) arrays. ROI crops before
+    identification and offsets coordinates back, matching
+    identify_in_frame (localize.py:295-337)."""
+    frames = np.asarray(frames)
+    if roi is not None:
+        (y0, x0), (y1, x1) = roi
+        frames = frames[:, y0:y1, x0:x1]
+    maxima, ng = identify_maps(jnp.asarray(frames, jnp.float32), box)
+    maxima = np.asarray(maxima)
+    ng = np.asarray(ng)
+    mask = maxima & (ng > minimum_ng)
+    f_idx, y, x = np.nonzero(mask)
+    ng_vals = ng[f_idx, y, x]
+    if roi is not None:
+        y = y + roi[0][0]
+        x = x + roi[0][1]
+    return f_idx + frame_offset, y, x, ng_vals.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# ROI extraction + photon conversion
+# ---------------------------------------------------------------------------
+
+
+def cut_spots_numpy(
+    movie, ids_frame: np.ndarray, ids_x: np.ndarray, ids_y: np.ndarray,
+    box: int,
+) -> np.ndarray:
+    """Gather (N, box, box) ROIs from a frame-indexable movie on host
+    (replaces picasso/localize.py:917-1098). For ndarray-backed movies
+    this is a single vectorized fancy-index gather."""
+    r = box // 2
+    offs = np.arange(-r, r + 1)
+    if isinstance(movie, np.ndarray) or hasattr(movie, "__array__"):
+        movie_arr = np.asarray(movie)
+        yy = ids_y[:, None, None] + offs[None, :, None]
+        xx = ids_x[:, None, None] + offs[None, None, :]
+        return movie_arr[ids_frame[:, None, None], yy, xx]
+    # lazy movie: frame-by-frame (identifications are frame-sorted)
+    n = len(ids_frame)
+    spots = np.zeros((n, box, box), dtype=movie.dtype)
+    order = np.argsort(ids_frame, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(n)
+    sorted_frames = ids_frame[order]
+    start = 0
+    unique_frames, starts = np.unique(sorted_frames, return_index=True)
+    bounds = list(starts) + [n]
+    for fi, frame_number in enumerate(unique_frames):
+        frame = np.asarray(movie[int(frame_number)])
+        for j in range(bounds[fi], bounds[fi + 1]):
+            k = order[j]
+            yc, xc = ids_y[k], ids_x[k]
+            spots[k] = frame[yc - r:yc + r + 1, xc - r:xc + r + 1]
+    return spots
+
+
+def to_photons(spots: np.ndarray, camera_info: dict) -> np.ndarray:
+    """(raw - baseline) * sensitivity / gain
+    (picasso/localize.py:1101-1112)."""
+    spots = np.float32(spots)
+    baseline = camera_info["Baseline"]
+    sensitivity = camera_info["Sensitivity"]
+    gain = camera_info["Gain"]
+    return (spots - baseline) * sensitivity / gain

@@ -24,6 +24,13 @@ import numpy as np
 import pandas as pd
 import pytest
 
+# Persistent XLA compilation cache: first-compile of the fit kernels is
+# tens of seconds; cached compiles are instant across test runs.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 _LOCAL_DATA = os.path.join(os.path.dirname(__file__), "data")
 _REFERENCE_DATA = "/root/reference/tests/data"
 # Bundled real data lives in the (read-only) reference mount; a local

@@ -1,0 +1,176 @@
+"""MLE fitter: ground-truth recovery at the reference tolerances
+(reference test_gaussmle.py:50-115), CRLB sanity, closed-form checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from picasso_tpu import gaussmle
+
+BOX_HALF = 7 // 2
+EPS = 1e-3
+MAX_IT = 100
+
+
+class TestCleanRecovery:
+    @pytest.fixture(scope="class")
+    def fits(self, synthetic_spots):
+        spots, gt = synthetic_spots
+        theta, crlb, ll, it = gaussmle.gaussmle(
+            spots, EPS, MAX_IT, method="sigmaxy"
+        )
+        return theta, crlb, ll, it, gt
+
+    def test_positions(self, fits):
+        theta, _, _, _, gt = fits
+        np.testing.assert_allclose(
+            theta[:, 0] - BOX_HALF, gt.x.values, atol=0.05
+        )
+        np.testing.assert_allclose(
+            theta[:, 1] - BOX_HALF, gt.y.values, atol=0.05
+        )
+
+    def test_photons_bg(self, fits):
+        theta, _, _, _, gt = fits
+        np.testing.assert_allclose(
+            theta[:, 2], gt.photons.values, rtol=0.05
+        )
+        np.testing.assert_allclose(theta[:, 3], gt.bg.values, rtol=0.20)
+
+    def test_sigmas(self, fits):
+        theta, _, _, _, gt = fits
+        np.testing.assert_allclose(theta[:, 4], gt.sx.values, atol=0.10)
+        np.testing.assert_allclose(theta[:, 5], gt.sy.values, atol=0.10)
+
+    def test_crlbs_finite_positive(self, fits):
+        _, crlb, ll, it, _ = fits
+        assert np.all(np.isfinite(crlb))
+        assert np.all(crlb > 0)
+        assert np.all(np.isfinite(ll))
+        assert np.all(it >= 1)
+        assert np.all(it <= MAX_IT)
+
+
+class TestNoisyRecovery:
+    def test_positions_photons(self, synthetic_spots_noisy):
+        spots, gt = synthetic_spots_noisy
+        theta, crlb, ll, it = gaussmle.gaussmle(
+            spots, EPS, MAX_IT, method="sigmaxy"
+        )
+        np.testing.assert_allclose(
+            theta[:, 0] - BOX_HALF, gt.x.values, atol=0.2
+        )
+        np.testing.assert_allclose(
+            theta[:, 1] - BOX_HALF, gt.y.values, atol=0.2
+        )
+        np.testing.assert_allclose(
+            theta[:, 2], gt.photons.values, rtol=0.10
+        )
+        np.testing.assert_allclose(theta[:, 4], gt.sx.values, atol=0.10)
+
+
+class TestSigmaMethod:
+    def test_iso_sigma_recovery(self, synthetic_spot_factory):
+        spots = np.stack(
+            [
+                synthetic_spot_factory(
+                    x0=0.2, y0=-0.1, sx=1.1, sy=1.1, photons=6000
+                )
+            ]
+        )
+        theta, crlb, ll, it = gaussmle.gaussmle(
+            spots, EPS, MAX_IT, method="sigma"
+        )
+        assert theta.shape == (1, 6)
+        assert theta[0, 4] == theta[0, 5]  # single sigma mirrored
+        assert theta[0, 0] - BOX_HALF == pytest.approx(0.2, abs=0.05)
+        assert theta[0, 1] - BOX_HALF == pytest.approx(-0.1, abs=0.05)
+        assert theta[0, 4] == pytest.approx(1.1, abs=0.1)
+
+
+class TestBatchConsistency:
+    def test_chunked_matches_single(self, synthetic_spots):
+        """Chunked batched execution must equal one-shot execution —
+        the analogue of the reference's async=serial test
+        (reference test_gaussmle.py:163-174)."""
+        spots, _ = synthetic_spots
+        a = gaussmle.gaussmle(spots, EPS, MAX_IT)[0]
+        from picasso_tpu.ops.mle import gaussmle_batched
+
+        b = gaussmle_batched(spots, EPS, MAX_IT, chunk=7)[0]
+        # atol matches the reference's async=serial test (1e-3);
+        # rtol absorbs XLA fusion differences across batch shapes.
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
+
+
+class TestCRLBAgainstFloat64:
+    def test_crlb_matches_float64_oracle(self, synthetic_spots_noisy):
+        """The equilibrated float32 Fisher inverse must agree with a
+        float64 pinv oracle (the reference's numerics,
+        gaussmle.py:689-742)."""
+        from picasso_tpu.ops.gaussian import (
+            integrated_gaussian as ig_jnp,
+        )
+        from scipy.special import erf
+
+        spots, _ = synthetic_spots_noisy
+        theta, crlb, ll, it = gaussmle.gaussmle(spots, EPS, MAX_IT)
+
+        def ig(d, s):
+            sq = 0.70710678118654757 / s
+            return 0.5 * (erf((d + 0.5) * sq) - erf((d - 0.5) * sq))
+
+        size = spots.shape[1]
+        idx = np.arange(size, dtype=np.float64)
+        for n in range(min(8, len(spots))):
+            t = theta[n].astype(np.float64)
+            dx = idx - t[0]
+            dy = idx - t[1]
+            px = ig(dx, t[4])
+            py = ig(dy, t[5])
+            ax = np.exp(-0.5 * ((dx + 0.5) / t[4]) ** 2)
+            bx = np.exp(-0.5 * ((dx - 0.5) / t[4]) ** 2)
+            ay = np.exp(-0.5 * ((dy + 0.5) / t[5]) ** 2)
+            by = np.exp(-0.5 * ((dy - 0.5) / t[5]) ** 2)
+            s2p = np.sqrt(2 * np.pi)
+            dmx = (bx - ax) / (s2p * t[4])
+            dmy = (by - ay) / (s2p * t[5])
+
+            def G(nn, mm, d, s):
+                am, ap = d - 0.5, d + 0.5
+                return (
+                    am**mm * np.exp(-(am**2) / (2 * s**2))
+                    - ap**mm * np.exp(-(ap**2) / (2 * s**2))
+                ) / (s**nn * s2p)
+
+            dsx = G(2, 1, dx, t[4])
+            dsy = G(2, 1, dy, t[5])
+            model = t[2] * np.outer(py, px) + t[3]
+            dudt = np.stack(
+                [
+                    t[2] * np.outer(py, dmx),
+                    t[2] * np.outer(dmy, px),
+                    np.outer(py, px),
+                    np.ones_like(model),
+                    t[2] * np.outer(py, dsx),
+                    t[2] * np.outer(dsy, px),
+                ]
+            )
+            M = np.einsum("pij,qij,ij->pq", dudt, dudt, 1.0 / model)
+            ref_crlb = np.diag(np.linalg.pinv(M))
+            np.testing.assert_allclose(
+                crlb[n], ref_crlb, rtol=2e-2
+            )
+
+
+def test_sigma_uncertainty_formula():
+    out = gaussmle.sigma_uncertainty(1.2, 1.1, 5000.0, 10.0)
+    sa2 = 1.2**2 + 1 / 12
+    tau = 2 * np.pi * sa2 * 10.0 / 5000.0
+    expected = np.sqrt(
+        (1.2**2 / (4 * 5000.0))
+        * (1 + 8 * tau + np.sqrt((8 * tau) / (1 + 2 * tau)))
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
