@@ -4,15 +4,18 @@ fixed-iteration Levenberg–Marquardt.
 This single kernel replaces BOTH of the reference's LQ paths: the
 per-spot ``scipy.optimize.leastsq`` calls farmed out to a process pool
 (picasso/gausslq.py:206-343, ftol=xtol=1e-2) and the vendored CUDA
-Gpufit DLL (GAUSS_2D_ELLIPTIC, tol 1e-2, ≤20 LM iterations,
+Gpufit DLL (GAUSS_2D_ELLIPTIC, tol 1e-2, <=20 LM iterations,
 picasso/gausslq.py:346-395). The model is the plain (non-integrated)
 normalized Gaussian of gausslq.py:33; parameters are
 [x, y, photons, bg, sx, sy] with x/y relative to the box center.
 
-All spots advance together; the 6x6 normal equations are solved with a
-batched Cholesky factorization after diagonal (Marquardt) damping;
-rejected steps raise the damping per spot. Converged spots freeze and
-the while_loop exits early once the whole chunk has converged.
+Performance design: every Jacobian column is separable into per-axis
+factors J_p = a_p x b_p, so the normal equations assemble from 1D dot
+products — JtJ[p,q] = (a_p . a_q)(b_p . b_q) and Jtr[p] = <a_p, R,
+b_p> — with no (N, 6, S, S) Jacobian tensor. The spot index N sits on
+the last (lane) axis for full VPU occupancy. The damped 6x6 systems
+solve with a batched Cholesky; rejected steps raise the per-spot
+damping, and the while_loop exits when the whole chunk converges.
 """
 
 from __future__ import annotations
@@ -25,84 +28,106 @@ import numpy as np
 
 from picasso_tpu.ops.gaussian import gaussian_pdf
 
-_DEFAULT_CHUNK = 16384
+_DEFAULT_CHUNK = 262144
 
 
-def initial_parameters(spots: jnp.ndarray) -> jnp.ndarray:
-    """theta0 = [x, y, photons, bg, sx, sy], x/y relative to the box
-    center (picasso/gausslq.py:95-112)."""
-    n, s, _ = spots.shape
+def initial_parameters_t(spots_t: jnp.ndarray) -> jnp.ndarray:
+    """theta (6, N) = [x, y, photons, bg, sx, sy], x/y relative to the
+    box center (picasso/gausslq.py:95-112). spots_t is (S, S, N)."""
+    s = spots_t.shape[0]
     half = s // 2
-    bg = jnp.min(spots, axis=(1, 2))
-    nobg = spots - bg[:, None, None]
-    idx = jnp.arange(s, dtype=spots.dtype)
-    total = jnp.sum(nobg, axis=(1, 2))
-    y_com = jnp.sum(nobg * idx[None, :, None], axis=(1, 2)) / total
-    x_com = jnp.sum(nobg * idx[None, None, :], axis=(1, 2)) / total
+    bg = jnp.min(spots_t, axis=(0, 1))
+    nobg = spots_t - bg[None, None, :]
+    idx = jnp.arange(s, dtype=spots_t.dtype)
+    total = jnp.sum(nobg, axis=(0, 1))
+    y_com = jnp.sum(nobg * idx[:, None, None], axis=(0, 1)) / total
+    x_com = jnp.sum(nobg * idx[None, :, None], axis=(0, 1)) / total
     degenerate = total <= 0.0
     center = (s - 1) / 2.0
     total_d = jnp.where(degenerate, 0.01, total)
     y_com = jnp.where(degenerate, center, y_com)
     x_com = jnp.where(degenerate, center, x_com)
     photons = jnp.maximum(1.0, total_d)
-    dy2 = (idx[None, :, None] - y_com[:, None, None]) ** 2
-    dx2 = (idx[None, None, :] - x_com[:, None, None]) ** 2
-    sy = jnp.sqrt(jnp.sum(nobg * dy2, axis=(1, 2)) / total_d)
-    sx = jnp.sqrt(jnp.sum(nobg * dx2, axis=(1, 2)) / total_d)
-    return jnp.stack(
-        [x_com - half, y_com - half, photons, bg, sx, sy], axis=1
-    )
+    dy2 = (idx[:, None, None] - y_com[None, None, :]) ** 2
+    dx2 = (idx[None, :, None] - x_com[None, None, :]) ** 2
+    sy = jnp.sqrt(jnp.sum(nobg * dy2, axis=(0, 1)) / total_d)
+    sx = jnp.sqrt(jnp.sum(nobg * dx2, axis=(0, 1)) / total_d)
+    return jnp.stack([x_com - half, y_com - half, photons, bg, sx, sy])
 
 
-def _model_and_jacobian(theta: jnp.ndarray, s: int):
-    """Gaussian model on the centered grid plus its analytic Jacobian
-    w.r.t. [x, y, photons, bg, sx, sy]. Axis factors are (N, S); the
-    full pixel grids are outer products."""
+def initial_parameters(spots: jnp.ndarray) -> jnp.ndarray:
+    """(N, 6) initial parameters from an (N, S, S) batch."""
+    return initial_parameters_t(jnp.transpose(spots, (1, 2, 0))).T
+
+
+def _axis_factors(theta, s: int):
+    """Per-axis (S, N) model factors and their derivatives."""
     half = s // 2
-    grid = jnp.arange(-half, half + 1, dtype=theta.dtype)
-    x, y = theta[:, 0:1], theta[:, 1:2]
-    photons = theta[:, 2, None, None]
-    bg = theta[:, 3, None, None]
-    sx, sy = theta[:, 4:5], theta[:, 5:6]
-
-    dx = grid[None, :] - x
-    dy = grid[None, :] - y
-    gx = gaussian_pdf(dx, sx)  # (N, S)
-    gy = gaussian_pdf(dy, sy)
-    GX = gx[:, None, :]
-    GY = gy[:, :, None]
-    model = photons * GY * GX + bg
-
-    dgx_dx = gx * dx / sx**2
-    dgy_dy = gy * dy / sy**2
-    dgx_dsx = gx * (dx**2 / sx**3 - 1.0 / sx)
-    dgy_dsy = gy * (dy**2 / sy**3 - 1.0 / sy)
-
-    J = jnp.stack(
-        [
-            photons * GY * dgx_dx[:, None, :],
-            photons * GX * dgy_dy[:, :, None],
-            jnp.broadcast_to(GY * GX, model.shape),
-            jnp.ones_like(model),
-            photons * GY * dgx_dsx[:, None, :],
-            photons * GX * dgy_dsy[:, :, None],
-        ],
-        axis=1,
-    )  # (N, 6, S, S) — derivatives of the model
-    return model, J
+    grid = jnp.arange(-half, half + 1, dtype=theta.dtype)[:, None]
+    x, y, photons, bg, sx, sy = theta
+    dx = grid - x[None, :]
+    dy = grid - y[None, :]
+    gx = gaussian_pdf(dx, sx[None, :])
+    gy = gaussian_pdf(dy, sy[None, :])
+    dgx_dx = gx * dx / sx[None, :] ** 2
+    dgy_dy = gy * dy / sy[None, :] ** 2
+    dgx_dsx = gx * (dx**2 / sx[None, :] ** 3 - 1.0 / sx[None, :])
+    dgy_dsy = gy * (dy**2 / sy[None, :] ** 3 - 1.0 / sy[None, :])
+    return gx, gy, dgx_dx, dgy_dy, dgx_dsx, dgy_dsy
 
 
-def _cost(theta: jnp.ndarray, spots: jnp.ndarray, s: int) -> jnp.ndarray:
-    half = s // 2
-    grid = jnp.arange(-half, half + 1, dtype=theta.dtype)
-    gx = gaussian_pdf(grid[None, :] - theta[:, 0:1], theta[:, 4:5])
-    gy = gaussian_pdf(grid[None, :] - theta[:, 1:2], theta[:, 5:6])
-    model = (
-        theta[:, 2, None, None] * gy[:, :, None] * gx[:, None, :]
-        + theta[:, 3, None, None]
-    )
-    r = spots - model
-    return jnp.sum(r * r, axis=(1, 2))
+def _residual(theta, spots_t, s: int):
+    gx, gy, *_ = _axis_factors(theta, s)
+    model = theta[2][None, None, :] * (
+        gy[:, None, :] * gx[None, :, :]
+    ) + theta[3][None, None, :]
+    return spots_t - model
+
+
+def _cost(theta, spots_t, s: int):
+    r = _residual(theta, spots_t, s)
+    return jnp.sum(r * r, axis=(0, 1))
+
+
+def _normal_equations(theta, spots_t, s: int):
+    """JtJ (N, 6, 6) and Jtr (N, 6) assembled from separable axis
+    factors — no Jacobian tensor is materialized."""
+    gx, gy, dgx_dx, dgy_dy, dgx_dsx, dgy_dsy = _axis_factors(theta, s)
+    photons = theta[2]
+    ones = jnp.ones_like(gx)
+    one = jnp.ones_like(photons)
+    # (scale, row factor a (over j/y), col factor b (over i/x))
+    terms = [
+        (photons, gy, dgx_dx),  # d/dx
+        (photons, dgy_dy, gx),  # d/dy
+        (one, gy, gx),  # d/dphotons
+        (one, ones, ones),  # d/dbg
+        (photons, gy, dgx_dsx),  # d/dsx
+        (photons, dgy_dsy, gx),  # d/dsy
+    ]
+    model = photons[None, None, :] * (
+        gy[:, None, :] * gx[None, :, :]
+    ) + theta[3][None, None, :]
+    R = spots_t - model
+
+    n = theta.shape[1]
+    P = 6
+    JtJ = jnp.zeros((P, P, n), theta.dtype)
+    Jtr = jnp.zeros((P, n), theta.dtype)
+    for p in range(P):
+        sp, ap, bp = terms[p]
+        T = jnp.einsum("jn,jin->in", ap, R)
+        Jtr = Jtr.at[p].set(sp * jnp.sum(T * bp, axis=0))
+        for q in range(p, P):
+            sq, aq, bq = terms[q]
+            val = (
+                sp * sq
+                * jnp.sum(ap * aq, axis=0)
+                * jnp.sum(bp * bq, axis=0)
+            )
+            JtJ = JtJ.at[p, q].set(val)
+            JtJ = JtJ.at[q, p].set(val)
+    return JtJ, Jtr, R
 
 
 @functools.partial(jax.jit, static_argnames=("max_it",))
@@ -113,10 +138,10 @@ def _fit_chunk(
 ) -> jnp.ndarray:
     """LM-fit one padded chunk; returns theta (N, 6)."""
     n, s, _ = spots.shape
-    spots = spots.astype(jnp.float32)
-    theta0 = initial_parameters(spots)
-    cost0 = _cost(theta0, spots, s)
-    lam0 = jnp.full((n,), 1e-3, jnp.float32)
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    theta0 = initial_parameters_t(spots_t)  # (6, N)
+    cost0 = _cost(theta0, spots_t, s)
+    lam0 = jnp.full((n,), 1e-3, jnp.float32) + 0.0 * cost0
 
     def cond(state):
         theta, lam, cost, done, kk = state
@@ -124,26 +149,23 @@ def _fit_chunk(
 
     def body(state):
         theta, lam, cost, done, kk = state
-        model, J = _model_and_jacobian(theta, s)
-        r = spots - model  # (N, S, S)
-        Jf = J.reshape(n, 6, s * s)
-        rf = r.reshape(n, s * s)
-        JtJ = jnp.einsum("npk,nqk->npq", Jf, Jf)
-        Jtr = jnp.einsum("npk,nk->np", Jf, rf)
-        diag = jnp.diagonal(JtJ, axis1=1, axis2=2)
-        A = JtJ + (lam[:, None] * diag)[:, None, :] * jnp.eye(6)[None]
-        # Solve A delta = Jtr with a batched Cholesky; guard failures.
-        L = jnp.linalg.cholesky(A)
-        delta = jax.scipy.linalg.cho_solve((L, True), Jtr[..., None])[..., 0]
-        ok = jnp.all(jnp.isfinite(delta), axis=1)
-        delta = jnp.where(ok[:, None], delta, 0.0)
+        JtJ, Jtr, _ = _normal_equations(theta, spots_t, s)  # (6,6,N),(6,N)
+        # Marquardt damping on the diagonal, then an unrolled batched
+        # Cholesky solve (N on lanes — see ops/linalg.py).
+        from picasso_tpu.ops.linalg import spd_solve
+
+        eye = jnp.eye(6, dtype=theta.dtype)[:, :, None]
+        diag = jnp.stack([JtJ[p, p] for p in range(6)])  # (6, N)
+        A = JtJ + eye * (lam[None, :] * diag)[:, None, :]
+        delta = spd_solve(A, Jtr)  # (6, N)
+        ok = jnp.all(jnp.isfinite(delta), axis=0)
+        delta = jnp.where(ok[None, :], delta, 0.0)
         trial = theta + delta
-        trial_cost = _cost(trial, spots, s)
+        trial_cost = _cost(trial, spots_t, s)
         improved = ok & (trial_cost < cost) & ~done
-        # Relative cost improvement below ftol => converged.
         rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-20)
         conv = improved & (rel < ftol)
-        theta = jnp.where(improved[:, None], trial, theta)
+        theta = jnp.where(improved[None, :], trial, theta)
         cost = jnp.where(improved, trial_cost, cost)
         lam = jnp.where(
             improved, jnp.maximum(lam * 0.1, 1e-9),
@@ -153,12 +175,16 @@ def _fit_chunk(
         done = done | conv | (lam >= 1e7)
         return theta, lam, cost, done, kk + 1
 
+    # Data-derived zero state: keeps carry types device-varying under
+    # shard_map (see ops/mle.py).
+    data_zero = (theta0[0, 0] * 0).astype(jnp.int32)
     state = (
-        theta0, lam0, cost0, jnp.zeros(n, dtype=bool),
-        jnp.asarray(0, jnp.int32),
+        theta0, lam0, cost0,
+        jnp.zeros(n, dtype=bool) ^ (data_zero > 0),
+        data_zero,
     )
     theta, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return theta
+    return theta.T
 
 
 def fit_spots_batched(
@@ -177,7 +203,7 @@ def fit_spots_batched(
     for start in range(0, n, chunk):
         part = spots[start:start + chunk]
         n_part = len(part)
-        pad = -n_part % 8
+        pad = -n_part % 128
         if pad:
             part = np.concatenate(
                 [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0

@@ -5,20 +5,29 @@ log-likelihoods.
 
 This is the TPU-native replacement for the reference's per-spot numba
 loops driven by a lock-stealing thread pool (picasso/gaussmle.py:
-_mlefit_sigmaxy :745, _mlefit_sigma :533, gaussmle_async :478). The
-whole spot batch advances together: each Newton iteration evaluates the
-separable per-axis PSF factors once per spot (two (N, S) arrays) and
-combines them with outer products into (N, S, S) pixel grids — pure
-VPU-friendly elementwise work with no data-dependent shapes. Per-spot
-convergence (|Δx|,|Δy|(,|Δσ|) < eps, gaussmle.py:632/844) is handled
-by freezing converged spots; a whole-batch early exit stops the
-while_loop when every spot in the chunk has converged.
+_mlefit_sigmaxy :745, _mlefit_sigma :533, gaussmle_async :478).
+
+Performance design
+------------------
+The model and every derivative are separable into per-axis factors:
+dudt_p[j, i] = A_p[j] * B_p[i]. All Newton sums are therefore bilinear
+forms  <A, C, B> = sum_ji A[j] C[j,i] B[i]  over the per-pixel factors
+C = x/mu - 1 and D = x/mu^2 (eq. 13). The kernel computes a handful of
+(S, N) axis vectors per iteration and contracts them against the
+(S, S, N) C/D grids — it never materializes (N, P, S, S) derivative
+stacks. The spot index N sits on the last (lane) axis so the VPU's
+8x128 lanes are fully occupied regardless of the box size; the tiny S
+axes live in sublanes/loop.
+
+Per-spot convergence (|dx|,|dy|(,|dsigma|) < eps, gaussmle.py:632/844)
+freezes finished spots; the while_loop exits when the whole chunk has
+converged. Chunking bounds memory and lets early exits pay off.
 
 CRLB: the reference accumulates the Fisher matrix in float64 and
 inverts with pinv (gaussmle.py:689-742). TPUs are float32-native, so we
-instead diagonally equilibrate the Fisher matrix (unit diagonal) before
-the batched inverse — the entries span ~photons²..1, and equilibration
-removes that dynamic range so a float32 inverse is accurate.
+diagonally equilibrate the Fisher matrix (unit diagonal) before a
+batched inverse — entries span ~photons^2..1 and equilibration removes
+that dynamic range, making the float32 inverse accurate.
 """
 
 from __future__ import annotations
@@ -36,242 +45,254 @@ from picasso_tpu.ops.gaussian import (
     iso_sigma_axis_terms,
 )
 
-_DEFAULT_CHUNK = 16384
+_DEFAULT_CHUNK = 262144
 
 
 # ---------------------------------------------------------------------------
-# Initial parameters (picasso/gaussmle.py:28-168)
+# Initial parameters (picasso/gaussmle.py:28-168); layout (S, S, N)
 # ---------------------------------------------------------------------------
 
 
-def _mean_filter_min(spots: jnp.ndarray) -> jnp.ndarray:
+def _mean_filter_min(spots_t: jnp.ndarray) -> jnp.ndarray:
     """Min over the 3x3-mean-filtered spot — the background initializer
-    (picasso/gaussmle.py:62-91, :136)."""
-    n, s, _ = spots.shape
+    (picasso/gaussmle.py:62-91, :136). spots_t is (S, S, N)."""
+    s = spots_t.shape[0]
     summed = jax.lax.reduce_window(
-        spots,
+        spots_t,
         0.0,
         jax.lax.add,
-        window_dimensions=(1, 3, 3),
+        window_dimensions=(3, 3, 1),
         window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1)),
+        padding=((1, 1), (1, 1), (0, 0)),
     )
     counts = jax.lax.reduce_window(
-        jnp.ones((1, s, s), spots.dtype),
+        jnp.ones((s, s, 1), spots_t.dtype),
         0.0,
         jax.lax.add,
-        window_dimensions=(1, 3, 3),
+        window_dimensions=(3, 3, 1),
         window_strides=(1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1)),
+        padding=((1, 1), (1, 1), (0, 0)),
     )
-    return jnp.min(summed / counts, axis=(1, 2))
+    return jnp.min(summed / counts, axis=(0, 1))
 
 
-def initial_theta_sigmaxy(spots: jnp.ndarray) -> jnp.ndarray:
-    """theta0 = [x, y, photons, bg, sx, sy] per spot
-    (picasso/gaussmle.py:128-168)."""
-    n, s, _ = spots.shape
-    idx = jnp.arange(s, dtype=spots.dtype)
-    total = jnp.sum(spots, axis=(1, 2))
-    y_com = jnp.sum(spots * idx[None, :, None], axis=(1, 2)) / total
-    x_com = jnp.sum(spots * idx[None, None, :], axis=(1, 2)) / total
+def initial_theta_sigmaxy_t(spots_t: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
+    """Per-spot [x, y, photons, bg, sx, sy] from a (S, S, N) batch
+    (picasso/gaussmle.py:128-168). Returns six (N,) arrays."""
+    s = spots_t.shape[0]
+    idx = jnp.arange(s, dtype=spots_t.dtype)
+    total = jnp.sum(spots_t, axis=(0, 1))
+    y_com = jnp.sum(spots_t * idx[:, None, None], axis=(0, 1)) / total
+    x_com = jnp.sum(spots_t * idx[None, :, None], axis=(0, 1)) / total
     degenerate = total <= 0.0
     center = (s - 1) / 2.0
     total = jnp.where(degenerate, 0.01, total)
     y_com = jnp.where(degenerate, center, y_com)
     x_com = jnp.where(degenerate, center, x_com)
 
-    bg = _mean_filter_min(spots)
+    bg = _mean_filter_min(spots_t)
     photons = jnp.maximum(1.0, total - s * s * bg)
 
     # Initial sigmas from second moments of the center row/column of
     # (spot - bg) (picasso/gaussmle.py:95-124).
     half = s // 2
     d2 = (idx - half) ** 2
-    nobg = spots - bg[:, None, None]
-    col = nobg[:, :, half]  # varies along y
-    row = nobg[:, half, :]  # varies along x
-    sy = jnp.sqrt(jnp.sum(col * d2, axis=1) / jnp.sum(col, axis=1))
-    sx = jnp.sqrt(jnp.sum(row * d2, axis=1) / jnp.sum(row, axis=1))
+    col = spots_t[:, half, :] - bg[None, :]  # varies along y: (S, N)
+    row = spots_t[half, :, :] - bg[None, :]  # varies along x: (S, N)
+    sy = jnp.sqrt(jnp.sum(col * d2[:, None], axis=0) / jnp.sum(col, axis=0))
+    sx = jnp.sqrt(jnp.sum(row * d2[:, None], axis=0) / jnp.sum(row, axis=0))
     sy = jnp.where(jnp.isfinite(sy) & (sy != 0), sy, 0.01)
     sx = jnp.where(jnp.isfinite(sx) & (sx != 0), sx, 0.01)
-    return jnp.stack([x_com, y_com, photons, bg, sx, sy], axis=1)
+    return x_com, y_com, photons, bg, sx, sy
+
+
+def initial_theta_sigmaxy(spots: jnp.ndarray) -> jnp.ndarray:
+    """(N, 6) initial parameters from an (N, S, S) batch."""
+    parts = initial_theta_sigmaxy_t(jnp.transpose(spots, (1, 2, 0)))
+    return jnp.stack(parts, axis=1)
 
 
 # ---------------------------------------------------------------------------
-# Per-iteration Newton terms
+# Bilinear-form helpers
 # ---------------------------------------------------------------------------
 
 
-def _pixel_terms_sigmaxy(theta: jnp.ndarray, s: int):
-    """Per-axis separable factors for the 6-parameter model. Returns
-    per-axis arrays of shape (N, S)."""
-    idx = jnp.arange(s, dtype=theta.dtype)
-    dx = idx[None, :] - theta[:, 0:1]  # ii - theta_x
-    dy = idx[None, :] - theta[:, 1:2]  # jj - theta_y
-    sx = theta[:, 4:5]
-    sy = theta[:, 5:6]
-    psf_x = integrated_gaussian(dx, sx)
-    psf_y = integrated_gaussian(dy, sy)
-    dmu_x, d2mu_x = derivative_integrated_gaussian(dx, sx)
-    dmu_y, d2mu_y = derivative_integrated_gaussian(dy, sy)
-    dsig_x, d2sig_x = derivative_integrated_gaussian_sigma(dx, sx)
-    dsig_y, d2sig_y = derivative_integrated_gaussian_sigma(dy, sy)
+def _bilinear(A: jnp.ndarray, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """<A, M, B>[n] = sum_ji A[j,n] M[j,i,n] B[i,n]."""
+    # Contract rows first: (S_i, N), then dot with B.
+    T = jnp.einsum("jn,jin->in", A, M)
+    return jnp.sum(T * B, axis=0)
+
+
+def _axis_factors_sigmaxy(x, y, photons, sx, sy, s: int):
+    """All per-axis (S, N) factors for the 6-parameter model."""
+    idx = jnp.arange(s, dtype=x.dtype)[:, None]
+    dx = idx - x[None, :]
+    dy = idx - y[None, :]
+    psf_x = integrated_gaussian(dx, sx[None, :])
+    psf_y = integrated_gaussian(dy, sy[None, :])
+    dmu_x, d2mu_x = derivative_integrated_gaussian(dx, sx[None, :])
+    dmu_y, d2mu_y = derivative_integrated_gaussian(dy, sy[None, :])
+    dsig_x, d2sig_x = derivative_integrated_gaussian_sigma(dx, sx[None, :])
+    dsig_y, d2sig_y = derivative_integrated_gaussian_sigma(dy, sy[None, :])
     return (
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dsig_x, d2sig_x, dsig_y, d2sig_y,
     )
 
 
-def _newton_step_sigmaxy(
-    theta: jnp.ndarray, spots: jnp.ndarray, max_step: jnp.ndarray
-) -> jnp.ndarray:
+def _cf_df(spots_t, psf_x, psf_y, photons, bg):
+    """C = x/mu - 1 and D = x/mu^2 pixel grids (eq. 13), with the
+    reference's model>1e-2 gate and 1e5 clamps
+    (picasso/gaussmle.py:828-835)."""
+    model = photons[None, None, :] * (
+        psf_y[:, None, :] * psf_x[None, :, :]
+    ) + bg[None, None, :]
+    valid = model > 10e-3
+    cf = jnp.where(valid, spots_t / model - 1.0, 0.0)
+    df = jnp.where(valid, spots_t / model**2, 0.0)
+    return jnp.minimum(cf, 10e4), jnp.minimum(df, 10e4), model
+
+
+def _newton_step_sigmaxy(theta, spots_t, max_step):
     """One Newton update of all 6 parameters for every spot
-    (picasso/gaussmle.py:793-841)."""
-    n, s, _ = spots.shape
+    (picasso/gaussmle.py:793-841). theta is (6, N) [x, y, N, bg, sx,
+    sy]; all sums are bilinear forms over C/D."""
+    s = spots_t.shape[0]
+    x, y, photons, bg, sx, sy = theta
     (
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dsig_x, d2sig_x, dsig_y, d2sig_y,
-    ) = _pixel_terms_sigmaxy(theta, s)
-    photons = theta[:, 2, None, None]
-    bg = theta[:, 3, None, None]
+    ) = _axis_factors_sigmaxy(x, y, photons, sx, sy, s)
+    cf, df, _ = _cf_df(spots_t, psf_x, psf_y, photons, bg)
+    ones = jnp.ones_like(psf_x)
+    ph = photons
+    ph2 = photons * photons
 
-    # Pixel grids: [n, jj (y/row), ii (x/col)]
-    PX = psf_x[:, None, :]
-    PY = psf_y[:, :, None]
-    model = photons * PY * PX + bg
-    data = spots
-
-    valid = model > 10e-3
-    cf = jnp.where(valid, data / model - 1.0, 0.0)
-    df = jnp.where(valid, data / model**2, 0.0)
-    cf = jnp.minimum(cf, 10e4)
-    df = jnp.minimum(df, 10e4)
-
-    # First/second derivatives of the model w.r.t. each parameter.
-    dudt = jnp.stack(
+    # numerators: sum cf * dudt_p  (dudt_p = scale * A x B)
+    num = jnp.stack(
         [
-            photons * PY * dmu_x[:, None, :],
-            photons * PX * dmu_y[:, :, None],
-            jnp.broadcast_to(PY * PX, model.shape),
-            jnp.ones_like(model),
-            photons * PY * dsig_x[:, None, :],
-            photons * PX * dsig_y[:, :, None],
-        ],
-        axis=1,
-    )  # (n, 6, s, s)
-    d2udt2 = jnp.stack(
+            ph * _bilinear(psf_y, cf, dmu_x),
+            ph * _bilinear(dmu_y, cf, psf_x),
+            _bilinear(psf_y, cf, psf_x),
+            jnp.sum(cf, axis=(0, 1)),
+            ph * _bilinear(psf_y, cf, dsig_x),
+            ph * _bilinear(dsig_y, cf, psf_x),
+        ]
+    )
+    # denominators: sum cf * d2udt2_p - df * dudt_p^2
+    den = jnp.stack(
         [
-            photons * PY * d2mu_x[:, None, :],
-            photons * PX * d2mu_y[:, :, None],
-            jnp.zeros_like(model),
-            jnp.zeros_like(model),
-            photons * PY * d2sig_x[:, None, :],
-            photons * PX * d2sig_y[:, :, None],
-        ],
-        axis=1,
+            ph * _bilinear(psf_y, cf, d2mu_x)
+            - ph2 * _bilinear(psf_y**2, df, dmu_x**2),
+            ph * _bilinear(d2mu_y, cf, psf_x)
+            - ph2 * _bilinear(dmu_y**2, df, psf_x**2),
+            -_bilinear(psf_y**2, df, psf_x**2),
+            -jnp.sum(df, axis=(0, 1)),
+            ph * _bilinear(psf_y, cf, d2sig_x)
+            - ph2 * _bilinear(psf_y**2, df, dsig_x**2),
+            ph * _bilinear(d2sig_y, cf, psf_x)
+            - ph2 * _bilinear(dsig_y**2, df, psf_x**2),
+        ]
     )
-
-    numerator = jnp.sum(cf[:, None] * dudt, axis=(2, 3))
-    denominator = jnp.sum(
-        cf[:, None] * d2udt2 - df[:, None] * dudt**2, axis=(2, 3)
-    )
+    _ = ones
 
     update = jnp.where(
-        denominator == 0.0,
-        jnp.sign(numerator) * max_step,
-        jnp.clip(numerator / denominator, -max_step, max_step),
+        den == 0.0,
+        jnp.sign(num) * max_step,
+        jnp.clip(num / den, -max_step, max_step),
     )
     theta = theta - update
     # Constraints (picasso/gaussmle.py:880-884)
-    theta = theta.at[:, 2].set(jnp.maximum(theta[:, 2], 1.0))
-    theta = theta.at[:, 3].set(jnp.maximum(theta[:, 3], 0.01))
-    theta = theta.at[:, 4].set(jnp.maximum(theta[:, 4], 0.01))
-    theta = theta.at[:, 5].set(jnp.maximum(theta[:, 5], 0.01))
+    theta = theta.at[2].set(jnp.maximum(theta[2], 1.0))
+    theta = theta.at[3].set(jnp.maximum(theta[3], 0.01))
+    theta = theta.at[4].set(jnp.maximum(theta[4], 0.01))
+    theta = theta.at[5].set(jnp.maximum(theta[5], 0.01))
     return theta
 
 
-def _newton_step_sigma(
-    theta: jnp.ndarray, spots: jnp.ndarray, max_step: jnp.ndarray
-) -> jnp.ndarray:
-    """One Newton update for the 5-parameter isotropic-sigma model;
-    theta columns are [x, y, photons, bg, sigma]
-    (picasso/gaussmle.py:574-670)."""
-    n, s, _ = spots.shape
-    idx = jnp.arange(s, dtype=theta.dtype)
-    dx = idx[None, :] - theta[:, 0:1]
-    dy = idx[None, :] - theta[:, 1:2]
-    sigma = theta[:, 4:5]
-    psf_x = integrated_gaussian(dx, sigma)
-    psf_y = integrated_gaussian(dy, sigma)
-    dmu_x, d2mu_x = derivative_integrated_gaussian(dx, sigma)
-    dmu_y, d2mu_y = derivative_integrated_gaussian(dy, sigma)
-    dPSFx, d2PSFx = iso_sigma_axis_terms(dx, sigma)
-    dPSFy, d2PSFy = iso_sigma_axis_terms(dy, sigma)
-
-    photons = theta[:, 2, None, None]
-    bg = theta[:, 3, None, None]
-    PX = psf_x[:, None, :]
-    PY = psf_y[:, :, None]
-    DX = dPSFx[:, None, :]
-    DY = dPSFy[:, :, None]
-    model = photons * PY * PX + bg
-    data = spots
-
-    valid = model > 10e-3
-    cf = jnp.where(valid, data / model - 1.0, 0.0)
-    df = jnp.where(valid, data / model**2, 0.0)
-    cf = jnp.minimum(cf, 10e4)
-    df = jnp.minimum(df, 10e4)
-
-    dudt_sigma = photons * (PY * DX + PX * DY)
-    # NOTE: the photons factor multiplies only the first term below —
-    # this matches the reference expression exactly
-    # (picasso/gaussmle.py:380-382).
-    d2udt2_sigma = (
-        photons * PY * d2PSFx[:, None, :]
-        + 2 * DX * DY
-        + PX * d2PSFy[:, :, None]
+def _axis_factors_sigma(x, y, sigma, s: int):
+    idx = jnp.arange(s, dtype=x.dtype)[:, None]
+    dx = idx - x[None, :]
+    dy = idx - y[None, :]
+    sg = sigma[None, :]
+    psf_x = integrated_gaussian(dx, sg)
+    psf_y = integrated_gaussian(dy, sg)
+    dmu_x, d2mu_x = derivative_integrated_gaussian(dx, sg)
+    dmu_y, d2mu_y = derivative_integrated_gaussian(dy, sg)
+    dPSFx, d2PSFx = iso_sigma_axis_terms(dx, sg)
+    dPSFy, d2PSFy = iso_sigma_axis_terms(dy, sg)
+    return (
+        psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
+        dPSFx, d2PSFx, dPSFy, d2PSFy,
     )
 
-    dudt = jnp.stack(
+
+def _newton_step_sigma(theta, spots_t, max_step):
+    """One Newton update for the 5-parameter isotropic-sigma model
+    (picasso/gaussmle.py:574-670); theta is (5, N)
+    [x, y, photons, bg, sigma]."""
+    s = spots_t.shape[0]
+    x, y, photons, bg, sigma = theta
+    (
+        psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
+        dPSFx, d2PSFx, dPSFy, d2PSFy,
+    ) = _axis_factors_sigma(x, y, sigma, s)
+    cf, df, _ = _cf_df(spots_t, psf_x, psf_y, photons, bg)
+    ph = photons
+    ph2 = photons * photons
+
+    # dudt_sigma = ph * (PSFy x dPSFx + dPSFy x PSFx): two separable
+    # terms; its square expands to three.
+    num_sigma = ph * (
+        _bilinear(psf_y, cf, dPSFx) + _bilinear(dPSFy, cf, psf_x)
+    )
+    # d2udt2_sigma per the reference expression (photons multiplies only
+    # the first term — picasso/gaussmle.py:380-382):
+    den_sigma_cf = (
+        ph * _bilinear(psf_y, cf, d2PSFx)
+        + 2 * _bilinear(dPSFy, cf, dPSFx)
+        + _bilinear(d2PSFy, cf, psf_x)
+    )
+    den_sigma_df = ph2 * (
+        _bilinear(psf_y**2, df, dPSFx**2)
+        + 2 * _bilinear(psf_y * dPSFy, df, dPSFx * psf_x)
+        + _bilinear(dPSFy**2, df, psf_x**2)
+    )
+
+    num = jnp.stack(
         [
-            photons * PY * dmu_x[:, None, :],
-            photons * PX * dmu_y[:, :, None],
-            jnp.broadcast_to(PY * PX, model.shape),
-            jnp.ones_like(model),
-            dudt_sigma,
-        ],
-        axis=1,
+            ph * _bilinear(psf_y, cf, dmu_x),
+            ph * _bilinear(dmu_y, cf, psf_x),
+            _bilinear(psf_y, cf, psf_x),
+            jnp.sum(cf, axis=(0, 1)),
+            num_sigma,
+        ]
     )
-    d2udt2 = jnp.stack(
+    den = jnp.stack(
         [
-            photons * PY * d2mu_x[:, None, :],
-            photons * PX * d2mu_y[:, :, None],
-            jnp.zeros_like(model),
-            jnp.zeros_like(model),
-            d2udt2_sigma,
-        ],
-        axis=1,
-    )
-
-    numerator = jnp.sum(cf[:, None] * dudt, axis=(2, 3))
-    denominator = jnp.sum(
-        cf[:, None] * d2udt2 - df[:, None] * dudt**2, axis=(2, 3)
+            ph * _bilinear(psf_y, cf, d2mu_x)
+            - ph2 * _bilinear(psf_y**2, df, dmu_x**2),
+            ph * _bilinear(d2mu_y, cf, psf_x)
+            - ph2 * _bilinear(dmu_y**2, df, psf_x**2),
+            -_bilinear(psf_y**2, df, psf_x**2),
+            -jnp.sum(df, axis=(0, 1)),
+            den_sigma_cf - den_sigma_df,
+        ]
     )
 
     # The reference's sigma-method zero-denominator branch subtracts
-    # sign(numerator * max_step), i.e. ±1 (picasso/gaussmle.py:657-664).
+    # sign(numerator * max_step), i.e. +-1 (picasso/gaussmle.py:657-664).
     update = jnp.where(
-        denominator == 0.0,
-        jnp.sign(numerator * max_step),
-        jnp.clip(numerator / denominator, -max_step, max_step),
+        den == 0.0,
+        jnp.sign(num * max_step),
+        jnp.clip(num / den, -max_step, max_step),
     )
     theta = theta - update
-    theta = theta.at[:, 2].set(jnp.maximum(theta[:, 2], 1.0))
-    theta = theta.at[:, 3].set(jnp.maximum(theta[:, 3], 0.01))
-    theta = theta.at[:, 4].set(
-        jnp.clip(theta[:, 4], 0.01, jnp.asarray(s, theta.dtype))
+    theta = theta.at[2].set(jnp.maximum(theta[2], 1.0))
+    theta = theta.at[3].set(jnp.maximum(theta[3], 0.01))
+    theta = theta.at[4].set(
+        jnp.clip(theta[4], 0.01, jnp.asarray(s, theta.dtype))
     )
     return theta
 
@@ -281,79 +302,82 @@ def _newton_step_sigma(
 # ---------------------------------------------------------------------------
 
 
-def _first_derivatives_sigmaxy(theta: jnp.ndarray, s: int) -> tuple:
+def _fisher_terms_sigmaxy(theta, s):
+    """Per-parameter first-derivative factor lists [(scale, A, B)] for
+    the Fisher matrix; dudt_p = scale * A x B."""
+    x, y, photons, bg, sx, sy = theta
     (
         psf_x, psf_y, dmu_x, _, dmu_y, _,
         dsig_x, _, dsig_y, _,
-    ) = _pixel_terms_sigmaxy(theta, s)
-    photons = theta[:, 2, None, None]
-    bg = theta[:, 3, None, None]
-    PX = psf_x[:, None, :]
-    PY = psf_y[:, :, None]
-    model = photons * PY * PX + bg
-    dudt = jnp.stack(
-        [
-            photons * PY * dmu_x[:, None, :],
-            photons * PX * dmu_y[:, :, None],
-            jnp.broadcast_to(PY * PX, model.shape),
-            jnp.ones_like(model),
-            photons * PY * dsig_x[:, None, :],
-            photons * PX * dsig_y[:, :, None],
-        ],
-        axis=1,
-    )
-    return model, dudt
+    ) = _axis_factors_sigmaxy(x, y, photons, sx, sy, s)
+    ones = jnp.ones_like(psf_x)
+    ph = photons
+    one = jnp.ones_like(ph)
+    terms = [
+        [(ph, psf_y, dmu_x)],
+        [(ph, dmu_y, psf_x)],
+        [(one, psf_y, psf_x)],
+        [(one, ones, ones)],
+        [(ph, psf_y, dsig_x)],
+        [(ph, dsig_y, psf_x)],
+    ]
+    model = ph[None, None, :] * (
+        psf_y[:, None, :] * psf_x[None, :, :]
+    ) + bg[None, None, :]
+    return terms, model
 
 
-def _first_derivatives_sigma(theta: jnp.ndarray, s: int) -> tuple:
-    idx = jnp.arange(s, dtype=theta.dtype)
-    dx = idx[None, :] - theta[:, 0:1]
-    dy = idx[None, :] - theta[:, 1:2]
-    sigma = theta[:, 4:5]
-    psf_x = integrated_gaussian(dx, sigma)
-    psf_y = integrated_gaussian(dy, sigma)
-    dmu_x, _ = derivative_integrated_gaussian(dx, sigma)
-    dmu_y, _ = derivative_integrated_gaussian(dy, sigma)
-    dPSFx, _ = iso_sigma_axis_terms(dx, sigma)
-    dPSFy, _ = iso_sigma_axis_terms(dy, sigma)
-    photons = theta[:, 2, None, None]
-    bg = theta[:, 3, None, None]
-    PX = psf_x[:, None, :]
-    PY = psf_y[:, :, None]
-    model = photons * PY * PX + bg
-    dudt = jnp.stack(
-        [
-            photons * PY * dmu_x[:, None, :],
-            photons * PX * dmu_y[:, :, None],
-            jnp.broadcast_to(PY * PX, model.shape),
-            jnp.ones_like(model),
-            photons * (PY * dPSFx[:, None, :] + PX * dPSFy[:, :, None]),
-        ],
-        axis=1,
-    )
-    return model, dudt
+def _fisher_terms_sigma(theta, s):
+    x, y, photons, bg, sigma = theta
+    (
+        psf_x, psf_y, dmu_x, _, dmu_y, _,
+        dPSFx, _, dPSFy, _,
+    ) = _axis_factors_sigma(x, y, sigma, s)
+    ones = jnp.ones_like(psf_x)
+    ph = photons
+    one = jnp.ones_like(ph)
+    terms = [
+        [(ph, psf_y, dmu_x)],
+        [(ph, dmu_y, psf_x)],
+        [(one, psf_y, psf_x)],
+        [(one, ones, ones)],
+        [(ph, psf_y, dPSFx), (ph, dPSFy, psf_x)],
+    ]
+    model = ph[None, None, :] * (
+        psf_y[:, None, :] * psf_x[None, :, :]
+    ) + bg[None, None, :]
+    return terms, model
 
 
-def _crlb_and_likelihood(
-    model: jnp.ndarray, dudt: jnp.ndarray, spots: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _crlb_and_likelihood(terms, model, spots_t):
     """Fisher-matrix CRLBs + Poisson log-likelihood with Stirling
-    approximation (picasso/gaussmle.py:684-742/898-954). Equilibrated
-    float32 inverse instead of float64 pinv — see module docstring."""
-    # Fisher matrix M[p, q] = sum_k dudt_p dudt_q / model
-    w = 1.0 / model  # model >= bg >= 0.01 after constraints
-    M = jnp.einsum("npij,nqij,nij->npq", dudt, dudt, w)
-    diag = jnp.diagonal(M, axis1=1, axis2=2)
-    d_inv = jnp.where(diag > 0, 1.0 / jnp.sqrt(diag), 1.0)
-    M_eq = M * d_inv[:, :, None] * d_inv[:, None, :]
-    M_inv = jnp.linalg.inv(M_eq)
-    crlb = jnp.diagonal(M_inv, axis1=1, axis2=2) * d_inv**2
+    approximation (picasso/gaussmle.py:684-742/898-954). Each Fisher
+    entry is a sum of bilinear forms over W = 1/model; the float32
+    inverse runs on the diagonally equilibrated matrix."""
+    from picasso_tpu.ops.linalg import spd_inv_diag
 
-    data = spots
+    P = len(terms)
+    W = 1.0 / model  # model >= bg >= 0.01 after constraints
+    n = model.shape[-1]
+    M = jnp.zeros((P, P, n), model.dtype)
+    for p in range(P):
+        for q in range(p, P):
+            acc = jnp.zeros(n, model.dtype)
+            for (sp, Ap, Bp) in terms[p]:
+                for (sq, Aq, Bq) in terms[q]:
+                    acc = acc + sp * sq * _bilinear(Ap * Aq, W, Bp * Bq)
+            M = M.at[p, q].set(acc)
+            M = M.at[q, p].set(acc)
+    diag = jnp.stack([M[p, p] for p in range(P)])  # (P, N)
+    d_inv = jnp.where(diag > 0, 1.0 / jnp.sqrt(diag), 1.0)
+    M_eq = M * d_inv[:, None, :] * d_inv[None, :, :]
+    crlb = (spd_inv_diag(M_eq) * d_inv**2).T  # (N, P)
+
+    data = spots_t
     ll_pos = data * jnp.log(model) - model - data * jnp.log(data) + data
     ll = jnp.where(data > 0, ll_pos, -model)
     ll = jnp.where(model > 0, ll, 0.0)
-    log_likelihood = jnp.sum(ll, axis=(1, 2))
+    log_likelihood = jnp.sum(ll, axis=(0, 1))
     return crlb, log_likelihood
 
 
@@ -369,52 +393,29 @@ def _fit_chunk(
     max_it: int,
     method: str = "sigmaxy",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fit one padded chunk of spots. Returns (thetas (N, 6),
-    CRLBs (N, 6), log_likelihoods (N,), iterations (N,))."""
+    """Fit one padded chunk of (N, S, S) spots. Returns
+    (thetas (N, 6), CRLBs (N, 6), log_likelihoods (N,),
+    iterations (N,))."""
     n, s, _ = spots.shape
-    spots = spots.astype(jnp.float32)
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
     eps = jnp.asarray(eps, jnp.float32)
 
-    theta0_xy = initial_theta_sigmaxy(spots)
+    x0, y0, ph0, bg0, sx0, sy0 = initial_theta_sigmaxy_t(spots_t)
     if method == "sigmaxy":
-        n_params = 6
-        theta0 = theta0_xy
+        theta0 = jnp.stack([x0, y0, ph0, bg0, sx0, sy0])  # (6, N)
         step_fn = _newton_step_sigmaxy
-        # max_step (picasso/gaussmle.py:770-773): [sx, sx, 0.1 N,
-        # 0.1 bg, 0.2 sx, 0.2 sy]
+        # max_step (picasso/gaussmle.py:770-773)
         max_step = jnp.stack(
-            [
-                theta0[:, 4],
-                theta0[:, 4],
-                0.1 * theta0[:, 2],
-                0.1 * theta0[:, 3],
-                0.2 * theta0[:, 4],
-                0.2 * theta0[:, 5],
-            ],
-            axis=1,
+            [sx0, sx0, 0.1 * ph0, 0.1 * bg0, 0.2 * sx0, 0.2 * sy0]
         )
-        conv_cols = jnp.array([0, 1, 4, 5])
+        conv_rows = jnp.array([0, 1, 4, 5])
     elif method == "sigma":
-        n_params = 5
-        theta0 = jnp.concatenate(
-            [
-                theta0_xy[:, :4],
-                ((theta0_xy[:, 4] + theta0_xy[:, 5]) / 2)[:, None],
-            ],
-            axis=1,
-        )
+        theta0 = jnp.stack([x0, y0, ph0, bg0, (sx0 + sy0) / 2])
         step_fn = _newton_step_sigma
         max_step = jnp.stack(
-            [
-                theta0[:, 4],
-                theta0[:, 4],
-                0.1 * theta0[:, 2],
-                0.1 * theta0[:, 3],
-                0.2 * theta0[:, 4],
-            ],
-            axis=1,
+            [theta0[4], theta0[4], 0.1 * ph0, 0.1 * bg0, 0.2 * theta0[4]]
         )
-        conv_cols = jnp.array([0, 1])
+        conv_rows = jnp.array([0, 1])
     else:
         raise ValueError("Method not available.")
 
@@ -425,35 +426,39 @@ def _fit_chunk(
     def body(state):
         theta, old, done, iters, kk = state
         kk = kk + 1
-        new_theta = step_fn(theta, spots, max_step)
-        theta = jnp.where(done[:, None], theta, new_theta)
+        new_theta = step_fn(theta, spots_t, max_step)
+        theta = jnp.where(done[None, :], theta, new_theta)
         iters = jnp.where(done, iters, kk)
         conv = jnp.all(
-            jnp.abs(old[:, conv_cols] - theta[:, conv_cols]) < eps, axis=1
+            jnp.abs(old[conv_rows] - theta[conv_rows]) < eps, axis=0
         )
         done = done | conv
-        old = jnp.where(done[:, None], old, theta)
+        old = jnp.where(done[None, :], old, theta)
         return theta, old, done, iters, kk
 
+    # Derive the zero-initialized loop state from the data so the carry
+    # has consistent device-varying types under shard_map (per-device
+    # convergence loops in the multi-chip path).
+    data_zero = (theta0[0, 0] * 0).astype(jnp.int32)
     state = (
         theta0,
         theta0,
-        jnp.zeros(n, dtype=bool),
-        jnp.zeros(n, dtype=jnp.int32),
-        jnp.asarray(0, jnp.int32),
+        jnp.zeros(n, dtype=bool) ^ (data_zero > 0),
+        jnp.zeros(n, dtype=jnp.int32) + data_zero,
+        data_zero,
     )
     theta, _, _, iters, _ = jax.lax.while_loop(cond, body, state)
 
     if method == "sigmaxy":
-        model, dudt = _first_derivatives_sigmaxy(theta, s)
-        crlb, ll = _crlb_and_likelihood(model, dudt, spots)
-        thetas6 = theta
+        terms, model = _fisher_terms_sigmaxy(theta, s)
+        crlb, ll = _crlb_and_likelihood(terms, model, spots_t)
+        thetas6 = theta.T
         crlb6 = crlb
     else:
-        model, dudt = _first_derivatives_sigma(theta, s)
-        crlb, ll = _crlb_and_likelihood(model, dudt, spots)
+        terms, model = _fisher_terms_sigma(theta, s)
+        crlb, ll = _crlb_and_likelihood(terms, model, spots_t)
         # Mirror sigma into both sx/sy slots (gaussmle.py:641-642/741-742)
-        thetas6 = jnp.concatenate([theta, theta[:, 4:5]], axis=1)
+        thetas6 = jnp.concatenate([theta, theta[4:5]]).T
         crlb6 = jnp.concatenate([crlb, crlb[:, 4:5]], axis=1)
     return thetas6, crlb6, ll, iters
 
@@ -467,8 +472,8 @@ def gaussmle_batched(
     progress_callback=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fit all spots in device-sized chunks. Chunking bounds device
-    memory, lets early whole-chunk convergence pay off, and overlaps
-    host staging with device compute (dispatch is async)."""
+    memory, lets whole-chunk convergence pay off, and overlaps host
+    staging with device compute (dispatch is async)."""
     n = len(spots)
     if n == 0:
         return (
@@ -483,7 +488,7 @@ def gaussmle_batched(
     for start in range(0, n, chunk):
         part = spots[start:start + chunk]
         n_part = len(part)
-        pad = -n_part % 8
+        pad = -n_part % 128
         if pad:
             part = np.concatenate(
                 [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0

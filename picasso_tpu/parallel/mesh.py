@@ -1,0 +1,186 @@
+"""Device-mesh execution of the localization pipeline.
+
+Design: localization workloads are embarrassingly parallel over spots
+and frames, so the natural mesh is a 1D ``("spots",)`` data axis; the
+MLE/LQ kernels need no collectives at all (XLA partitions the batch),
+while rendering reduces per-device partial histograms with a psum over
+ICI. This replaces the reference's single-host thread/process pools
+(picasso/localize.py:482-558, gaussmle.py:478-530) as the scaling
+mechanism.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from picasso_tpu.ops import mle as _mle
+
+
+def default_mesh(devices=None) -> Mesh:
+    """1D mesh over all available devices, axis name 'spots'."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), axis_names=("spots",))
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def fit_mle_sharded(
+    spots: np.ndarray,
+    eps: float = 0.001,
+    max_it: int = 100,
+    method: str = "sigmaxy",
+    mesh: Mesh | None = None,
+):
+    """Run the batched MLE fit with the spot batch sharded over the
+    mesh. Per-spot independence means XLA partitions the whole program
+    with zero communication; each chip fits its shard.
+
+    Returns (thetas, CRLBs, log_likelihoods, iterations) gathered to
+    host, truncated to the input length.
+    """
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    n = len(spots)
+    spots = np.asarray(spots, np.float32)
+    padded_n = _pad_to(max(n, 1), 8 * n_dev)
+    if padded_n != n:
+        spots = np.concatenate(
+            [spots, np.ones((padded_n - n, *spots.shape[1:]), np.float32)]
+        )
+    sharding = NamedSharding(mesh, P("spots", None, None))
+    spots_dev = jax.device_put(spots, sharding)
+    fitted = jax.jit(
+        functools.partial(
+            _mle._fit_chunk, eps=eps, max_it=max_it, method=method
+        ),
+        in_shardings=(sharding,),
+        out_shardings=NamedSharding(mesh, P("spots")),
+    )(spots_dev)
+    theta, crlb, ll, iters = (np.asarray(x)[:n] for x in fitted)
+    return theta, crlb, ll, iters
+
+
+def render_hist_sharded(
+    x: np.ndarray,
+    y: np.ndarray,
+    shape: tuple[int, int],
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """2D histogram of localization coordinates with the loc batch
+    sharded over the mesh; per-device partial images are psum-reduced
+    over ICI (shard_map + psum)."""
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    n = len(x)
+    padded_n = _pad_to(max(n, 1), n_dev)
+    pad = padded_n - n
+    # Pad with out-of-range coords so they drop out of the histogram.
+    x = np.concatenate([np.asarray(x, np.float32), np.full(pad, -1e9, np.float32)])
+    y = np.concatenate([np.asarray(y, np.float32), np.full(pad, -1e9, np.float32)])
+
+    H, W = shape
+
+    def partial_hist(xs, ys):
+        xi = jnp.floor(xs).astype(jnp.int32)
+        yi = jnp.floor(ys).astype(jnp.int32)
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        flat = jnp.where(ok, yi * W + xi, H * W)  # overflow bucket
+        img = jnp.zeros(H * W + 1, jnp.float32).at[flat].add(1.0)
+        img = jax.lax.psum(img[: H * W], axis_name="spots")
+        return img.reshape(H, W)
+
+    sharding = NamedSharding(mesh, P("spots"))
+    fn = jax.jit(
+        jax.shard_map(
+            partial_hist,
+            mesh=mesh,
+            in_specs=(P("spots"), P("spots")),
+            out_specs=P(),
+        )
+    )
+    return np.asarray(fn(jax.device_put(x, sharding),
+                         jax.device_put(y, sharding)))
+
+
+def sharded_pipeline_step(
+    frames: np.ndarray,
+    box: int,
+    eps: float = 0.001,
+    max_it: int = 20,
+    mesh: Mesh | None = None,
+):
+    """One full sharded pipeline step (the 'training step' analogue for
+    this framework): frames are sharded over the mesh, each device
+    computes identification maps and fits a fixed-size spot batch cut
+    from its shard, and a rendered histogram is psum-reduced across
+    the mesh. Exercises data-parallel sharding + an ICI collective in
+    one jitted program; used by __graft_entry__.dryrun_multichip."""
+    from picasso_tpu.ops.identify import identify_maps
+
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    B, Y, X = frames.shape
+    assert B % n_dev == 0, "frame batch must divide the mesh"
+    spots_per_frame = 4  # fixed-size top-k per frame keeps shapes static
+
+    def step(local_frames):
+        maxima, ng = identify_maps(local_frames, box)
+        score = jnp.where(maxima, ng, -jnp.inf)
+        nb, ny, nx = score.shape
+        flat = score.reshape(nb, ny * nx)
+        _, top_idx = jax.lax.top_k(flat, spots_per_frame)
+        yy = top_idx // nx
+        xx = top_idx % nx
+        half = box // 2
+        yy = jnp.clip(yy, half, ny - half - 1)
+        xx = jnp.clip(xx, half, nx - half - 1)
+
+        def cut(frame, ys, xs):
+            def one(y0, x0):
+                return jax.lax.dynamic_slice(
+                    frame, (y0 - half, x0 - half), (box, box)
+                )
+            return jax.vmap(one)(ys, xs)
+
+        spots = jax.vmap(cut)(local_frames, yy, xx)
+        spots = spots.reshape(-1, box, box)
+        theta, crlb, ll, iters = _mle._fit_chunk(
+            spots, eps, max_it, method="sigmaxy"
+        )
+        # Cross-chip reduction: a coarse rendered histogram of the
+        # fitted positions, summed over the mesh via ICI.
+        xi = jnp.clip(
+            jnp.floor(theta[:, 0]).astype(jnp.int32), 0, box - 1
+        )
+        yi = jnp.clip(
+            jnp.floor(theta[:, 1]).astype(jnp.int32), 0, box - 1
+        )
+        img = jnp.zeros(box * box, jnp.float32).at[yi * box + xi].add(1.0)
+        img = jax.lax.psum(img, axis_name="spots")
+        return theta, img.reshape(box, box)
+
+    sharding = NamedSharding(mesh, P("spots", None, None))
+    fn = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P("spots", None, None),),
+            out_specs=(P("spots"), P()),
+        )
+    )
+    frames_dev = jax.device_put(
+        np.asarray(frames, np.float32), sharding
+    )
+    theta, img = fn(frames_dev)
+    return np.asarray(theta), np.asarray(img)

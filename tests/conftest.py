@@ -30,6 +30,9 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# The environment's TPU plugin re-registers itself ahead of the env
+# var; force the CPU mesh explicitly so tests run on 8 virtual devices.
+jax.config.update("jax_platforms", "cpu")
 
 _LOCAL_DATA = os.path.join(os.path.dirname(__file__), "data")
 _REFERENCE_DATA = "/root/reference/tests/data"
