@@ -14,5 +14,36 @@ downstream tooling keeps working.
 
 __version__ = "0.1.0"
 
+
+def _configure_jax_defaults():
+    """Framework defaults for JAX: a persistent XLA compilation cache
+    (first compiles of the fit kernels take tens of seconds; cached
+    compiles are instant across processes). Applied once on import;
+    user-set configuration wins."""
+    import os
+
+    try:
+        import jax
+    except Exception:  # pragma: no cover - jax always present on TPU
+        return
+    if (
+        jax.config.jax_compilation_cache_dir is None
+        and "JAX_COMPILATION_CACHE_DIR" not in os.environ
+    ):
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".picasso_tpu", "jax_cache"
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            pass
+
+
+_configure_jax_defaults()
+
 # Keep lightweight at import: submodules are imported lazily by users
 # (e.g. `from picasso_tpu import io, localize`).

@@ -471,18 +471,17 @@ def localize_3D(
         with open(calibration_3d) as f:
             calibration_3d = yaml.full_load(f)
     pixelsize = camera_info.get("Pixelsize", 130)
-    locs = zfit.zfit(
+    zfit_method = (
+        "gaussmle" if fitting_method == "gaussmle" else "gausslq"
+    )
+    locs, info = zfit.zfit(
         locs,
-        calibration_3d,
+        info,
+        calibration=calibration_3d,
         pixelsize=pixelsize,
+        fitting_method=zfit_method,
         progress_callback=fit_z_progress_callback,
     )
-    info = info + [
-        {
-            "Generated by": f"Picasso: v{__version__} Fit Z",
-            "Calibration": calibration_3d,
-        }
-    ]
     return locs, info
 
 

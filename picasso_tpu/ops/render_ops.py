@@ -1,0 +1,174 @@
+"""Device rendering primitives: histogram scatter-add and per-loc
+Gaussian splatting.
+
+TPU-native replacement for the reference's per-loc numba fill loops
+(picasso/render.py:_fill :452, _fill3d :471, _draw_gaussian_loc :495,
+_fill_gaussian :544). Localizations are binned with one scatter-add
+over flattened pixel indices; Gaussian blur splats fixed-size
+(sigma-bucketed) windows per localization so shapes stay static under
+jit — the reference's data-dependent ±3σ windows become masked
+fixed windows.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Max sigma (in display px) from the mean to render, matching the
+# reference's window (picasso/render.py:32).
+DRAW_MAX_SIGMA = 3.0
+
+# Below this many locs the device dispatch overhead dominates; use the
+# host path.
+_DEVICE_MIN_LOCS = 50_000
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx"))
+def _hist2d_device(x, y, ny: int, nx: int):
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    ok = (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+    flat = jnp.where(ok, yi * nx + xi, ny * nx)
+    img = jnp.zeros(ny * nx + 1, jnp.float32).at[flat].add(1.0)
+    return img[: ny * nx].reshape(ny, nx)
+
+
+def hist2d(x: np.ndarray, y: np.ndarray, ny: int, nx: int) -> np.ndarray:
+    """Histogram of pre-scaled display coordinates into (ny, nx)."""
+    if len(x) < _DEVICE_MIN_LOCS:
+        img = np.zeros((ny, nx), np.float32)
+        xi = x.astype(np.int32)
+        yi = y.astype(np.int32)
+        ok = (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+        np.add.at(img, (yi[ok], xi[ok]), 1.0)
+        return img
+    return np.asarray(
+        _hist2d_device(jnp.asarray(x), jnp.asarray(y), ny, nx)
+    )
+
+
+def hist3d(x, y, z, ny: int, nx: int, nz: int) -> np.ndarray:
+    """3D histogram; z may be negative and is shifted like the
+    reference (picasso/render.py:471-494)."""
+    img = np.zeros((ny, nx, nz), np.float32)
+    xi = x.astype(np.int32)
+    yi = y.astype(np.int32)
+    zi = z.astype(np.int32)
+    zi = zi + zi.min() if len(zi) else zi
+    ok = (
+        (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+        & (zi >= 0) & (zi < nz)
+    )
+    np.add.at(img, (yi[ok], xi[ok], zi[ok]), 1.0)
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("W", "ny", "nx"))
+def _splat_bucket_device(x, y, sx, sy, W: int, ny: int, nx: int):
+    """Splat one sigma-bucket of locs with a fixed (W, W) window.
+
+    Window semantics match _draw_gaussian_loc (picasso/render.py:495):
+    rows [int(y - 3sy), int(y + 3sy + 1)) clamped to the image, pixel
+    centers at +0.5, weight gy*gx with norm 1/(2 pi sx sy)."""
+    n = x.shape[0]
+    # Cap the ±3σ offset to what the fixed window can hold (only the
+    # largest bucket can truncate, and symmetrically).
+    off_y = jnp.minimum(DRAW_MAX_SIGMA * sy, (W - 2) / 2.0)
+    off_x = jnp.minimum(DRAW_MAX_SIGMA * sx, (W - 2) / 2.0)
+    i_min = jnp.maximum(jnp.floor(y - off_y), 0.0).astype(jnp.int32)
+    i_max = jnp.minimum((y + off_y + 1).astype(jnp.int32), ny)
+    j_min = jnp.maximum(jnp.floor(x - off_x), 0.0).astype(jnp.int32)
+    j_max = jnp.minimum((x + off_x).astype(jnp.int32) + 1, nx)
+    k = jnp.arange(W)
+    rows = i_min[:, None] + k[None, :]  # (n, W)
+    cols = j_min[:, None] + k[None, :]
+    dy = rows.astype(jnp.float32) + 0.5 - y[:, None]
+    dx = cols.astype(jnp.float32) + 0.5 - x[:, None]
+    norm = 1.0 / (2.0 * jnp.pi * sx * sy)
+    gy = norm[:, None] * jnp.exp(
+        -dy * dy / (2.0 * sy[:, None] ** 2)
+    )
+    gx = jnp.exp(-dx * dx / (2.0 * sx[:, None] ** 2))
+    row_ok = rows < i_max[:, None]
+    col_ok = cols < j_max[:, None]
+    gy = jnp.where(row_ok, gy, 0.0)
+    gx = jnp.where(col_ok, gx, 0.0)
+    vals = gy[:, :, None] * gx[:, None, :]  # (n, W, W)
+    flat = rows[:, :, None] * nx + cols[:, None, :]
+    ok = row_ok[:, :, None] & col_ok[:, None, :]
+    flat = jnp.where(ok, flat, ny * nx)
+    img = (
+        jnp.zeros(ny * nx + 1, jnp.float32)
+        .at[flat.reshape(-1)]
+        .add(vals.reshape(-1))
+    )
+    return img[: ny * nx].reshape(ny, nx)
+
+
+def _splat_bucket_host(x, y, sx, sy, ny, nx):
+    img = np.zeros((ny, nx), np.float32)
+    for xi, yi, sxi, syi in zip(x, y, sx, sy):
+        i_min = max(int(yi - DRAW_MAX_SIGMA * syi), 0)
+        i_max = min(int(yi + DRAW_MAX_SIGMA * syi + 1), ny)
+        j_min = max(int(xi - DRAW_MAX_SIGMA * sxi), 0)
+        j_max = min(int(xi + DRAW_MAX_SIGMA * sxi) + 1, nx)
+        if i_max <= i_min or j_max <= j_min:
+            continue
+        ii = np.arange(i_min, i_max)
+        jj = np.arange(j_min, j_max)
+        norm = 1.0 / (2.0 * np.pi * sxi * syi)
+        gy = norm * np.exp(-((ii + 0.5 - yi) ** 2) / (2 * syi**2))
+        gx = np.exp(-((jj + 0.5 - xi) ** 2) / (2 * sxi**2))
+        img[i_min:i_max, j_min:j_max] += np.outer(gy, gx)
+    return img
+
+
+def gaussian_splat(
+    x: np.ndarray,
+    y: np.ndarray,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    ny: int,
+    nx: int,
+) -> np.ndarray:
+    """Render each loc as a separable 2D Gaussian with per-loc sigmas.
+    Locs are bucketed by max sigma into fixed window sizes so the
+    device kernels have static shapes."""
+    n = len(x)
+    if n == 0:
+        return np.zeros((ny, nx), np.float32)
+    if n < _DEVICE_MIN_LOCS:
+        return _splat_bucket_host(x, y, sx, sy, ny, nx)
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    sx = np.asarray(sx, np.float32)
+    sy = np.asarray(sy, np.float32)
+    smax = np.maximum(sx, sy)
+    # window must cover 2*3*sigma + 2 pixels
+    need = 2 * DRAW_MAX_SIGMA * smax + 2
+    img = np.zeros((ny, nx), np.float32)
+    buckets = [8, 16, 32, 64, 128]
+    assigned = np.zeros(n, bool)
+    for W in buckets:
+        sel = ~assigned & (need <= W)
+        if W == buckets[-1]:
+            sel = ~assigned
+        assigned |= sel
+        if not sel.any():
+            continue
+        img += np.asarray(
+            _splat_bucket_device(
+                jnp.asarray(x[sel]),
+                jnp.asarray(y[sel]),
+                jnp.asarray(sx[sel]),
+                jnp.asarray(sy[sel]),
+                W,
+                ny,
+                nx,
+            )
+        )
+    return img

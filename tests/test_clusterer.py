@@ -1,0 +1,179 @@
+"""Clustering: SMLM clusterer recovery, frame analysis, DBSCAN/HDBSCAN,
+cluster centers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import clusterer
+
+INFO = [{"Frames": 1000, "Height": 64, "Width": 64, "Pixelsize": 130}]
+
+
+def _clustered_locs(seed=0, n_clusters=5, n_per=50, sigma=0.05,
+                    n_noise=40):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(5, 59, (n_clusters, 2))
+    pts = []
+    true = []
+    for i, c in enumerate(centers):
+        pts.append(rng.normal(c, sigma, (n_per, 2)))
+        true.extend([i] * n_per)
+    pts.append(rng.uniform(0, 64, (n_noise, 2)))
+    true.extend([-1] * n_noise)
+    pts = np.vstack(pts)
+    n = len(pts)
+    locs = pd.DataFrame(
+        {
+            "frame": rng.integers(0, 1000, n).astype(np.uint32),
+            "x": pts[:, 0].astype(np.float32),
+            "y": pts[:, 1].astype(np.float32),
+            "photons": rng.uniform(500, 2000, n).astype(np.float32),
+            "sx": np.full(n, 1.1, np.float32),
+            "sy": np.full(n, 1.0, np.float32),
+            "bg": np.full(n, 10.0, np.float32),
+            "lpx": np.full(n, 0.03, np.float32),
+            "lpy": np.full(n, 0.03, np.float32),
+            "net_gradient": np.full(n, 1e4, np.float32),
+        }
+    )
+    return locs, centers
+
+
+class TestSMLMClusterer:
+    def test_recovers_clusters(self):
+        locs, centers = _clustered_locs()
+        out = clusterer.cluster(
+            locs, radius_xy=0.3, min_locs=10, frame_analysis=False
+        )
+        assert len(np.unique(out["group"])) == len(centers)
+        # each recovered cluster center near a true center
+        for g in np.unique(out["group"]):
+            sub = out[out["group"] == g]
+            cx, cy = sub["x"].mean(), sub["y"].mean()
+            d = np.min(np.hypot(
+                centers[:, 0] - cx, centers[:, 1] - cy
+            ))
+            assert d < 0.1
+
+    def test_min_locs_filter(self):
+        locs, _ = _clustered_locs(n_per=5)
+        out = clusterer.cluster(
+            locs, radius_xy=0.3, min_locs=10, frame_analysis=False
+        )
+        assert len(out) == 0
+
+    def test_frame_analysis_rejects_stuck(self):
+        """A cluster whose locs all sit in a narrow time window must be
+        rejected (reference clusterer.py:66-70 semantics)."""
+        rng = np.random.default_rng(1)
+        good = rng.normal((10, 10), 0.05, (60, 2))
+        stuck = rng.normal((40, 40), 0.05, (60, 2))
+        pts = np.vstack([good, stuck])
+        frames = np.concatenate(
+            [
+                rng.integers(0, 1000, 60),  # spread over time
+                rng.integers(100, 120, 60),  # burst (stuck fiducial)
+            ]
+        )
+        locs = pd.DataFrame(
+            {
+                "frame": frames.astype(np.uint32),
+                "x": pts[:, 0].astype(np.float32),
+                "y": pts[:, 1].astype(np.float32),
+                "photons": np.full(120, 1000, np.float32),
+                "sx": np.full(120, 1.0, np.float32),
+                "sy": np.full(120, 1.0, np.float32),
+                "bg": np.full(120, 10, np.float32),
+                "lpx": np.full(120, 0.03, np.float32),
+                "lpy": np.full(120, 0.03, np.float32),
+                "net_gradient": np.full(120, 1e4, np.float32),
+            }
+        )
+        out = clusterer.cluster(
+            locs, radius_xy=0.3, min_locs=10, frame_analysis=True
+        )
+        # only the time-spread cluster survives
+        assert len(np.unique(out["group"])) == 1
+        assert out["x"].mean() == pytest.approx(10, abs=0.5)
+
+    def test_3d_clustering(self):
+        locs, centers = _clustered_locs()
+        rng = np.random.default_rng(2)
+        locs["z"] = rng.normal(0, 10, len(locs)).astype(np.float32)
+        out = clusterer.cluster(
+            locs, radius_xy=0.3, min_locs=10, frame_analysis=False,
+            radius_z=0.6, pixelsize=130,
+        )
+        assert len(np.unique(out["group"])) == len(centers)
+        assert "z" in out.columns
+
+
+class TestSklearnWrappers:
+    def test_dbscan(self):
+        locs, centers = _clustered_locs()
+        out = clusterer.dbscan(locs, radius=0.3, min_density=5)
+        assert len(np.unique(out["group"])) == len(centers)
+
+    def test_hdbscan(self):
+        locs, centers = _clustered_locs()
+        out = clusterer.hdbscan(
+            locs, min_cluster_size=10, min_samples=10
+        )
+        assert len(np.unique(out["group"])) == len(centers)
+
+
+class TestClusterCenters:
+    def test_centers(self):
+        locs, centers = _clustered_locs()
+        out = clusterer.cluster(
+            locs, radius_xy=0.3, min_locs=10, frame_analysis=False
+        )
+        cc = clusterer.find_cluster_centers(out)
+        assert len(cc) == len(centers)
+        for col in ("frame", "x", "y", "photons", "lpx", "lpy",
+                    "n_locs", "n_events", "area", "convexhull",
+                    "group"):
+            assert col in cc.columns
+        # every center near a true center
+        for _, row in cc.iterrows():
+            d = np.min(np.hypot(
+                centers[:, 0] - row["x"], centers[:, 1] - row["y"]
+            ))
+            assert d < 0.1
+        assert (cc["n_locs"] == 50).all()
+
+    def test_cluster_areas(self):
+        locs, _ = _clustered_locs()
+        out = clusterer.cluster(
+            locs, radius_xy=0.3, min_locs=10, frame_analysis=False
+        )
+        areas = clusterer.cluster_areas(
+            out, INFO, progress=lambda i: None
+        )
+        assert "Area (LP^2)" in areas.columns
+        assert (areas["Area (LP^2)"] > 0).all()
+
+
+class TestResi:
+    def test_resi_combines_channels(self):
+        from picasso_tpu import postprocess
+
+        locs1, _ = _clustered_locs(seed=10)
+        locs2, _ = _clustered_locs(seed=11)
+        centers, info = postprocess.resi(
+            [locs1, locs2], [INFO, INFO], radius_xy=0.3, min_locs=10,
+            apply_fa=False,
+        )
+        assert "resi_channel_id" in centers.columns
+        assert set(centers["resi_channel_id"]) == {0, 1}
+        assert info[-1]["Generated by"].endswith("RESI")
+
+    def test_resi_requires_two_channels(self):
+        from picasso_tpu import postprocess
+
+        locs1, _ = _clustered_locs()
+        with pytest.raises(ValueError):
+            postprocess.resi([locs1], [INFO], radius_xy=0.3)
