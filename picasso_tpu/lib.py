@@ -274,6 +274,20 @@ def estimate_kinetic_rate(data: np.ndarray) -> float:
     return float(np.nanmean(data))
 
 
+def find_local_minima(arr: np.ndarray) -> np.ndarray:
+    """Indices of strict local minima of a 1D array
+    (picasso/lib.py:1243)."""
+    arr = np.asarray(arr)
+    if len(arr) < 3:
+        return np.array([], dtype=int)
+    return (
+        np.nonzero(
+            (arr[1:-1] < arr[:-2]) & (arr[1:-1] < arr[2:])
+        )[0]
+        + 1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Histograms / binning
 # ---------------------------------------------------------------------------

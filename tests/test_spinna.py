@@ -1,0 +1,197 @@
+"""SPINNA: structure round trips, simulation statistics, search-space
+generation, and stoichiometry recovery on synthetic mixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from picasso_tpu import spinna
+
+
+def _dimer(dist=20.0):
+    s = spinna.Structure("dimer")
+    s.define_coordinates(
+        "A", [-dist / 2, dist / 2], [0.0, 0.0], [0.0, 0.0]
+    )
+    return s
+
+
+def _monomer():
+    s = spinna.Structure("monomer")
+    s.define_coordinates("A", [0.0], [0.0], [0.0])
+    return s
+
+
+class TestStructure:
+    def test_counts_and_nn(self):
+        d = _dimer()
+        assert d.get_all_targets_count() == 2
+        assert d.get_ind_target_count(["A", "B"]) == [2, 0]
+        assert d.get_max_nn("A", "A") == 1
+        assert d.get_max_nn("A", "B") == 0
+
+    def test_yaml_roundtrip(self, tmp_path):
+        d = _dimer()
+        path = str(tmp_path / "structs.yaml")
+        d.save(path)
+        loaded, targets = spinna.load_structures(path)
+        assert len(loaded) == 1
+        assert loaded[0].title == "dimer"
+        assert targets == ["A"]
+        np.testing.assert_allclose(
+            loaded[0].x["A"], [-10.0, 10.0]
+        )
+
+
+class TestSearchSpace:
+    def test_generate_N_structures(self):
+        counts = spinna.generate_N_structures(
+            [_monomer(), _dimer()], {"A": 1000}, granularity=11
+        )
+        assert set(counts.keys()) == {"monomer", "dimer"}
+        n_mono = np.asarray(counts["monomer"])
+        n_dim = np.asarray(counts["dimer"])
+        # every combination conserves the total target count
+        np.testing.assert_allclose(
+            n_mono + 2 * n_dim, 1000, atol=1.0
+        )
+        assert len(n_mono) == 11
+
+    def test_unique_solution(self):
+        counts = spinna.generate_N_structures(
+            [_dimer()], {"A": 500}, granularity=5
+        )
+        assert counts["dimer"][0] == 250
+
+
+class TestSimulator:
+    def test_csr_counts_and_roi(self):
+        np.random.seed(0)
+        sim = spinna.StructureSimulator(
+            _dimer(), 500, le=1.0, label_unc=0.0,
+            width=2000.0, height=1000.0,
+        ).run()
+        pos = sim.pos_obs["A"]
+        assert pos.shape == (1000, 2)
+        assert pos[:, 0].min() > -25 and pos[:, 0].max() < 2025
+        assert pos[:, 1].min() > -25 and pos[:, 1].max() < 1025
+
+    def test_labeling_efficiency(self):
+        np.random.seed(1)
+        sim = spinna.StructureSimulator(
+            _monomer(), 2000, le=0.5, label_unc=0.0,
+            width=5000.0, height=5000.0,
+        ).run()
+        assert len(sim.pos_obs["A"]) == 1000
+
+    def test_dimer_distance_preserved(self):
+        np.random.seed(2)
+        sim = spinna.StructureSimulator(
+            _dimer(20.0), 300, le=1.0, label_unc=0.0,
+            width=50000.0, height=50000.0,
+        ).run()
+        pos = sim.pos_obs["A"]
+        # LE thinning shuffles the order; check via nearest neighbors:
+        # in a huge ROI every molecule's NN is its dimer partner
+        d = spinna.get_NN_dist(pos, pos, 1)[:, 0]
+        assert np.median(np.abs(d - 20.0)) < 0.5
+
+    def test_mask_placement(self):
+        np.random.seed(3)
+        mask = np.zeros((10, 10))
+        mask[2:4, 5:8] = 1.0
+        sim = spinna.StructureSimulator(
+            _monomer(), 400, le=1.0, label_unc=0.0,
+            mask=mask, mask_info={"Binsize (nm)": 100.0},
+        ).run()
+        pos = sim.pos_obs["A"]
+        # all centers within the masked bins
+        assert (pos[:, 0] >= 500).all() and (pos[:, 0] <= 800).all()
+        assert (pos[:, 1] >= 200).all() and (pos[:, 1] <= 400).all()
+
+
+class TestFit:
+    @pytest.fixture(scope="class")
+    def ground_truth(self):
+        """70% dimers / 30% monomers (by targets)."""
+        np.random.seed(10)
+        mixer = spinna.StructureMixer(
+            [_monomer(), _dimer(20.0)],
+            label_unc={"ALL": 3.0},
+            le={"ALL": 1.0},
+            width=20000.0,
+            height=20000.0,
+        )
+        # 300 monomers + 350 dimers -> 1000 targets, 70% in dimers
+        gt = mixer.run_simulation([300, 350])
+        return mixer, gt
+
+    def test_nnd_score_self_zero(self, ground_truth):
+        mixer, gt = ground_truth
+        d = spinna.get_NN_dist_experimental(gt, mixer)
+        assert spinna.NND_score(d, d) == 0.0
+
+    @pytest.mark.slow
+    def test_recovers_stoichiometry(self, ground_truth):
+        np.random.seed(11)
+        mixer, gt = ground_truth
+        spin = spinna.SPINNA(mixer, gt, N_sim=2)
+        N_structures = spinna.generate_N_structures(
+            mixer.structures, {"A": 1000}, granularity=21
+        )
+        props, score = spin.fit_stoichiometry(
+            N_structures, fitting_mode="brute-force"
+        )
+        # true proportions: 30% monomer targets, 70% dimer targets
+        assert props[0] == pytest.approx(30, abs=10)
+        assert props[1] == pytest.approx(70, abs=10)
+        assert score < 0.2
+
+    @pytest.mark.slow
+    def test_coarse_to_fine_matches_brute(self, ground_truth):
+        np.random.seed(12)
+        mixer, gt = ground_truth
+        spin = spinna.SPINNA(mixer, gt, N_sim=1)
+        N_structures = spinna.generate_N_structures(
+            mixer.structures, {"A": 1000}, granularity=21
+        )
+        props, score = spin.fit_stoichiometry(
+            N_structures, fitting_mode="coarse-to-fine"
+        )
+        assert props[1] == pytest.approx(70, abs=15)
+
+    @pytest.mark.slow
+    def test_bayesian_mode_runs(self, ground_truth):
+        np.random.seed(13)
+        mixer, gt = ground_truth
+        spin = spinna.SPINNA(mixer, gt, N_sim=1)
+        N_structures = spinna.generate_N_structures(
+            mixer.structures, {"A": 1000}, granularity=15
+        )
+        props, score = spin.fit_bayesian(
+            N_structures, n_initial=5, n_iterations=5
+        )
+        assert 0 <= score <= 1
+        assert len(props) == 2
+
+
+class TestMaskGenerator:
+    def test_mask_generation(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(4)
+        locs = pd.DataFrame(
+            {
+                "frame": np.zeros(500, np.uint32),
+                "x": rng.uniform(10, 20, 500).astype(np.float32),
+                "y": rng.uniform(10, 20, 500).astype(np.float32),
+            }
+        )
+        info = [{"Width": 64, "Height": 64, "Pixelsize": 130,
+                 "Frames": 1}]
+        mg = spinna.MaskGenerator(locs, info, binsize=130, sigma=260)
+        mask = mg.generate_mask()
+        assert mask.shape == (64, 64)
+        assert mask.sum() == pytest.approx(1.0)
+        assert mg.area is not None and mg.area > 0
