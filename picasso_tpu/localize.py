@@ -512,7 +512,7 @@ def check_kinetics(locs, info):
 
 
 def check_drift(locs, info, callback=None):
-    """RCC drift magnitude per 1000 frames
+    """RCC drift magnitude (x, y) per 1000 frames
     (picasso/localize.py:2096)."""
     from picasso_tpu import postprocess
 
@@ -521,6 +521,102 @@ def check_drift(locs, info, callback=None):
     drift, _ = postprocess.undrift(
         locs, info, segmentation, display=False
     )
-    dx = np.ptp(drift["x"])
-    dy = np.ptp(drift["y"])
-    return float(np.hypot(dx, dy) * 1000 / n_frames)
+    dx = float(np.ptp(drift["x"]) * 1000 / n_frames)
+    dy = float(np.ptp(drift["y"]) * 1000 / n_frames)
+    return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Per-file summary DB (picasso/localize.py:2144-2258)
+# ---------------------------------------------------------------------------
+
+
+def get_file_summary(
+    file: str,
+    file_hdf: str | None,
+    drift=None,
+    len_mean=None,
+    nena=None,
+) -> dict:
+    """Summarize one localization file: per-column means/stds, settings
+    and QC metrics (NeNA, kinetics, drift)
+    (picasso/localize.py:2144)."""
+    import os
+    from datetime import datetime
+
+    from picasso_tpu import io
+
+    if file_hdf is None:
+        base, _ = os.path.splitext(file)
+        file_hdf = base + "_locs.hdf5"
+    locs, info = io.load_locs(file_hdf)
+    summary = {}
+    for col in MEAN_COLS:
+        if col in locs.columns:
+            summary[col + "_mean"] = float(locs[col].mean())
+            summary[col + "_std"] = float(locs[col].std())
+        else:
+            summary[col + "_mean"] = float("nan")
+            summary[col + "_std"] = float("nan")
+    for col in SET_COLS:
+        col_ = col.lower()
+        for inf in info:
+            if col in inf:
+                summary[col_] = inf[col]
+    for col in SET_COLS:
+        col_ = col.lower()
+        if col_ not in summary:
+            summary[col_] = float("nan")
+    nena_px = check_nena(locs, info) if nena is None else nena
+    len_mean = (
+        check_kinetics(locs, info) if len_mean is None else len_mean
+    )
+    drift_x, drift_y = (
+        check_drift(locs, info) if drift is None else drift
+    )
+    summary["len_mean"] = len_mean
+    summary["n_locs"] = len(locs)
+    summary["locs_frame"] = len(locs) / summary["frames"]
+    summary["drift_x"] = drift_x
+    summary["drift_y"] = drift_y
+    summary["nena_px"] = nena_px
+    summary["nena_nm"] = nena_px * summary["pixelsize"]
+    summary["filename"] = os.path.normpath(file)
+    summary["filename_hdf"] = file_hdf
+    summary["file_created"] = datetime.fromtimestamp(
+        os.path.getmtime(file)
+    )
+    summary["entry_created"] = datetime.now()
+    return summary
+
+
+def _db_filename() -> str:
+    """SQLite DB path under ~/.picasso (picasso/localize.py:2221)."""
+    import os
+
+    picasso_dir = os.path.join(os.path.expanduser("~"), ".picasso")
+    os.makedirs(picasso_dir, exist_ok=True)
+    return os.path.abspath(
+        os.path.join(picasso_dir, "app_0410.db")
+    )
+
+
+def _save_file_summary(summary: dict) -> None:
+    """Append the summary to the 'files' table
+    (picasso/localize.py:2242)."""
+    import sqlite3
+
+    s = pd.Series(summary, index=summary.keys()).to_frame().T
+    with sqlite3.connect(_db_filename()) as con:
+        s.to_sql("files", con=con, if_exists="append", index=False)
+
+
+def add_file_to_db(
+    file: str, file_hdf: str | None, drift=None, len_mean=None,
+    nena=None,
+) -> None:
+    """Summarize a file and store it in the monitoring DB
+    (picasso/localize.py:2250)."""
+    _save_file_summary(
+        get_file_summary(file, file_hdf, drift, len_mean, nena)
+    )

@@ -1,0 +1,244 @@
+"""Front-ends: CLI subcommands end-to-end, nanotron classifier,
+design plates, server query layer, watcher."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write_test_movie(tmp_path):
+    from picasso_tpu import io, simulate
+
+    movie, sites, info = simulate.simulate_movie(
+        n_sites=12, imagesize=32, frames=200, taud=2000,
+        photonrate=60, seed=5,
+    )
+    raw = str(tmp_path / "movie.raw")
+    simulate.saveMovie(raw, movie, info)
+    return raw
+
+
+def _run_cli(args, cwd=None):
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "picasso_tpu", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env=env,
+        timeout=600,
+    )
+
+
+class TestCLI:
+    def test_help(self):
+        out = _run_cli(["--help"])
+        assert out.returncode == 0
+        assert "localize" in out.stdout
+        assert "spinna" in out.stdout
+
+    def test_localize_undrift_link_pipeline(self, tmp_path):
+        raw = _write_test_movie(tmp_path)
+        out = _run_cli(
+            ["localize", raw, "-g", "3000", "-d", "0"]
+        )
+        assert out.returncode == 0, out.stderr
+        locs_file = str(tmp_path / "movie_locs.hdf5")
+        assert os.path.isfile(locs_file)
+        assert os.path.isfile(str(tmp_path / "movie_locs.yaml"))
+
+        out = _run_cli(["link", locs_file])
+        assert out.returncode == 0, out.stderr
+        assert os.path.isfile(str(tmp_path / "movie_locs_link.hdf5"))
+
+        out = _run_cli(["hdf2csv", locs_file])
+        assert out.returncode == 0, out.stderr
+        assert os.path.isfile(str(tmp_path / "movie_locs.csv"))
+
+        out = _run_cli(
+            ["render", locs_file, "-o", "4", "-b", "smooth"]
+        )
+        assert out.returncode == 0, out.stderr
+        assert os.path.isfile(str(tmp_path / "movie_locs.png"))
+
+    def test_clusterfilter(self, tmp_path):
+        from picasso_tpu import io
+
+        rng = np.random.default_rng(0)
+        n = 100
+        locs = pd.DataFrame(
+            {
+                "frame": np.arange(n, dtype=np.uint32),
+                "x": rng.uniform(0, 30, n).astype(np.float32),
+                "y": rng.uniform(0, 30, n).astype(np.float32),
+                "photons": rng.uniform(
+                    100, 1000, n
+                ).astype(np.float32),
+            }
+        )
+        info = [{"Frames": n, "Height": 32, "Width": 32}]
+        path = str(tmp_path / "f_locs.hdf5")
+        io.save_locs(path, locs, info)
+        out = _run_cli(
+            ["clusterfilter", path, "photons", "500", "1000"]
+        )
+        assert out.returncode == 0, out.stderr
+        filtered, _ = io.load_locs(
+            str(tmp_path / "f_locs_filter.hdf5")
+        )
+        assert (filtered["photons"] >= 500).all()
+
+
+class TestNanotron:
+    def test_train_and_predict(self, tmp_path):
+        """Train the flax MLP on two synthetic structure classes and
+        classify held-out picks."""
+        from picasso_tpu import nanotron
+
+        rng = np.random.default_rng(0)
+
+        def make_locs(kind, n_picks, start_group=0):
+            rows = []
+            for g in range(n_picks):
+                cx, cy = rng.uniform(5, 27, 2)
+                if kind == "spot":
+                    pts = rng.normal((cx, cy), 0.05, (80, 2))
+                else:  # ring
+                    ang = rng.uniform(0, 2 * np.pi, 80)
+                    pts = np.column_stack(
+                        [
+                            cx + 0.4 * np.cos(ang),
+                            cy + 0.4 * np.sin(ang),
+                        ]
+                    ) + rng.normal(0, 0.03, (80, 2))
+                for p in pts:
+                    rows.append((g + start_group, p[0], p[1]))
+            arr = np.array(rows)
+            return pd.DataFrame(
+                {
+                    "frame": np.arange(len(arr), dtype=np.uint32)
+                    % 100,
+                    "x": arr[:, 1].astype(np.float32),
+                    "y": arr[:, 2].astype(np.float32),
+                    "group": arr[:, 0].astype(np.int32),
+                    "lpx": np.full(len(arr), 0.03, np.float32),
+                    "lpy": np.full(len(arr), 0.03, np.float32),
+                }
+            )
+
+        spots = make_locs("spot", 12)
+        rings = make_locs("ring", 12)
+        d1, l1 = nanotron.prepare_data(
+            spots, 0, pick_radius=1.0, oversampling=10
+        )
+        d2, l2 = nanotron.prepare_data(
+            rings, 1, pick_radius=1.0, oversampling=10
+        )
+        model = nanotron.train_model(
+            d1 + d2, l1 + l2, hidden_layer_sizes=(32,),
+            max_iter=60,
+        )
+        acc = model.score(np.stack(d1 + d2), np.asarray(l1 + l2))
+        assert acc > 0.9
+
+        # classify a fresh pick
+        test = make_locs("ring", 1)
+        pred, proba = nanotron.predict_structure(
+            model, test, 0, pick_radius=1.0, oversampling=10
+        )
+        assert pred[0] == 1
+        assert proba.shape == (1, 2)
+
+        # save/load round trip
+        path = str(tmp_path / "model.sav")
+        nanotron.save_model(path, model, {"classes": [0, 1]})
+        loaded, minfo = nanotron.load_model(path)
+        pred2, _ = nanotron.predict_structure(
+            loaded, test, 0, pick_radius=1.0, oversampling=10
+        )
+        assert pred2[0] == pred[0]
+
+
+class TestDesign:
+    def test_plate_conversion_roundtrip(self, tmp_path):
+        from picasso_tpu import design
+
+        plate = [
+            ["A1", "oligo_A1", "ACGT"],
+            ["I5", "oligo_I5", "TTTT"],
+        ]
+        out = design.convertPlateIndex(plate, "myplate")
+        assert out[0] == [
+            "PLATE NAME", "PLATE POSITION", "OLIGO NAME", "SEQUENCE",
+        ]
+        assert len(out) == 1 + 16 * 12
+        # A1 lands on plate _1 position A1
+        assert ["myplate_1", "A1", "oligo_A1", "ACGT"] in out
+        # I5 (row 9) lands on plate _2 position A5
+        assert ["myplate_2", "A5", "oligo_I5", "TTTT"] in out
+
+        path = str(tmp_path / "plate.csv")
+        design.savePlate(path, [out])
+        back = design.readPlate(path)
+        assert back[0] == out[0]
+
+    def test_sequences_tables(self):
+        from picasso_tpu import design_sequences
+
+        assert design_sequences.base_sequences[0] == [
+            "Position", "Name", "Sequence",
+        ]
+        assert len(design_sequences.base_sequences) > 100
+        assert (
+            design_sequences.get_paint_sequence("P1")
+            == "TTATACATCTA"
+        )
+
+
+class TestServer:
+    def test_db_roundtrip(self, tmp_path, monkeypatch):
+        import picasso_tpu.localize as localize
+        from picasso_tpu.server import db
+
+        monkeypatch.setattr(
+            localize,
+            "_db_filename",
+            lambda: str(tmp_path / "test.db"),
+        )
+        summary = {
+            "filename": "a.raw",
+            "n_locs": 100,
+            "nena_nm": 8.5,
+            "entry_created": "2026-08-16",
+        }
+        localize._save_file_summary(summary)
+        localize._save_file_summary(
+            {**summary, "filename": "b.raw", "n_locs": 200}
+        )
+        status = db.db_status()
+        assert status["n_entries"] == 2
+        hist = db.history(sort_by="n_locs")
+        assert hist.iloc[0]["n_locs"] == 200
+        comp = db.compare("a.raw", "b.raw")
+        assert comp.shape[1] == 2
+
+    def test_watcher_detects_and_processes(self, tmp_path):
+        from picasso_tpu.server import watcher
+
+        raw = _write_test_movie(tmp_path)
+        new, processed = watcher.check_new(str(tmp_path), {})
+        assert raw in new
+        out = watcher.process_file(
+            raw, {"Min. Net Gradient": 3000}
+        )
+        assert out is not None and os.path.isfile(out)
+        # now the file counts as processed
+        new2, _ = watcher.check_new(str(tmp_path), {})
+        assert raw not in new2
