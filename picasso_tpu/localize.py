@@ -248,13 +248,31 @@ def get_spots(
     camera_info: dict,
 ) -> np.ndarray:
     """Cut (N, box, box) ROIs and convert to photon counts
-    (picasso/localize.py:1115)."""
+    (picasso/localize.py:1115). For uint16 array-backed movies the
+    gather and photon conversion fuse into one native pass."""
+    from picasso_tpu import native
+
+    ids_frame = identifications["frame"].to_numpy()
+    ids_x = identifications["x"].to_numpy()
+    ids_y = identifications["y"].to_numpy()
+    if (
+        native.AVAILABLE
+        and (isinstance(movie, np.ndarray) or hasattr(movie, "__array__"))
+        and np.isscalar(camera_info.get("Baseline", 0))
+    ):
+        movie_arr = np.asarray(movie)
+        if (
+            movie_arr.dtype == np.uint16
+            and movie_arr.flags.c_contiguous
+        ):
+            return native.cut_spots_to_photons(
+                movie_arr, ids_frame, ids_x, ids_y, box,
+                camera_info["Baseline"],
+                camera_info["Sensitivity"],
+                camera_info["Gain"],
+            )
     spots = _identify_ops.cut_spots_numpy(
-        movie,
-        identifications["frame"].to_numpy(),
-        identifications["x"].to_numpy(),
-        identifications["y"].to_numpy(),
-        box,
+        movie, ids_frame, ids_x, ids_y, box
     )
     return _identify_ops.to_photons(spots, camera_info)
 

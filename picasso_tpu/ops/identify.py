@@ -167,12 +167,19 @@ def cut_spots_numpy(
     box: int,
 ) -> np.ndarray:
     """Gather (N, box, box) ROIs from a frame-indexable movie on host
-    (replaces picasso/localize.py:917-1098). For ndarray-backed movies
-    this is a single vectorized fancy-index gather."""
+    (replaces picasso/localize.py:917-1098). Uses the native C++
+    gather when available; otherwise a vectorized fancy-index
+    gather."""
     r = box // 2
     offs = np.arange(-r, r + 1)
     if isinstance(movie, np.ndarray) or hasattr(movie, "__array__"):
         movie_arr = np.asarray(movie)
+        from picasso_tpu import native
+
+        if native.AVAILABLE and movie_arr.flags.c_contiguous:
+            return native.cut_spots(
+                movie_arr, ids_frame, ids_x, ids_y, box
+            )
         yy = ids_y[:, None, None] + offs[None, :, None]
         xx = ids_x[:, None, None] + offs[None, None, :]
         return movie_arr[ids_frame[:, None, None], yy, xx]

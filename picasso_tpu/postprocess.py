@@ -634,14 +634,26 @@ def link(
         if "group" in locs.columns
         else np.zeros(len(locs), np.int32)
     )
-    link_group = _get_link_groups(
-        locs["frame"].to_numpy(),
-        locs["x"].to_numpy(),
-        locs["y"].to_numpy(),
-        r_max,
-        max_dark_time,
-        group,
-    )
+    from picasso_tpu import native
+
+    if native.AVAILABLE:
+        link_group = native.link_groups(
+            locs["frame"].to_numpy(),
+            locs["x"].to_numpy(),
+            locs["y"].to_numpy(),
+            np.ascontiguousarray(group, np.int32),
+            r_max,
+            max_dark_time,
+        )
+    else:
+        link_group = _get_link_groups(
+            locs["frame"].to_numpy(),
+            locs["x"].to_numpy(),
+            locs["y"].to_numpy(),
+            r_max,
+            max_dark_time,
+            group,
+        )
     if combine_mode != "average":
         raise NotImplementedError(
             "Refit mode is not implemented yet. Please use 'average'."
