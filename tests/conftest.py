@@ -80,7 +80,12 @@ CALIB_3D = {
 def locs_data():
     from picasso_tpu import io
 
-    return io.load_locs(os.path.join(DATA_DIR, "testdata_locs.hdf5"))
+    path = os.path.join(DATA_DIR, "testdata_locs.hdf5")
+    if not os.path.isfile(path):
+        pytest.skip(
+            "bundled reference locs not available (parity data)"
+        )
+    return io.load_locs(path)
 
 
 @pytest.fixture(scope="session")
@@ -94,10 +99,23 @@ def info(locs_data):
 
 
 @pytest.fixture(scope="session")
-def movie_data():
+def movie_data(tmp_path_factory):
     from picasso_tpu import io
 
-    return io.load_movie(os.path.join(DATA_DIR, "testdata.raw"))
+    path = os.path.join(DATA_DIR, "testdata.raw")
+    if not os.path.isfile(path):
+        # No bundled data: generate an equivalent synthetic movie with
+        # our own simulator so the non-parity tests still run.
+        from picasso_tpu import simulate
+
+        movie, _, info = simulate.simulate_movie(
+            n_sites=9, imagesize=32, frames=100, taud=3000,
+            photonrate=55, seed=42,
+        )
+        d = tmp_path_factory.mktemp("simdata")
+        path = str(d / "testdata.raw")
+        simulate.saveMovie(path, movie, info)
+    return io.load_movie(path)
 
 
 @pytest.fixture(scope="session")
