@@ -371,7 +371,7 @@ def _crlb_and_likelihood(terms, model, spots_t):
     diag = jnp.stack([M[p, p] for p in range(P)])  # (P, N)
     d_inv = jnp.where(diag > 0, 1.0 / jnp.sqrt(diag), 1.0)
     M_eq = M * d_inv[:, None, :] * d_inv[None, :, :]
-    crlb = (spd_inv_diag(M_eq) * d_inv**2).T  # (N, P)
+    crlb = spd_inv_diag(M_eq) * d_inv**2  # (P, N)
 
     data = spots_t
     ll_pos = data * jnp.log(model) - model - data * jnp.log(data) + data
@@ -386,19 +386,19 @@ def _crlb_and_likelihood(terms, model, spots_t):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("max_it", "method"))
-def _fit_chunk(
-    spots: jnp.ndarray,
+def _fit_core(
+    spots_t: jnp.ndarray,
     eps: float,
     max_it: int,
     method: str = "sigmaxy",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fit one padded chunk of (N, S, S) spots. Returns
-    (thetas (N, 6), CRLBs (N, 6), log_likelihoods (N,),
-    iterations (N,))."""
-    n, s, _ = spots.shape
-    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
-    eps = jnp.asarray(eps, jnp.float32)
+    """Fit a (S, S, N) spot batch in lanes-last layout. Returns
+    (thetas (6, N), CRLBs (6, N), log_likelihoods (N,),
+    iterations (N,)). Pure function — also runs inside the Pallas
+    tile kernel (ops/mle_pallas.py)."""
+    s = spots_t.shape[0]
+    n = spots_t.shape[2]
+    eps = float(eps)
 
     x0, y0, ph0, bg0, sx0, sy0 = initial_theta_sigmaxy_t(spots_t)
     if method == "sigmaxy":
@@ -408,14 +408,14 @@ def _fit_chunk(
         max_step = jnp.stack(
             [sx0, sx0, 0.1 * ph0, 0.1 * bg0, 0.2 * sx0, 0.2 * sy0]
         )
-        conv_rows = jnp.array([0, 1, 4, 5])
+        conv_rows = (0, 1, 4, 5)
     elif method == "sigma":
         theta0 = jnp.stack([x0, y0, ph0, bg0, (sx0 + sy0) / 2])
         step_fn = _newton_step_sigma
         max_step = jnp.stack(
             [theta0[4], theta0[4], 0.1 * ph0, 0.1 * bg0, 0.2 * theta0[4]]
         )
-        conv_rows = jnp.array([0, 1])
+        conv_rows = (0, 1)
     else:
         raise ValueError("Method not available.")
 
@@ -429,9 +429,9 @@ def _fit_chunk(
         new_theta = step_fn(theta, spots_t, max_step)
         theta = jnp.where(done[None, :], theta, new_theta)
         iters = jnp.where(done, iters, kk)
-        conv = jnp.all(
-            jnp.abs(old[conv_rows] - theta[conv_rows]) < eps, axis=0
-        )
+        conv = jnp.ones(n, dtype=bool)
+        for r in conv_rows:
+            conv = conv & (jnp.abs(old[r] - theta[r]) < eps)
         done = done | conv
         old = jnp.where(done[None, :], old, theta)
         return theta, old, done, iters, kk
@@ -452,15 +452,34 @@ def _fit_chunk(
     if method == "sigmaxy":
         terms, model = _fisher_terms_sigmaxy(theta, s)
         crlb, ll = _crlb_and_likelihood(terms, model, spots_t)
-        thetas6 = theta.T
+        thetas6 = theta
         crlb6 = crlb
     else:
         terms, model = _fisher_terms_sigma(theta, s)
         crlb, ll = _crlb_and_likelihood(terms, model, spots_t)
         # Mirror sigma into both sx/sy slots (gaussmle.py:641-642/741-742)
-        thetas6 = jnp.concatenate([theta, theta[4:5]]).T
-        crlb6 = jnp.concatenate([crlb, crlb[:, 4:5]], axis=1)
+        thetas6 = jnp.concatenate([theta, theta[4:5]])
+        crlb6 = jnp.concatenate([crlb, crlb[4:5]])
     return thetas6, crlb6, ll, iters
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "max_it", "method")
+)
+def _fit_chunk(
+    spots: jnp.ndarray,
+    eps: float,
+    max_it: int,
+    method: str = "sigmaxy",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fit one padded chunk of (N, S, S) spots. Returns
+    (thetas (N, 6), CRLBs (N, 6), log_likelihoods (N,),
+    iterations (N,))."""
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    thetas6, crlb6, ll, iters = _fit_core(
+        spots_t, eps, max_it, method=method
+    )
+    return thetas6.T, crlb6.T, ll, iters
 
 
 def gaussmle_batched(
@@ -485,16 +504,46 @@ def gaussmle_batched(
     spots = np.asarray(spots, dtype=np.float32)
     out_theta, out_crlb, out_ll, out_it = [], [], [], []
     results = []
+    # Prefer the tiled Pallas kernel (per-tile early exit + VMEM
+    # residency) when the backend supports it.
+    import os
+
+    use_pallas = False
+    if os.environ.get("PICASSO_TPU_NO_PALLAS", "0") != "1":
+        from picasso_tpu.ops import mle_pallas
+
+        use_pallas = mle_pallas.pallas_supported()
     for start in range(0, n, chunk):
         part = spots[start:start + chunk]
         n_part = len(part)
-        pad = -n_part % 128
+        multiple = (
+            mle_pallas.TILE if use_pallas else 128
+        )
+        pad = -n_part % multiple
         if pad:
             part = np.concatenate(
                 [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0
             )
-        results.append((n_part, _fit_chunk(jnp.asarray(part), eps, max_it,
-                                           method=method)))
+        if use_pallas:
+            results.append(
+                (
+                    n_part,
+                    mle_pallas.fit_pallas(
+                        jnp.asarray(part), float(eps), max_it,
+                        method=method,
+                    ),
+                )
+            )
+        else:
+            results.append(
+                (
+                    n_part,
+                    _fit_chunk(
+                        jnp.asarray(part), float(eps), max_it,
+                        method=method,
+                    ),
+                )
+            )
     done_count = 0
     for n_part, (theta, crlb, ll, iters) in results:
         out_theta.append(np.asarray(theta)[:n_part])

@@ -13,6 +13,13 @@ import tempfile
 
 import numpy as np
 
+if os.environ.get("PICASSO_FORCE_CPU") == "1":
+    # the environment's TPU plugin shadows JAX_PLATFORMS; pin CPU
+    # before any backend query
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main(method: str = "gaussmle") -> int:
     from picasso_tpu import io, localize
