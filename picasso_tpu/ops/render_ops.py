@@ -127,6 +127,54 @@ def _splat_bucket_host(x, y, sx, sy, ny, nx):
     return img
 
 
+def gaussian_splat_cov(
+    x: np.ndarray,
+    y: np.ndarray,
+    covs: np.ndarray,
+    ny: int,
+    nx: int,
+) -> np.ndarray:
+    """Render each loc as a general-covariance 2D Gaussian (the
+    rotated-view path: per-loc 3D covariance diag(sx^2, sy^2, sz^2)
+    rotated and projected to 2D; cf. picasso/render.py:579-680).
+
+    covs is (n, 2, 2)."""
+    img = np.zeros((ny, nx), np.float32)
+    dets = covs[:, 0, 0] * covs[:, 1, 1] - covs[:, 0, 1] ** 2
+    ok = dets > 0
+    inv = np.zeros_like(covs)
+    inv[ok, 0, 0] = covs[ok, 1, 1] / dets[ok]
+    inv[ok, 1, 1] = covs[ok, 0, 0] / dets[ok]
+    inv[ok, 0, 1] = -covs[ok, 0, 1] / dets[ok]
+    inv[ok, 1, 0] = -covs[ok, 1, 0] / dets[ok]
+    norms = np.where(
+        ok, 1.0 / (2 * np.pi * np.sqrt(np.maximum(dets, 1e-30))), 0.0
+    )
+    ext_x = DRAW_MAX_SIGMA * np.sqrt(np.maximum(covs[:, 0, 0], 0))
+    ext_y = DRAW_MAX_SIGMA * np.sqrt(np.maximum(covs[:, 1, 1], 0))
+    for k in range(len(x)):
+        if not ok[k]:
+            continue
+        i_min = max(int(y[k] - ext_y[k]), 0)
+        i_max = min(int(y[k] + ext_y[k] + 1), ny)
+        j_min = max(int(x[k] - ext_x[k]), 0)
+        j_max = min(int(x[k] + ext_x[k]) + 1, nx)
+        if i_max <= i_min or j_max <= j_min:
+            continue
+        jj, ii = np.meshgrid(
+            np.arange(j_min, j_max), np.arange(i_min, i_max)
+        )
+        dx = jj + 0.5 - x[k]
+        dy = ii + 0.5 - y[k]
+        q = (
+            inv[k, 0, 0] * dx * dx
+            + 2 * inv[k, 0, 1] * dx * dy
+            + inv[k, 1, 1] * dy * dy
+        )
+        img[i_min:i_max, j_min:j_max] += norms[k] * np.exp(-0.5 * q)
+    return img
+
+
 def gaussian_splat(
     x: np.ndarray,
     y: np.ndarray,

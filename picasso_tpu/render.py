@@ -170,6 +170,26 @@ def _render_gaussian(
     )
     sx = blur_width[in_view]
     sy = blur_height[in_view]
+    if ang is not None:
+        # rotated view: per-loc 3D covariance diag(sx², sy², sz²)
+        # rotated by R and projected to 2D (picasso/render.py:579-680)
+        if "lpz" in locs.columns:
+            lpz = locs["lpz"].to_numpy()
+        else:
+            lpz = 2 * locs[["lpx", "lpy"]].to_numpy().mean(axis=1)
+        blur_depth = oversampling * np.maximum(lpz, min_blur_width)
+        sz = blur_depth[in_view]
+        R = to_rotation(ang).as_matrix()
+        n = len(x)
+        covs3 = np.zeros((n, 3, 3))
+        covs3[:, 0, 0] = sx**2
+        covs3[:, 1, 1] = sy**2
+        covs3[:, 2, 2] = sz**2
+        rotated = np.einsum("ab,nbc,dc->nad", R, covs3, R)
+        image = render_ops.gaussian_splat_cov(
+            x, y, rotated[:, :2, :2], ny, nx
+        )
+        return len(x), image
     image = render_ops.gaussian_splat(x, y, sx, sy, ny, nx)
     return len(x), image
 

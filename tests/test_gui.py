@@ -1,0 +1,97 @@
+"""GUI viewers on the Agg backend: construction, redraw, interaction
+plumbing, pick workflow."""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import gui
+
+INFO = [{"Frames": 100, "Height": 32, "Width": 32, "Pixelsize": 130}]
+
+
+def _locs(n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "frame": rng.integers(0, 100, n).astype(np.uint32),
+            "x": rng.uniform(2, 30, n).astype(np.float32),
+            "y": rng.uniform(2, 30, n).astype(np.float32),
+            "photons": rng.uniform(100, 5000, n).astype(np.float32),
+            "lpx": np.full(n, 0.1, np.float32),
+            "lpy": np.full(n, 0.1, np.float32),
+        }
+    )
+
+
+class TestRenderApp:
+    def test_construct_and_redraw(self):
+        app = gui.RenderApp(_locs(), INFO)
+        n = app.redraw()
+        assert n == 2000
+
+    def test_zoom_changes_viewport(self):
+        app = gui.RenderApp(_locs(), INFO)
+        app.viewport = ((10, 10), (20, 20))
+        app.oversampling = 8
+        n = app.redraw()
+        assert 0 < n < 2000
+
+    def test_pick_workflow(self, tmp_path):
+        app = gui.RenderApp(_locs(), INFO)
+        app.picks = [(16.0, 16.0)]
+        app.pick_diameter = 4.0
+        picked = app.picked_locs()
+        assert len(picked) == 1
+        assert len(picked[0]) > 0
+        path = str(tmp_path / "picks.yaml")
+        app.save_picks(path)
+        app2 = gui.RenderApp(_locs(), INFO)
+        app2.load_picks(path)
+        assert app2.picks == [(16.0, 16.0)]
+
+
+class TestLocalizeApp:
+    def test_browse_and_identify(self, movie, movie_info):
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        n0 = app.redraw()
+        assert n0 >= 0
+        # browse frames via the key handler plumbing
+
+        class E:
+            key = "right"
+
+        app._on_key(E())
+        assert app.frame_number == 1
+
+        class E2:
+            key = "down"
+
+        app._on_key(E2())
+        assert app.min_net_gradient < 5000
+
+
+class TestFilterApp:
+    def test_filter_and_save(self, tmp_path):
+        app = gui.FilterApp(_locs(), INFO)
+        n = app.apply_filter("photons", 1000, 3000)
+        assert n < 2000
+        assert (app.locs["photons"] >= 1000).all()
+        app.plot_histogram("lpx")
+        path = str(tmp_path / "filtered_locs.hdf5")
+        app.save(path)
+        from picasso_tpu import io
+
+        back, info = io.load_locs(path)
+        assert len(back) == n
+        assert info[-1]["Filters"][0]["Column"] == "photons"
+        app.undo_all()
+        assert len(app.locs) == 2000
