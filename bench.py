@@ -54,10 +54,18 @@ def main():
     )
     import jax.numpy as jnp
 
+    from picasso_tpu.ops import mle_pallas
     from picasso_tpu.ops.mle import _fit_chunk
 
     n = 262144  # one device batch
     spots = jnp.asarray(make_spots(n))
+
+    use_pallas = mle_pallas.pallas_supported()
+    fit = (
+        (lambda s: mle_pallas.fit_pallas(s, 0.001, 100))
+        if use_pallas
+        else (lambda s: _fit_chunk(s, 0.001, 100, method="sigmaxy"))
+    )
 
     # Device-compute timing: consume all outputs into one scalar so the
     # full fit must execute, and transfer only that scalar per rep.
@@ -65,7 +73,7 @@ def main():
     # and bulk transfers measure the host link, not the chip.)
     @jax.jit
     def fit_scalar(s):
-        th, crlb, ll, it = _fit_chunk(s, 0.001, 100, method="sigmaxy")
+        th, crlb, ll, it = fit(s)
         return jnp.sum(th) + jnp.sum(crlb) + jnp.sum(ll) + jnp.sum(it)
 
     @jax.jit

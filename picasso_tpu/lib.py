@@ -231,6 +231,73 @@ def get_pick_rectangle_corners(
     return [x1, x2, x3, x4], [y1, y2, y3, y4]
 
 
+def overwrite_metadata(info: list[dict], key, value) -> list[dict]:
+    """Set a key in the newest info block that contains it, or append
+    to the last block (picasso/lib.py:918-like)."""
+    from copy import deepcopy
+
+    info = deepcopy(info)
+    for block in info[::-1]:
+        if key in block:
+            block[key] = value
+            return info
+    info[-1][key] = value
+    return info
+
+
+def unfold_localizations_square(
+    locs: pd.DataFrame,
+    info: list[dict],
+    *,
+    n_square: int = 10,
+    spacing: float = 1,
+):
+    """Tile picked groups onto a square grid for side-by-side viewing
+    (picasso/lib.py:2547). Vectorized with groupby transforms."""
+    assert "group" in locs.columns, (
+        "Localizations must contain a 'group' column."
+    )
+    from copy import deepcopy
+
+    locs = locs.copy()
+    updated_info = deepcopy(info)
+    unique_groups = np.unique(locs["group"])
+    mapping = {old: new for new, old in enumerate(unique_groups)}
+    locs["group"] = locs["group"].map(mapping)
+    cx = get_from_metadata(updated_info, "Width", raise_error=True) / 2
+    cy = get_from_metadata(updated_info, "Height", raise_error=True) / 2
+    g = locs.groupby("group")
+    locs["x"] = locs["x"] + cx - g["x"].transform("mean")
+    locs["y"] = locs["y"] + cy - g["y"].transform("mean")
+    locs["x"] += np.mod(locs["group"], n_square) * spacing
+    locs["y"] += np.floor(locs["group"] / n_square) * spacing
+    locs["x"] -= locs["x"].mean()
+    locs["y"] -= locs["y"].mean()
+    locs["x"] += np.abs(locs["x"].min())
+    locs["y"] += np.abs(locs["y"].min())
+    updated_info = overwrite_metadata(
+        updated_info, "Width", int(np.ceil(locs["x"].max()))
+    )
+    updated_info = overwrite_metadata(
+        updated_info, "Height", int(np.ceil(locs["y"].max()))
+    )
+    return locs, updated_info
+
+
+def sync_groups(locs: list[pd.DataFrame]) -> list[pd.DataFrame]:
+    """Keep only group ids present in every locs list
+    (picasso/lib.py:2616)."""
+    assert all("group" in loc.columns for loc in locs), (
+        "All localization lists must contain a 'group' column."
+    )
+    unique_groups = [np.unique(loc["group"]) for loc in locs]
+    common = set(unique_groups[0]).intersection(*unique_groups)
+    return [
+        loc[loc["group"].isin(common)].reset_index(drop=True)
+        for loc in locs
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Kinetics
 # ---------------------------------------------------------------------------

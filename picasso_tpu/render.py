@@ -259,6 +259,79 @@ def _fftconvolve(image, blur_width, blur_height):
     return out
 
 
+def render_hist_anisotropic(
+    x, y, oversampling_x, oversampling_y, y_min, x_min, y_max, x_max
+):
+    """Histogram rendering with different pixel sizes in x and y (used
+    by particle averaging; picasso/render.py:235-like)."""
+    ny = int(np.ceil(oversampling_y * (y_max - y_min)))
+    nx = int(np.ceil(oversampling_x * (x_max - x_min)))
+    in_view = (x > x_min) & (y > y_min) & (x < x_max) & (y < y_max)
+    xs = oversampling_x * (np.asarray(x)[in_view] - x_min)
+    ys = oversampling_y * (np.asarray(y)[in_view] - y_min)
+    image = render_ops.hist2d(xs, ys, ny, nx)
+    return int(in_view.sum()), image
+
+
+def render_hist3d_anisotropic(
+    x, y, z, oversampling_xy, oversampling_z,
+    y_min, x_min, y_max, x_max, z_min, z_max, pixelsize,
+):
+    """3D histogram with independent lateral/axial oversampling
+    (picasso/render.py:920)."""
+    z_px = np.asarray(z) / pixelsize
+    z_min_px = z_min / pixelsize
+    z_max_px = z_max / pixelsize
+    ny = int(np.ceil(oversampling_xy * (y_max - y_min)))
+    nx = int(np.ceil(oversampling_xy * (x_max - x_min)))
+    nz = int(np.ceil(oversampling_z * (z_max_px - z_min_px)))
+    in_view = (
+        (x > x_min) & (y > y_min) & (x < x_max) & (y < y_max)
+        & (z_px > z_min_px) & (z_px < z_max_px)
+    )
+    xs = oversampling_xy * (np.asarray(x)[in_view] - x_min)
+    ys = oversampling_xy * (np.asarray(y)[in_view] - y_min)
+    zs = oversampling_z * (z_px[in_view] - z_min_px)
+    image = render_ops.hist3d(xs, ys, zs, ny, nx, nz)
+    return int(in_view.sum()), image
+
+
+def draw_scalebar(
+    rgb: np.ndarray,
+    pixelsize: float,
+    disp_px_size: float,
+    length_nm: float | None = None,
+    margin: int = 10,
+    height_px: int = 5,
+) -> np.ndarray:
+    """Burn a white scalebar into the bottom-right of an RGB image
+    (numpy analogue of the reference QImage painter,
+    picasso/render.py:2428)."""
+    rgb = rgb.copy()
+    h, w = rgb.shape[:2]
+    if length_nm is None:
+        length_nm = optimal_scalebar_length(disp_px_size, w)
+    length_px = int(round(length_nm / disp_px_size))
+    length_px = min(length_px, w - 2 * margin)
+    y1 = h - margin
+    y0 = y1 - height_px
+    x1 = w - margin
+    x0 = x1 - length_px
+    rgb[max(y0, 0):y1, max(x0, 0):x1] = 255
+    return rgb
+
+
+def build_animation(
+    path: str, frames: list[np.ndarray], fps: int = 30
+) -> None:
+    """Write rendered RGB frames to a movie file
+    (picasso/render.py:3411; uses imageio — gif always works, mp4
+    requires an ffmpeg backend)."""
+    import imageio
+
+    imageio.mimsave(path, frames, fps=fps)
+
+
 # ---------------------------------------------------------------------------
 # Rotation
 # ---------------------------------------------------------------------------
