@@ -333,3 +333,44 @@ def aim(
     if hasattr(progress, "close"):
         progress.close()
     return locs, new_info, drift
+
+
+# API-compatibility aliases for the reference's public names
+# (picasso/aim.py:24-220).
+def intersect1d(a, b):
+    """Indices of common elements of two sorted unique arrays."""
+    aux = np.concatenate((a, b))
+    order = np.argsort(aux, kind="stable")
+    aux_sorted = aux[order]
+    mask = aux_sorted[1:] == aux_sorted[:-1]
+    return order[:-1][mask], order[1:][mask] - a.size
+
+
+def count_intersections(l0_coords, l0_counts, l1_coords, l1_counts):
+    """Min-count overlap of two gridded localization sets."""
+    return int(
+        _count_intersections_all_shifts(
+            l0_coords, l0_counts, l1_coords, l1_counts,
+            np.zeros(1, np.int64),
+        )[0]
+    )
+
+
+get_fft_peak = _get_fft_peak
+get_fft_peak_z = _get_fft_peak_z
+point_intersect_2d = _point_intersect_2d
+point_intersect_3d = _point_intersect_3d
+
+
+def run_intersections(l0_coords, l0_counts, l1_coords, l1_counts,
+                      shifts_xy, box):
+    """Intersection counts for all shifts (vectorized; the reference
+    used one thread per shift)."""
+    counts = _count_intersections_all_shifts(
+        l0_coords, l0_counts, l1_coords, l1_counts,
+        np.asarray(shifts_xy),
+    )
+    return counts.reshape(box, box) if box > 1 else counts
+
+
+run_intersections_multithread = run_intersections

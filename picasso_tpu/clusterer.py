@@ -537,3 +537,15 @@ def test_subclustering(
         mols.iloc[close]["n_events"].to_numpy(),
         mols.iloc[far]["n_events"].to_numpy(),
     )
+
+
+def cluster_center(grouplocs, pixelsize=None, separate_lp=False):
+    """Deprecated single-group center calculation
+    (picasso/clusterer.py:900); use find_cluster_centers."""
+    df = grouplocs if isinstance(grouplocs, pd.DataFrame) else (
+        pd.DataFrame(grouplocs)
+    )
+    df = df.copy()
+    df["group"] = 0
+    centers = find_cluster_centers(df, pixelsize)
+    return centers.iloc[0].tolist()

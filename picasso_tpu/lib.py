@@ -466,6 +466,192 @@ def minimize_shifts(
     return shift_y, shift_x, shift_z
 
 
+def deprecation_warning(message: str) -> None:
+    """Print a deprecation notice (picasso/lib.py convention)."""
+    print(message)
+
+
+def n_futures_done(futures) -> int:
+    """Count finished futures (picasso/lib.py:2083)."""
+    return sum(f.done() for f in futures)
+
+
+def is_hexadecimal(text: str) -> bool:
+    """True if text is a #RRGGBB hex color."""
+    if not isinstance(text, str) or not text.startswith("#"):
+        return False
+    if len(text) != 7:
+        return False
+    try:
+        int(text[1:], 16)
+        return True
+    except ValueError:
+        return False
+
+
+def get_colors(n_channels: int) -> list[tuple[float, float, float]]:
+    """Evenly hue-spaced RGB colors for multichannel display
+    (picasso/lib.py convention)."""
+    import colorsys
+
+    return [
+        colorsys.hsv_to_rgb(i / n_channels, 1.0, 1.0)
+        for i in range(n_channels)
+    ]
+
+
+def locs_in_polygon(
+    locs: pd.DataFrame, X, Y
+) -> pd.DataFrame:
+    """Locs within the polygon with corners (X, Y)."""
+    inside = check_if_in_polygon(
+        locs["x"].to_numpy(), locs["y"].to_numpy(),
+        np.asarray(X), np.asarray(Y),
+    )
+    return locs[inside]
+
+
+def locs_in_rectangle(locs: pd.DataFrame, X, Y) -> pd.DataFrame:
+    """Locs within the (possibly rotated) rectangle with corners
+    (X, Y)."""
+    inside = check_if_in_rectangle(
+        locs["x"].to_numpy(), locs["y"].to_numpy(),
+        np.asarray(X), np.asarray(Y),
+    )
+    return locs[inside]
+
+
+def pick_areas(
+    pick_shape: str, picks: list, pick_size: float | None = None
+) -> np.ndarray:
+    """Areas of picks of any shape (camera px^2)
+    (picasso/lib.py:2303)."""
+    if pick_shape == "Circle":
+        return pick_areas_circle(picks, pick_size / 2)
+    if pick_shape == "Rectangle":
+        return pick_areas_rectangle(picks, pick_size)
+    if pick_shape == "Polygon":
+        return pick_areas_polygon(picks)
+    if pick_shape == "Square":
+        return pick_size**2 * np.ones(len(picks))
+    raise ValueError(f"Unknown pick shape: {pick_shape}")
+
+
+def extract_filter_steps(info: list[dict], current_columns):
+    """Collect numeric [min, max] filter ranges recorded in the info
+    chain by Filter stages (picasso/lib.py:923)."""
+    current = set(current_columns)
+    ranges: dict[str, list[float]] = {}
+    to_remove: list[str] = []
+    missing: list[str] = []
+    for d in info:
+        if not isinstance(d, dict):
+            continue
+        gen_by = str(get_from_metadata(d, "Generated by", default=""))
+        if "Filter" not in gen_by:
+            continue
+        entries = d.get("Filters", None)
+        if isinstance(entries, list):
+            # picasso-tpu Filter app convention
+            for e in entries:
+                col = e.get("Column")
+                if col is None:
+                    continue
+                if col not in current:
+                    missing.append(col)
+                    continue
+                lo, hi = float(e["Min"]), float(e["Max"])
+                if col in ranges:
+                    ranges[col][0] = max(ranges[col][0], lo)
+                    ranges[col][1] = min(ranges[col][1], hi)
+                else:
+                    ranges[col] = [lo, hi]
+            continue
+        for key, value in d.items():
+            if key == "Generated by":
+                continue
+            if key == "Removed columns" and isinstance(value, list):
+                to_remove.extend(
+                    c for c in value if c in current
+                )
+                continue
+            if (
+                isinstance(value, (list, tuple))
+                and len(value) == 2
+                and all(isinstance(v, (int, float)) for v in value)
+            ):
+                if key not in current:
+                    missing.append(key)
+                    continue
+                lo, hi = float(value[0]), float(value[1])
+                if key in ranges:
+                    ranges[key][0] = max(ranges[key][0], lo)
+                    ranges[key][1] = min(ranges[key][1], hi)
+                else:
+                    ranges[key] = [lo, hi]
+    return ranges, to_remove, missing
+
+
+def apply_filter_steps(locs: pd.DataFrame, info: list[dict]):
+    """Re-apply filters recorded in the info chain
+    (picasso/lib.py:998)."""
+    ranges, to_remove, missing = extract_filter_steps(
+        info, locs.columns
+    )
+    for field, (xmin, xmax) in ranges.items():
+        locs = locs[(locs[field] > xmin) & (locs[field] < xmax)]
+    if to_remove:
+        locs = locs.drop(columns=to_remove)
+    return locs, ranges, to_remove, missing
+
+
+def permutation_test(
+    arr1: np.ndarray,
+    arr2: np.ndarray,
+    iterations: int = 1000,
+) -> tuple[float, float, float]:
+    """Two-sample KS permutation test: observed statistic, permutation
+    p-value and the analytic KS p-value (picasso/lib.py
+    permutation_test)."""
+    from scipy import stats
+
+    arr1 = np.asarray(arr1)
+    arr2 = np.asarray(arr2)
+    n1 = len(arr1)
+    combined = np.concatenate([arr1, arr2])
+    obs_d, ks_pval = stats.ks_2samp(arr1, arr2)
+    null = np.empty(iterations)
+    for i in range(iterations):
+        shuffled = np.random.permutation(combined)
+        null[i], _ = stats.ks_2samp(shuffled[:n1], shuffled[n1:])
+    p_perm = float(np.sum(null >= obs_d) / iterations)
+    return float(obs_d), p_perm, float(ks_pval)
+
+
+def plot_cumulative_exponential_fit(
+    data, fit_result: dict, fig=None, ax=None
+):
+    """Histogram + cumulative-exponential fit display
+    (picasso/lib.py:1360)."""
+    import matplotlib.pyplot as plt
+
+    if fig is None or ax is None:
+        fig, ax = plt.subplots()
+    else:
+        ax.clear()
+    srt = np.sort(np.asarray(data))
+    ax.plot(srt, np.arange(1, len(srt) + 1), ".", label="data")
+    ax.plot(
+        fit_result["data"], fit_result["best_fit"], label="fit"
+    )
+    t = fit_result["best_values"]["t"]
+    ax.set_title(f"mean time: {t:.1f} frames")
+    ax.set_xlabel("time (frames)")
+    ax.set_ylabel("cumulative counts")
+    ax.legend()
+    return fig
+
+
 # ---------------------------------------------------------------------------
 # Progress reporting
 # ---------------------------------------------------------------------------

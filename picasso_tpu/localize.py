@@ -638,3 +638,114 @@ def add_file_to_db(
     _save_file_summary(
         get_file_summary(file, file_hdf, drift, len_mean, nena)
     )
+
+
+# ---------------------------------------------------------------------------
+# API-compatibility aliases (deprecated names in the reference)
+# ---------------------------------------------------------------------------
+
+
+def local_maxima(frame, box):
+    """Alias for the single-image identification primitives
+    (picasso/localize.py:84)."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.identify import identify_maps
+
+    maxima, _ = identify_maps(
+        jnp.asarray(np.asarray(frame, np.float32))[None], box
+    )
+    y, x = np.nonzero(np.asarray(maxima)[0])
+    return y, x
+
+
+def gradient_at(frame, y, x, i):
+    """Central-difference gradient at one pixel
+    (picasso/localize.py:137)."""
+    frame = np.asarray(frame)
+    gy = float(frame[y + 1, x]) - float(frame[y - 1, x])
+    gx = float(frame[y, x + 1]) - float(frame[y, x - 1])
+    return gy, gx
+
+
+def net_gradient(frame, y, x, box, uy, ux):
+    """Net gradient at given maxima (picasso/localize.py:184)."""
+    frame = np.asarray(frame, np.float64)
+    half = box // 2
+    ng = np.zeros(len(x), np.float32)
+    for i, (yi, xi) in enumerate(zip(y, x)):
+        for ki, k in enumerate(range(yi - half, yi + half + 1)):
+            for li, m in enumerate(range(xi - half, xi + half + 1)):
+                if k == yi and m == xi:
+                    continue
+                gy, gx = gradient_at(frame, k, m, i)
+                ng[i] += gy * uy[ki, li] + gx * ux[ki, li]
+    return ng
+
+
+def identify_async(
+    movie, minimum_ng, box, *, roi=None, frame_bounds=None
+):
+    """API-compatible shim for the reference's threaded launcher
+    (picasso/localize.py:482): the batched identification completes
+    eagerly; ``current`` is already at n_frames."""
+    ids = identify(
+        movie, minimum_ng, box, roi=roi, frame_bounds=frame_bounds,
+        return_info=False,
+    )
+
+    class _Done:
+        def __init__(self, result):
+            self._r = result
+
+        def result(self):
+            return self._r
+
+        def done(self):
+            return True
+
+        def cancel(self):
+            return False
+
+    return [len(movie)], [_Done(ids)]
+
+
+def identifications_from_futures(futures) -> pd.DataFrame:
+    """Collect identification futures (picasso/localize.py:457)."""
+    ids = pd.concat(
+        [f.result() for f in futures], ignore_index=True
+    )
+    ids.sort_values(by="frame", kind="stable", inplace=True)
+    return ids.reset_index(drop=True)
+
+
+def locs_to_identifications(
+    locs: pd.DataFrame, movie_info: list[dict], n_frames: int
+) -> pd.DataFrame:
+    """Expand each localization into identifications over the
+    surrounding +-n_frames window for refitting
+    (picasso/localize.py:857)."""
+    assert isinstance(locs, pd.DataFrame)
+    assert isinstance(n_frames, int) and n_frames >= 0
+    max_frames = lib.get_from_metadata(
+        movie_info, "Frames", raise_error=True
+    )
+    rows = {"frame": [], "x": [], "y": [], "net_gradient": [],
+            "n_id": []}
+    n_id = 0
+    for _, loc in locs.iterrows():
+        f = int(loc["frame"])
+        if f > n_frames and f < (max_frames - n_frames):
+            span = np.arange(f - n_frames, f + n_frames + 1)
+            rows["frame"].extend(span.tolist())
+            rows["x"].extend([int(round(loc["x"]))] * len(span))
+            rows["y"].extend([int(round(loc["y"]))] * len(span))
+            rows["net_gradient"].extend([101.0] * len(span))
+            rows["n_id"].extend([n_id + 1] * len(span))
+        n_id += 1
+    return pd.DataFrame(rows)
+
+
+def save_file_summary(summary: dict) -> None:
+    """Alias of _save_file_summary (picasso/localize.py:2233)."""
+    _save_file_summary(summary)

@@ -249,6 +249,239 @@ def pick_similar(
     return list(zip(out_x, out_y))
 
 
+def rmsd_at_com(locs_xy: np.ndarray) -> float:
+    """RMSD of locs about their center of mass; locs_xy is (2, n)
+    (picasso/postprocess.py:948)."""
+    com_x = np.mean(locs_xy[0])
+    com_y = np.mean(locs_xy[1])
+    return float(
+        np.sqrt(
+            np.mean(
+                (locs_xy[0] - com_x) ** 2 + (locs_xy[1] - com_y) ** 2
+            )
+        )
+    )
+
+
+def remove_locs_in_picks(
+    locs: pd.DataFrame,
+    info: list[dict],
+    *,
+    picks: list,
+    pick_shape: Literal["Circle", "Rectangle", "Polygon", "Square"],
+    pick_size: float | None = None,
+    index_blocks=None,
+) -> pd.DataFrame:
+    """Drop all locs inside the pick regions
+    (picasso/postprocess.py:739)."""
+    assert pick_shape in ("Circle", "Rectangle", "Polygon", "Square")
+    if pick_shape != "Polygon":
+        assert isinstance(pick_size, (int, float))
+    if pick_shape == "Circle":
+        pick_size = pick_size / 2
+    else:
+        index_blocks = None
+    all_picked = picked_locs(
+        locs=locs, info=info, picks=picks, pick_shape=pick_shape,
+        pick_size=pick_size, add_group=False,
+        index_blocks=index_blocks,
+    )
+    idx = np.concatenate(
+        [p.index.to_numpy() for p in all_picked]
+    ) if all_picked else np.array([], int)
+    return locs.drop(index=np.unique(idx))
+
+
+def combine_locs_in_picks(
+    locs: pd.DataFrame,
+    info: list[dict],
+    *,
+    picks: list,
+    pick_shape: Literal["Circle", "Rectangle", "Polygon", "Square"],
+    pick_size: float | None = None,
+    index_blocks=None,
+    progress_callback=None,
+) -> pd.DataFrame:
+    """Combine all locs within each pick into one localization
+    (weighted means, summed photons; picasso/postprocess.py:2076)."""
+    assert pick_shape in ("Circle", "Rectangle", "Polygon", "Square")
+    if pick_shape in ("Circle", "Rectangle", "Square"):
+        assert pick_size is not None
+    size = pick_size / 2 if pick_shape == "Circle" else pick_size
+    all_picked = picked_locs(
+        locs=locs, info=info, picks=picks, pick_shape=pick_shape,
+        pick_size=size, add_group=True,
+        index_blocks=index_blocks, callback=progress_callback,
+    )
+    combined = []
+    for p in all_picked:
+        if not len(p):
+            continue
+        # link everything in the pick into one event
+        linked = link(
+            p, info, r_max=1e9, max_dark_time=10**9,
+            remove_ambiguous_lengths=False,
+        )
+        linked["group"] = p["group"].iloc[0]
+        combined.append(linked)
+    if not combined:
+        return locs.iloc[:0].copy()
+    return pd.concat(combined, ignore_index=True)
+
+
+def evaluate_picks(
+    picked_locs_list: list[pd.DataFrame],
+    info: list[dict],
+    *,
+    max_dark_time: int = 3,
+    progress_callback=None,
+):
+    """Per-pick statistics: loc counts, binding events, RMSD(z),
+    bright/dark kinetics (picasso/postprocess.py:1634)."""
+    import warnings as _warnings
+
+    pixelsize = lib.get_from_metadata(info, "Pixelsize", default=1.0)
+    n_picks = len(picked_locs_list)
+    N = np.full(n_picks, np.nan)
+    n_events = np.full(n_picks, np.nan)
+    rmsd = np.full(n_picks, np.nan)
+    rmsd_z = np.full(n_picks, np.nan)
+    length = np.full(n_picks, np.nan)
+    dark = np.full(n_picks, np.nan)
+    has_z = (
+        len(picked_locs_list)
+        and "z" in picked_locs_list[0].columns
+    )
+    new_locs = []
+    rep = lib.progress_reporter(
+        progress_callback, n_picks, "Evaluating picks"
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", category=RuntimeWarning)
+        for i, pick_locs in enumerate(picked_locs_list):
+            rep.set_value(i + 1)
+            if not len(pick_locs):
+                continue
+            N[i] = len(pick_locs)
+            rmsd[i] = rmsd_at_com(
+                np.stack(
+                    [
+                        pick_locs["x"].to_numpy(),
+                        pick_locs["y"].to_numpy(),
+                    ]
+                )
+            ) * pixelsize
+            if has_z:
+                z = pick_locs["z"].to_numpy()
+                rmsd_z[i] = np.sqrt(np.mean((z - z.mean()) ** 2))
+            if "len" not in pick_locs.columns:
+                pick_locs = link(
+                    pick_locs, info, r_max=999999,
+                    max_dark_time=max_dark_time,
+                )
+            pick_locs = compute_dark_times(pick_locs)
+            if not len(pick_locs):
+                continue
+            n_events[i] = len(pick_locs)
+            length[i] = lib.estimate_kinetic_rate(
+                pick_locs["len"].to_numpy()
+            )
+            dark[i] = lib.estimate_kinetic_rate(
+                pick_locs["dark"].to_numpy()
+            )
+            new_locs.append(pick_locs)
+    rep.close()
+    new_locs = (
+        pd.concat(new_locs, ignore_index=True)
+        if new_locs
+        else pd.DataFrame()
+    )
+    return N, n_events, rmsd, rmsd_z, length, dark, new_locs
+
+
+def pick_kinetics(
+    picked_locs_list: list[pd.DataFrame],
+    info: list[dict],
+    *,
+    max_dark_time: int = 3,
+    progress_callback=None,
+):
+    """Binding kinetics per pick (picasso/postprocess.py:1778).
+    Returns (length, dark, no_locs, out_locs)."""
+    out_locs, dark, length, no_locs = [], [], [], []
+    rep = lib.progress_reporter(
+        progress_callback, len(picked_locs_list),
+        "Calculating kinetics",
+    )
+    for i, pick_locs in enumerate(picked_locs_list):
+        rep.set_value(i + 1)
+        if not len(pick_locs):
+            continue
+        if "len" not in pick_locs.columns:
+            pick_locs = link(
+                pick_locs, info, r_max=999999,
+                max_dark_time=max_dark_time,
+            )
+        if not len(pick_locs):
+            continue
+        pick_locs = compute_dark_times(pick_locs)
+        if not len(pick_locs):
+            continue
+        try:
+            l_ = lib.estimate_kinetic_rate(
+                pick_locs["len"].to_numpy()
+            )
+            d_ = lib.estimate_kinetic_rate(
+                pick_locs["dark"].to_numpy()
+            )
+        except RuntimeError:
+            continue
+        length.append(l_)
+        dark.append(d_)
+        no_locs.append(len(pick_locs))
+        out_locs.append(pick_locs)
+    rep.close()
+    out_locs = (
+        pd.concat(out_locs, ignore_index=True)
+        if out_locs
+        else pd.DataFrame()
+    )
+    return (
+        np.array(length), np.array(dark), np.array(no_locs), out_locs,
+    )
+
+
+def pick_properties(
+    picked_locs_list: list[pd.DataFrame],
+    info: list[dict],
+    *,
+    max_dark_time: int = 3,
+    influx_rate: float = 0.03,
+    pick_areas=None,
+    kinetics_progress=None,
+    groupprops_progress=None,
+) -> pd.DataFrame:
+    """Per-pick statistics incl. qPAINT binding-site estimates
+    (picasso/postprocess.py:1855)."""
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        length, dark, no_locs, out_locs = pick_kinetics(
+            picked_locs_list, info, max_dark_time=max_dark_time,
+            progress_callback=kinetics_progress,
+        )
+        props = groupprops(out_locs, callback=groupprops_progress)
+        if pick_areas is not None:
+            props["pick_area_um2"] = pick_areas
+    props["n_units"] = 1 / (influx_rate * dark)
+    props["locs"] = no_locs
+    props["length_cdf"] = length
+    props["dark_cdf"] = dark
+    props["qpaint_idx_cdf"] = dark**-1.0
+    return props
+
+
 # ---------------------------------------------------------------------------
 # Distance histogram / pair correlation / local density
 # (picasso/postprocess.py:961-1680)
@@ -1045,6 +1278,129 @@ def align(
     if return_shifts:
         return locs, (shift_x, shift_y)
     return locs
+
+
+def align_from_picked(
+    all_locs: list[pd.DataFrame],
+    infos: list,
+    *,
+    picks: list,
+    pick_shape: Literal[
+        "Circle", "Rectangle", "Polygon", "Square"
+    ] = "Circle",
+    pick_size: float | None = None,
+    return_shifts: bool = False,
+    index_blocks=None,
+):
+    """Align channels from the centers of mass of picked fiducial
+    regions: each channel shifts by the mean per-pick COM offset to
+    channel 0 (picasso/postprocess.py:3446)."""
+    assert pick_shape in ("Circle", "Rectangle", "Polygon", "Square")
+    size = pick_size / 2 if pick_shape == "Circle" else pick_size
+    coms = []
+    for ch, (locs_, info_) in enumerate(zip(all_locs, infos)):
+        ib = index_blocks[ch] if index_blocks else None
+        pl = picked_locs(
+            locs_, info_, picks, pick_shape, pick_size=size,
+            add_group=False, index_blocks=ib,
+        )
+        coms.append(
+            np.array(
+                [
+                    (p["x"].mean(), p["y"].mean())
+                    if len(p)
+                    else (np.nan, np.nan)
+                    for p in pl
+                ]
+            )
+        )
+    ref = coms[0]
+    aligned = []
+    shifts = []
+    for ch, locs_ in enumerate(all_locs):
+        delta = np.nanmean(coms[ch] - ref, axis=0)
+        dx, dy = float(delta[0]), float(delta[1])
+        out = locs_.copy()
+        out["x"] = out["x"] - dx
+        out["y"] = out["y"] - dy
+        aligned.append(out)
+        shifts.append((dx, dy))
+    if return_shifts:
+        return aligned, shifts
+    return aligned
+
+
+def plot_drift(drift: pd.DataFrame, pixelsize: float = 1.0, fig=None):
+    """Plot the estimated drift trajectory
+    (picasso/postprocess.py:2823-like)."""
+    import matplotlib.pyplot as plt
+
+    if fig is None:
+        fig = plt.figure(figsize=(8, 4))
+    ax = fig.add_subplot(121)
+    frames = np.arange(len(drift))
+    ax.plot(frames, drift["x"] * pixelsize, label="x")
+    ax.plot(frames, drift["y"] * pixelsize, label="y")
+    if "z" in drift.columns:
+        ax.plot(frames, drift["z"], label="z")
+    ax.set_xlabel("frame")
+    ax.set_ylabel("drift (nm)" if pixelsize != 1 else "drift (px)")
+    ax.legend()
+    ax2 = fig.add_subplot(122)
+    ax2.plot(drift["x"] * pixelsize, drift["y"] * pixelsize, lw=0.5)
+    ax2.set_xlabel("x")
+    ax2.set_ylabel("y")
+    ax2.set_aspect("equal")
+    return fig
+
+
+def plot_nena(nena_result: dict, fig=None):
+    """Plot the NeNA histogram and fit
+    (picasso/postprocess.py:1147-like)."""
+    import matplotlib.pyplot as plt
+
+    if fig is None:
+        fig = plt.figure()
+    ax = fig.add_subplot(111)
+    ax.semilogx(
+        nena_result["d"], nena_result["data"], label="data"
+    )
+    ax.semilogx(
+        nena_result["d"], nena_result["best_fit"], label="fit"
+    )
+    s = nena_result["best_values"]["s"]
+    ax.set_title(f"NeNA precision: {s:.4f} px")
+    ax.set_xlabel("distance (px)")
+    ax.set_ylabel("counts")
+    ax.legend()
+    return fig
+
+
+def plot_frc(frc_result: dict, fig=None):
+    """Plot the FRC curve and resolution
+    (picasso/postprocess.py:1279)."""
+    import matplotlib.pyplot as plt
+
+    if fig is None:
+        fig = plt.figure()
+    ax = fig.add_subplot(111)
+    q = frc_result["frequencies"]
+    ax.plot(
+        q, frc_result["frc_curve"], color="gray", alpha=0.5,
+        label="FRC curve",
+    )
+    ax.plot(q, frc_result["frc_curve_smooth"], label="Smoothed")
+    ax.axhline(
+        1 / 7, color="black", linewidth=1.0, linestyle="--",
+        label="1/7 threshold",
+    )
+    res = frc_result["resolution"]
+    ax.set_xlabel("Spatial frequency (nm^-1)")
+    ax.set_ylabel("FRC")
+    if res is not None:
+        ax.set_title(f"FIRE resolution: {res:.2f} nm")
+    ax.legend()
+    return fig
 
 
 def align_rcc(

@@ -706,3 +706,126 @@ def render_scene(
     if return_raw_image:
         out.append(raw)
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# API-compatibility aliases + geometry helpers
+# ---------------------------------------------------------------------------
+
+render_gaussian = _render_gaussian
+render_gaussian_iso = _render_gaussian_iso
+render_smooth = _render_smooth
+render_convolve = _render_convolve
+
+
+def render_hist_numba(x, y, oversampling, t_min, t_max):
+    """Square-workspace histogram used by particle averaging (name
+    kept for API parity with picasso/render.py:740; implementation is
+    the vectorized host/device path)."""
+    from picasso_tpu.average import _render_hist_square
+
+    return _render_hist_square(
+        np.asarray(x), np.asarray(y), oversampling, t_min, t_max
+    )
+
+
+def determinant_3x3(a) -> float:
+    a = np.asarray(a, np.float64)
+    return float(np.linalg.det(a))
+
+
+def inverse_3x3(a):
+    a = np.asarray(a, np.float64)
+    return np.linalg.inv(a)
+
+
+def map_to_view(
+    x: float, y: float, viewport, width: int, height: int
+) -> tuple[int, int]:
+    """Camera-pixel coordinates -> display-pixel coordinates for a
+    rendered viewport image (picasso/render.py:2040)."""
+    (y_min, x_min), (y_max, x_max) = viewport
+    cx = int((x - x_min) / (x_max - x_min) * width)
+    cy = int((y - y_min) / (y_max - y_min) * height)
+    return cx, cy
+
+
+def get_rectangle_pick_polygon(
+    start_x, start_y, end_x, end_y, width, return_most_right=False
+):
+    """Corner polygon of a rectangular pick
+    (picasso/render.py:2054)."""
+    X, Y = lib.get_pick_rectangle_corners(
+        start_x, start_y, end_x, end_y, width
+    )
+    if return_most_right:
+        i = int(np.argmax(X))
+        return X[i], Y[i]
+    return list(zip(X + [X[0]], Y + [Y[0]]))
+
+
+def closest_rotvec(rotation, reference):
+    """Rotation vector representation of ``rotation`` closest to
+    ``reference`` — unwraps full turns for continuous rotation
+    tracking (picasso/render.py:1528)."""
+    reference = np.asarray(reference, dtype=float)
+    base = rotation.as_rotvec()
+    theta = np.linalg.norm(base)
+    if theta < 1e-9:
+        ref_norm = np.linalg.norm(reference)
+        if ref_norm < 1e-9:
+            return base
+        axis = reference / ref_norm
+        turns = np.round(ref_norm / (2 * np.pi))
+        return axis * 2 * np.pi * turns
+    axis = base / theta
+    # candidate representations: +-axis with added full turns
+    candidates = []
+    for sign in (1.0, -1.0):
+        t = sign * theta if sign > 0 else 2 * np.pi - theta
+        ax = axis if sign > 0 else -axis
+        k = np.round(
+            (np.dot(reference, ax) - t) / (2 * np.pi)
+        )
+        for kk in (k - 1, k, k + 1):
+            candidates.append(ax * (t + 2 * np.pi * kk))
+    d = [np.linalg.norm(c - reference) for c in candidates]
+    return candidates[int(np.argmin(d))]
+
+
+def draw_points(
+    rgb: np.ndarray, points, viewport, color=(255, 255, 0)
+) -> np.ndarray:
+    """Burn point markers into a rendered RGB image (numpy analogue
+    of the QImage painter, picasso/render.py:2550-like)."""
+    rgb = rgb.copy()
+    h, w = rgb.shape[:2]
+    for x, y in points:
+        cx, cy = map_to_view(x, y, viewport, w, h)
+        if 1 <= cx < w - 1 and 1 <= cy < h - 1:
+            rgb[cy - 1:cy + 2, cx - 1:cx + 2] = color
+    return rgb
+
+
+def draw_picks(
+    rgb: np.ndarray,
+    picks,
+    pick_diameter: float,
+    viewport,
+    color=(255, 255, 0),
+) -> np.ndarray:
+    """Burn circular pick outlines into a rendered RGB image
+    (picasso/render.py:2230-like)."""
+    rgb = rgb.copy()
+    h, w = rgb.shape[:2]
+    (y_min, x_min), (y_max, x_max) = viewport
+    px_per_cam_x = w / (x_max - x_min)
+    for x, y in picks:
+        cx, cy = map_to_view(x, y, viewport, w, h)
+        r = pick_diameter / 2 * px_per_cam_x
+        theta = np.linspace(0, 2 * np.pi, max(16, int(4 * r)))
+        xs = (cx + r * np.cos(theta)).astype(int)
+        ys = (cy + r * np.sin(theta)).astype(int)
+        ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        rgb[ys[ok], xs[ok]] = color
+    return rgb

@@ -406,3 +406,17 @@ def simulate_movie(
         "Generated by": "Picasso simulate",
     }
     return movie, sites, info
+
+
+def test_calculate_zpsf():
+    """Self-test with the reference's checked coefficients
+    (picasso/simulate.py:66)."""
+    cx = np.array([1, 2, 3, 4, 5, 6, 7])
+    z = np.array([1, 2, 3, 4, 5, 6, 7])
+    wx, _ = calculate_zpsf(z, cx, cx)
+    expected = [
+        4.90350522e01, 7.13644987e02, 5.52316597e03, 2.61621620e04,
+        9.06621337e04, 2.54548124e05, 6.14947219e05,
+    ]
+    assert np.sum((wx - expected) ** 2) < 0.001
+    return wx

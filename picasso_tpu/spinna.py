@@ -1419,3 +1419,100 @@ def fit_le(
         best_props,
         best_mixer,
     )
+
+
+# ---------------------------------------------------------------------------
+# API-compatibility aliases + plotting
+# ---------------------------------------------------------------------------
+
+find_target_counts = _find_target_counts
+get_structures_permutation = _get_structures_permutation
+targets_from_structures = _targets_from_structures
+
+NN_COLORS = [
+    "#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+    "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf",
+]
+
+
+def check_structures_valid_for_fitting(
+    structures, N_total: dict
+) -> bool:
+    """True if a stoichiometry search space can be generated for the
+    structures given the total target counts."""
+    targets = _targets_from_structures(structures)
+    if len(structures) < len(targets):
+        return False
+    if any(t not in N_total for t in targets):
+        return False
+    try:
+        generate_N_structures(structures, N_total, granularity=2)
+        return True
+    except (ValueError, np.linalg.LinAlgError):
+        return False
+
+
+def plot_NN(
+    dists_exp,
+    dists_sim,
+    mixer,
+    bin_size: float = 4.0,
+    fig=None,
+):
+    """Overlay experimental and best-fit simulated NND histograms per
+    target pair (picasso/spinna.py:499)."""
+    import matplotlib.pyplot as plt
+
+    neighbor_idx = [
+        t for t in mixer.get_neighbor_idx() if t[2]
+    ]
+    n = max(1, len(neighbor_idx))
+    if fig is None:
+        fig = plt.figure(figsize=(5 * n, 4))
+    for i, ((t1, t2, nn), de, ds) in enumerate(
+        zip(neighbor_idx, dists_exp, dists_sim)
+    ):
+        ax = fig.add_subplot(1, n, i + 1)
+        upper = (
+            np.percentile(de, 99) if len(de) else 100.0
+        )
+        bins = np.arange(0, upper + bin_size, bin_size)
+        for k in range(de.shape[1] if len(de) else 0):
+            color = NN_COLORS[k % len(NN_COLORS)]
+            ax.hist(
+                de[:, k], bins=bins, density=True, alpha=0.4,
+                color=color, label=f"exp NN{k + 1}",
+            )
+            if len(ds):
+                hist, edges = np.histogram(
+                    ds[:, k], bins=bins, density=True
+                )
+                centers = (edges[:-1] + edges[1:]) / 2
+                ax.plot(
+                    centers, hist, color=color,
+                    label=f"sim NN{k + 1}",
+                )
+        ax.set_xlabel("distance (nm)")
+        ax.set_ylabel("density")
+        ax.set_title(f"{t1} -> {t2}")
+        ax.legend(fontsize=7)
+    return fig
+
+
+def compare_models_given_label_unc(
+    models,
+    exp_data,
+    granularity,
+    label_unc: dict,
+    **kwargs,
+):
+    """Compare structure models at ONE fixed label uncertainty per
+    target (picasso/spinna.py:4367) — thin wrapper over
+    compare_models with scalar label_unc entries."""
+    fixed = {
+        k: (v if not isinstance(v, (list, np.ndarray)) else v[0])
+        for k, v in label_unc.items()
+    }
+    return compare_models(
+        models, exp_data, granularity, fixed, **kwargs
+    )

@@ -79,3 +79,76 @@ def skip_version(version: str) -> None:
     settings = io.load_user_settings()
     settings["Updater"]["Skipped version"] = version
     io.save_user_settings(settings)
+
+
+# ---------------------------------------------------------------------------
+# Granular helpers matching the reference surface (picasso/updater.py)
+# ---------------------------------------------------------------------------
+
+URL_GITHUB_REPO = "https://github.com/jungmannlab/picasso"
+URL_LATEST_RELEASE = URL_GITHUB_REPO + "/releases/latest"
+URL_LATEST_RELEASE_API = (
+    "https://api.github.com/repos/jungmannlab/picasso/releases/latest"
+)
+
+
+def is_update_available() -> bool:
+    return check_for_update() is not None
+
+
+def get_update_url() -> str:
+    return URL_LATEST_RELEASE
+
+
+def should_check_today() -> bool:
+    """True unless a check was already recorded today or updates are
+    snoozed/disabled."""
+    settings = io.load_user_settings()
+    upd = settings["Updater"]
+    if upd.get("Disabled"):
+        return False
+    today = datetime.date.today().isoformat()
+    if upd.get("Last checked") == today:
+        return False
+    snooze_until_ = upd.get("Snooze until")
+    if snooze_until_ and today < str(snooze_until_):
+        return False
+    return True
+
+
+def mark_checked() -> None:
+    settings = io.load_user_settings()
+    settings["Updater"]["Last checked"] = (
+        datetime.date.today().isoformat()
+    )
+    io.save_user_settings(settings)
+
+
+def should_notify(version: str) -> bool:
+    settings = io.load_user_settings()
+    return settings["Updater"].get("Skipped version") != version
+
+
+def snooze_until(date_iso: str) -> None:
+    settings = io.load_user_settings()
+    settings["Updater"]["Snooze until"] = date_iso
+    io.save_user_settings(settings)
+
+
+def disable_updates(disabled: bool = True) -> None:
+    settings = io.load_user_settings()
+    settings["Updater"]["Disabled"] = bool(disabled)
+    io.save_user_settings(settings)
+
+
+def cli_notify_update() -> None:
+    """Console entry: check and print a notice if an update exists."""
+    if should_check_today():
+        check_and_notify(print)
+        mark_checked()
+
+
+def setup_gui_update_check(*args, **kwargs) -> None:
+    """Qt hook kept for API compatibility; the TPU core ships no Qt,
+    so this is the console check."""
+    cli_notify_update()

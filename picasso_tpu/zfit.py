@@ -346,3 +346,46 @@ def _axial_localization_precision_astig(
         / (swxc2 + swyc2) ** 2
     )
     return lpz * magnification_factor
+
+
+# API-compatibility aliases (picasso/zfit.py deprecated names).
+def fit_z(locs, info, calibration, magnification_factor, pixelsize,
+          fitting_method="gausslq", filter=2, progress_callback=None):
+    """Deprecated alias of the batched z fit (picasso/zfit.py:296)."""
+    return _fit_z(
+        locs, info, calibration, magnification_factor, pixelsize,
+        fitting_method, filter, progress_callback,
+    )
+
+
+def fit_z_parallel(locs, info, calibration, magnification_factor,
+                   pixelsize, fitting_method="gausslq", filter=2,
+                   asynch=False):
+    """Deprecated alias — the batched fit covers all locs at once
+    (picasso/zfit.py:416)."""
+    return _fit_z(
+        locs, info, calibration, magnification_factor, pixelsize,
+        fitting_method, filter,
+    )
+
+
+def locs_from_futures(futures, filter=2):
+    """Collect partial z-fit results (picasso/zfit.py:460)."""
+    import pandas as pd
+
+    locs = pd.concat([f.result() for f in futures],
+                     ignore_index=True)
+    return filter_z_fits(locs, filter)
+
+
+def axial_localization_precision(locs, info, calibration,
+                                 fitting_method="gausslq",
+                                 modality="astigmatic"):
+    """Modality dispatcher (picasso/zfit.py:706); only astigmatic 3D
+    is implemented."""
+    assert modality == "astigmatic", (
+        "Only astigmatic 3D is supported."
+    )
+    return axial_localization_precision_astig(
+        locs, info, calibration, fitting_method
+    )
