@@ -26,6 +26,17 @@ def _configure_jax_defaults():
         import jax
     except Exception:  # pragma: no cover - jax always present on TPU
         return
+    # Some TPU runtime plugins register themselves regardless of
+    # JAX_PLATFORMS; honor both it and PICASSO_FORCE_CPU=1 by pinning
+    # the platform before the first backend query.
+    if (
+        os.environ.get("PICASSO_FORCE_CPU") == "1"
+        or os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    ):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     if (
         jax.config.jax_compilation_cache_dir is None
         and "JAX_COMPILATION_CACHE_DIR" not in os.environ

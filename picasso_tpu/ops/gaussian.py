@@ -11,10 +11,29 @@ outer products instead of looping over pixels.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax.scipy.special import erf
 
 _SQRT_2PI = 2.5066282746310002
 _INV_SQRT2 = 0.70710678118654757
+
+
+def erf(x: jnp.ndarray) -> jnp.ndarray:
+    """Branchless rational erf (Abramowitz & Stegun 7.1.26, |error|
+    <= 1.5e-7 — below float32 rounding for this model). Implemented
+    from mul/exp only because the Mosaic (Pallas TPU) lowering has no
+    erf primitive; used on every backend so the XLA and Pallas fit
+    paths stay bit-identical."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
 def integrated_gaussian(d: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:

@@ -38,7 +38,7 @@ def initial_parameters_t(spots_t: jnp.ndarray) -> jnp.ndarray:
     half = s // 2
     bg = jnp.min(spots_t, axis=(0, 1))
     nobg = spots_t - bg[None, None, :]
-    idx = jnp.arange(s, dtype=spots_t.dtype)
+    idx = jnp.arange(s, dtype=jnp.int32).astype(spots_t.dtype)
     total = jnp.sum(nobg, axis=(0, 1))
     y_com = jnp.sum(nobg * idx[:, None, None], axis=(0, 1)) / total
     x_com = jnp.sum(nobg * idx[None, :, None], axis=(0, 1)) / total
@@ -63,7 +63,7 @@ def initial_parameters(spots: jnp.ndarray) -> jnp.ndarray:
 def _axis_factors(theta, s: int):
     """Per-axis (S, N) model factors and their derivatives."""
     half = s // 2
-    grid = jnp.arange(-half, half + 1, dtype=theta.dtype)[:, None]
+    grid = (jnp.arange(s, dtype=jnp.int32).astype(theta.dtype) - half)[:, None]
     x, y, photons, bg, sx, sy = theta
     dx = grid - x[None, :]
     dy = grid - y[None, :]

@@ -55,35 +55,43 @@ _DEFAULT_CHUNK = 262144
 
 def _mean_filter_min(spots_t: jnp.ndarray) -> jnp.ndarray:
     """Min over the 3x3-mean-filtered spot — the background initializer
-    (picasso/gaussmle.py:62-91, :136). spots_t is (S, S, N)."""
+    (picasso/gaussmle.py:62-91, :136). spots_t is (S, S, N).
+
+    Written as an unrolled separable 3-window sum (zero-padded slices
+    along the two leading axes) with a statically computed counts
+    matrix rather than ``lax.reduce_window`` — Mosaic has no TPU
+    lowering for reduce_window_sum, and this form also keeps the spot
+    index on the lane axis untouched."""
     s = spots_t.shape[0]
-    summed = jax.lax.reduce_window(
-        spots_t,
-        0.0,
-        jax.lax.add,
-        window_dimensions=(3, 3, 1),
-        window_strides=(1, 1, 1),
-        padding=((1, 1), (1, 1), (0, 0)),
-    )
-    counts = jax.lax.reduce_window(
-        jnp.ones((s, s, 1), spots_t.dtype),
-        0.0,
-        jax.lax.add,
-        window_dimensions=(3, 3, 1),
-        window_strides=(1, 1, 1),
-        padding=((1, 1), (1, 1), (0, 0)),
-    )
-    return jnp.min(summed / counts, axis=(0, 1))
+    zrow = jnp.zeros_like(spots_t[:1])
+    padded = jnp.concatenate([zrow, spots_t, zrow], axis=0)
+    rows = padded[0:s] + padded[1:s + 1] + padded[2:s + 2]
+    zcol = jnp.zeros_like(rows[:, :1])
+    padded = jnp.concatenate([zcol, rows, zcol], axis=1)
+    summed = padded[:, 0:s] + padded[:, 1:s + 1] + padded[:, 2:s + 2]
+    # Window sizes (2 at the borders, 3 inside) from iota so the kernel
+    # captures no constants (a requirement of pallas_call).
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+    ci = jnp.where((ii == 0) | (ii == s - 1), 2.0, 3.0)
+    cj = jnp.where((jj == 0) | (jj == s - 1), 2.0, 3.0)
+    return jnp.min(summed / (ci * cj), axis=(0, 1))
 
 
 def initial_theta_sigmaxy_t(spots_t: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     """Per-spot [x, y, photons, bg, sx, sy] from a (S, S, N) batch
     (picasso/gaussmle.py:128-168). Returns six (N,) arrays."""
     s = spots_t.shape[0]
-    idx = jnp.arange(s, dtype=spots_t.dtype)
+    # All index grids come from >=2D broadcasted_iota: Mosaic supports
+    # neither 1D iota-and-reshape nor middle-axis squeezes, so center
+    # row/column extraction is a masked reduction instead of indexing.
+    yi = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+    yif = yi.astype(spots_t.dtype)
+    xif = xi.astype(spots_t.dtype)
     total = jnp.sum(spots_t, axis=(0, 1))
-    y_com = jnp.sum(spots_t * idx[:, None, None], axis=(0, 1)) / total
-    x_com = jnp.sum(spots_t * idx[None, :, None], axis=(0, 1)) / total
+    y_com = jnp.sum(spots_t * yif, axis=(0, 1)) / total
+    x_com = jnp.sum(spots_t * xif, axis=(0, 1)) / total
     degenerate = total <= 0.0
     center = (s - 1) / 2.0
     total = jnp.where(degenerate, 0.01, total)
@@ -96,11 +104,16 @@ def initial_theta_sigmaxy_t(spots_t: jnp.ndarray) -> tuple[jnp.ndarray, ...]:
     # Initial sigmas from second moments of the center row/column of
     # (spot - bg) (picasso/gaussmle.py:95-124).
     half = s // 2
-    d2 = (idx - half) ** 2
-    col = spots_t[:, half, :] - bg[None, :]  # varies along y: (S, N)
-    row = spots_t[half, :, :] - bg[None, :]  # varies along x: (S, N)
-    sy = jnp.sqrt(jnp.sum(col * d2[:, None], axis=0) / jnp.sum(col, axis=0))
-    sx = jnp.sqrt(jnp.sum(row * d2[:, None], axis=0) / jnp.sum(row, axis=0))
+    idx2 = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    d2 = ((idx2 - half) ** 2).astype(spots_t.dtype)  # (S, 1)
+    col = (
+        jnp.sum(spots_t * (xi == half), axis=1) - bg[None, :]
+    )  # varies along y: (S, N)
+    row = (
+        jnp.sum(spots_t * (yi == half), axis=0) - bg[None, :]
+    )  # varies along x: (S, N)
+    sy = jnp.sqrt(jnp.sum(col * d2, axis=0) / jnp.sum(col, axis=0))
+    sx = jnp.sqrt(jnp.sum(row * d2, axis=0) / jnp.sum(row, axis=0))
     sy = jnp.where(jnp.isfinite(sy) & (sy != 0), sy, 0.01)
     sx = jnp.where(jnp.isfinite(sx) & (sx != 0), sx, 0.01)
     return x_com, y_com, photons, bg, sx, sy
@@ -118,15 +131,19 @@ def initial_theta_sigmaxy(spots: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bilinear(A: jnp.ndarray, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """<A, M, B>[n] = sum_ji A[j,n] M[j,i,n] B[i,n]."""
-    # Contract rows first: (S_i, N), then dot with B.
-    T = jnp.einsum("jn,jin->in", A, M)
+    """<A, M, B>[n] = sum_ji A[j,n] M[j,i,n] B[i,n].
+
+    Broadcast-multiply + tree reduction over the tiny S axes (pure VPU
+    work, N on the lane axis) — S is ~7, so a dot_general would waste
+    the MXU, and Mosaic cannot lower this contraction's batched form
+    anyway."""
+    T = jnp.sum(A[:, None, :] * M, axis=0)  # (S_i, N)
     return jnp.sum(T * B, axis=0)
 
 
 def _axis_factors_sigmaxy(x, y, photons, sx, sy, s: int):
     """All per-axis (S, N) factors for the 6-parameter model."""
-    idx = jnp.arange(s, dtype=x.dtype)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(x.dtype)
     dx = idx - x[None, :]
     dy = idx - y[None, :]
     psf_x = integrated_gaussian(dx, sx[None, :])
@@ -203,16 +220,24 @@ def _newton_step_sigmaxy(theta, spots_t, max_step):
         jnp.clip(num / den, -max_step, max_step),
     )
     theta = theta - update
-    # Constraints (picasso/gaussmle.py:880-884)
-    theta = theta.at[2].set(jnp.maximum(theta[2], 1.0))
-    theta = theta.at[3].set(jnp.maximum(theta[3], 0.01))
-    theta = theta.at[4].set(jnp.maximum(theta[4], 0.01))
-    theta = theta.at[5].set(jnp.maximum(theta[5], 0.01))
+    # Constraints (picasso/gaussmle.py:880-884). Rebuilt by stacking
+    # rows — static-index .at[].set lowers to scatter, which the
+    # Mosaic (Pallas TPU) backend cannot compile.
+    theta = jnp.stack(
+        [
+            theta[0],
+            theta[1],
+            jnp.maximum(theta[2], 1.0),
+            jnp.maximum(theta[3], 0.01),
+            jnp.maximum(theta[4], 0.01),
+            jnp.maximum(theta[5], 0.01),
+        ]
+    )
     return theta
 
 
 def _axis_factors_sigma(x, y, sigma, s: int):
-    idx = jnp.arange(s, dtype=x.dtype)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(x.dtype)
     dx = idx - x[None, :]
     dy = idx - y[None, :]
     sg = sigma[None, :]
@@ -289,10 +314,14 @@ def _newton_step_sigma(theta, spots_t, max_step):
         jnp.clip(num / den, -max_step, max_step),
     )
     theta = theta - update
-    theta = theta.at[2].set(jnp.maximum(theta[2], 1.0))
-    theta = theta.at[3].set(jnp.maximum(theta[3], 0.01))
-    theta = theta.at[4].set(
-        jnp.clip(theta[4], 0.01, jnp.asarray(s, theta.dtype))
+    theta = jnp.stack(
+        [
+            theta[0],
+            theta[1],
+            jnp.maximum(theta[2], 1.0),
+            jnp.maximum(theta[3], 0.01),
+            jnp.clip(theta[4], 0.01, jnp.asarray(s, theta.dtype)),
+        ]
     )
     return theta
 
@@ -359,15 +388,22 @@ def _crlb_and_likelihood(terms, model, spots_t):
     P = len(terms)
     W = 1.0 / model  # model >= bg >= 0.01 after constraints
     n = model.shape[-1]
-    M = jnp.zeros((P, P, n), model.dtype)
+    # Built as nested stacks (not .at[p, q].set — that would lower to
+    # scatter, unsupported by Mosaic); entries are symmetric-cached.
+    entries: dict[tuple[int, int], jnp.ndarray] = {}
     for p in range(P):
         for q in range(p, P):
             acc = jnp.zeros(n, model.dtype)
             for (sp, Ap, Bp) in terms[p]:
                 for (sq, Aq, Bq) in terms[q]:
                     acc = acc + sp * sq * _bilinear(Ap * Aq, W, Bp * Bq)
-            M = M.at[p, q].set(acc)
-            M = M.at[q, p].set(acc)
+            entries[(p, q)] = entries[(q, p)] = acc
+    M = jnp.stack(
+        [
+            jnp.stack([entries[(p, q)] for q in range(P)])
+            for p in range(P)
+        ]
+    )
     diag = jnp.stack([M[p, p] for p in range(P)])  # (P, N)
     d_inv = jnp.where(diag > 0, 1.0 / jnp.sqrt(diag), 1.0)
     M_eq = M * d_inv[:, None, :] * d_inv[None, :, :]
@@ -419,35 +455,45 @@ def _fit_core(
     else:
         raise ValueError("Method not available.")
 
+    # Loop-carry layout rules for the Mosaic (Pallas TPU) backend:
+    # vector carries must be 2D (1, N) and float — 1D carries cannot be
+    # relayouted and boolean/int vector carries fail to legalize across
+    # scf.yield. done/iters are therefore f32 {0,1}/count masks.
     def cond(state):
         theta, old, done, iters, kk = state
-        return (kk < max_it) & ~jnp.all(done)
+        return (kk < max_it) & (jnp.sum(1.0 - done) > 0.0)
 
     def body(state):
         theta, old, done, iters, kk = state
         kk = kk + 1
+        frozen = done > 0.5
         new_theta = step_fn(theta, spots_t, max_step)
-        theta = jnp.where(done[None, :], theta, new_theta)
-        iters = jnp.where(done, iters, kk)
-        conv = jnp.ones(n, dtype=bool)
+        theta = jnp.where(frozen, theta, new_theta)
+        iters = iters + (1.0 - done)
+        conv = 1.0 - done * 0.0
         for r in conv_rows:
-            conv = conv & (jnp.abs(old[r] - theta[r]) < eps)
-        done = done | conv
-        old = jnp.where(done[None, :], old, theta)
+            conv = conv * (
+                jnp.abs(old[r:r + 1] - theta[r:r + 1]) < eps
+            )
+        done = jnp.maximum(done, conv)
+        old = jnp.where(done > 0.5, old, theta)
         return theta, old, done, iters, kk
 
     # Derive the zero-initialized loop state from the data so the carry
     # has consistent device-varying types under shard_map (per-device
-    # convergence loops in the multi-chip path).
+    # convergence loops in the multi-chip path) and a non-replicated
+    # initial layout (Mosaic requires init/body layouts to agree).
     data_zero = (theta0[0, 0] * 0).astype(jnp.int32)
+    row_zero = theta0[:1] * 0.0  # (1, N)
     state = (
         theta0,
         theta0,
-        jnp.zeros(n, dtype=bool) ^ (data_zero > 0),
-        jnp.zeros(n, dtype=jnp.int32) + data_zero,
+        row_zero,
+        row_zero,
         data_zero,
     )
-    theta, _, _, iters, _ = jax.lax.while_loop(cond, body, state)
+    theta, _, _, iters2, _ = jax.lax.while_loop(cond, body, state)
+    iters = iters2[0].astype(jnp.int32)
 
     if method == "sigmaxy":
         terms, model = _fisher_terms_sigmaxy(theta, s)
@@ -504,6 +550,19 @@ def gaussmle_batched(
     spots = np.asarray(spots, dtype=np.float32)
     out_theta, out_crlb, out_ll, out_it = [], [], [], []
     results = []
+    done_count = 0
+
+    def _gather(n_part, fit):
+        nonlocal done_count
+        theta, crlb, ll, iters = fit
+        out_theta.append(np.asarray(theta)[:n_part])
+        out_crlb.append(np.asarray(crlb)[:n_part])
+        out_ll.append(np.asarray(ll)[:n_part])
+        out_it.append(np.asarray(iters)[:n_part])
+        done_count += n_part
+        if callable(progress_callback):
+            progress_callback(done_count)
+
     # Prefer the tiled Pallas kernel (per-tile early exit + VMEM
     # residency) when the backend supports it.
     import os
@@ -544,15 +603,13 @@ def gaussmle_batched(
                     ),
                 )
             )
-    done_count = 0
-    for n_part, (theta, crlb, ll, iters) in results:
-        out_theta.append(np.asarray(theta)[:n_part])
-        out_crlb.append(np.asarray(crlb)[:n_part])
-        out_ll.append(np.asarray(ll)[:n_part])
-        out_it.append(np.asarray(iters)[:n_part])
-        done_count += n_part
-        if callable(progress_callback):
-            progress_callback(done_count)
+        # Double buffering: keep at most two chunks in flight so HBM
+        # holds O(chunk) inputs while host staging of the next chunk
+        # overlaps device compute of the current one.
+        while len(results) > 2:
+            _gather(*results.pop(0))
+    for pending in results:
+        _gather(*pending)
     return (
         np.concatenate(out_theta),
         np.concatenate(out_crlb),
