@@ -17,3 +17,12 @@ from picasso_tpu.gui.viewers import (  # noqa: F401
     LocalizeApp,
     RenderApp,
 )
+from picasso_tpu.gui.apps import (  # noqa: F401
+    AverageApp,
+    DesignApp,
+    NanotronApp,
+    RotationApp,
+    SimulateApp,
+    SpinnaApp,
+    ToRawApp,
+)

@@ -1,0 +1,525 @@
+"""Secondary GUI apps: rotation window, particle averaging, simulation
+designer, origami plate design, SPINNA, nanotron and to-raw conversion.
+
+Capability analogues of the reference PyQt6 apps (picasso/gui/
+rotation.py, average.py, simulate.py, design.py, spinna.py,
+nanotron.py, toraw.py) built over the headless API — each app is a
+thin interactive shell whose analysis path is exactly the library
+call a script would make, so results are file-compatible either way.
+All apps are constructible on the Agg backend for tests/screenshots.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from picasso_tpu import io, lib, render
+from picasso_tpu.gui.viewers import _PluginHost
+
+
+class RotationApp(_PluginHost):
+    """3D rotation window (reference gui/rotation.py): renders the
+    localizations under an interactive 3D rotation using the quaternion
+    backend in picasso_tpu.render. Arrow keys rotate, +/- zoom."""
+
+    def __init__(
+        self,
+        locs: pd.DataFrame,
+        info: list[dict],
+        blur_method: str | None = "gaussian",
+        oversampling: float = 8.0,
+        fig=None,
+    ):
+        import matplotlib.pyplot as plt
+
+        if "z" not in locs:
+            raise ValueError("RotationApp needs 3D locs (z column)")
+        self.locs = locs
+        self.info = info
+        self.blur_method = blur_method
+        self.oversampling = oversampling
+        self.angles = [0.0, 0.0, 0.0]  # rotation around x, y, z
+        height = lib.get_from_metadata(info, "Height")
+        width = lib.get_from_metadata(info, "Width")
+        self.viewport = ((0.0, 0.0), (float(height), float(width)))
+        self.fig = fig or plt.figure(figsize=(7, 7))
+        self.ax = self.fig.add_subplot(111)
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self._init_plugins("rotation")
+        self.redraw()
+
+    def redraw(self):
+        n, image = render.render(
+            self.locs,
+            self.info,
+            oversampling=self.oversampling,
+            viewport=self.viewport,
+            blur_method=self.blur_method,
+            ang=tuple(self.angles),
+        )
+        image = render.scale_contrast(image, autoscale=True)
+        self.ax.clear()
+        self.ax.imshow(image, cmap="hot", interpolation="nearest")
+        self.ax.set_title(
+            "rot x/y/z = "
+            + "/".join(f"{np.degrees(a):.0f}°" for a in self.angles)
+        )
+        self.fig.canvas.draw_idle()
+        return n
+
+    def rotate(self, dx=0.0, dy=0.0, dz=0.0):
+        self.angles[0] += dx
+        self.angles[1] += dy
+        self.angles[2] += dz
+        self.redraw()
+
+    def _on_key(self, event):
+        step = np.radians(10)
+        if event.key == "left":
+            self.rotate(dy=-step)
+        elif event.key == "right":
+            self.rotate(dy=step)
+        elif event.key == "up":
+            self.rotate(dx=-step)
+        elif event.key == "down":
+            self.rotate(dx=step)
+        elif event.key in ("+", "="):
+            self.oversampling *= 1.25
+            self.redraw()
+        elif event.key == "-":
+            self.oversampling /= 1.25
+            self.redraw()
+
+
+class AverageApp(_PluginHost):
+    """2D particle averaging (reference gui/average.py): run the
+    iterative rotate+translate alignment and show the averaged
+    rendering after each iteration."""
+
+    def __init__(
+        self,
+        picked_locs: pd.DataFrame,
+        info: list[dict],
+        oversampling: float = 40.0,
+        fig=None,
+    ):
+        import matplotlib.pyplot as plt
+
+        if "group" not in picked_locs:
+            raise ValueError("AverageApp needs grouped (picked) locs")
+        self.locs = picked_locs
+        self.info = info
+        self.oversampling = oversampling
+        self.iterations_done = 0
+        self.fig = fig or plt.figure(figsize=(6, 6))
+        self.ax = self.fig.add_subplot(111)
+        self._init_plugins("average")
+        self.redraw()
+
+    def run(self, iterations: int = 3, progress=None):
+        from picasso_tpu import average as _average
+
+        self.locs = _average.average(
+            self.locs,
+            self.info,
+            iterations=iterations,
+            progress_callback=progress,
+        )
+        self.iterations_done += iterations
+        self.redraw()
+        return self.locs
+
+    def redraw(self):
+        half = 1.5
+        cx = float(self.locs["x"].mean())
+        cy = float(self.locs["y"].mean())
+        viewport = ((cy - half, cx - half), (cy + half, cx + half))
+        n, image = render.render(
+            self.locs,
+            self.info,
+            oversampling=self.oversampling,
+            viewport=viewport,
+            blur_method="smooth",
+        )
+        image = render.scale_contrast(image, autoscale=True)
+        self.ax.clear()
+        self.ax.imshow(image, cmap="magma", interpolation="nearest")
+        self.ax.set_title(
+            f"{self.locs['group'].nunique()} particles, "
+            f"{self.iterations_done} iterations"
+        )
+        self.fig.canvas.draw_idle()
+        return n
+
+    def save(self, path: str):
+        new_info = self.info + [
+            {
+                "Generated by": "Picasso Average",
+                "Iterations": self.iterations_done,
+                "Oversampling": self.oversampling,
+            }
+        ]
+        io.save_locs(path, self.locs, new_info)
+
+
+class SimulateApp(_PluginHost):
+    """Simulation designer (reference gui/simulate.py): hold the
+    simulation parameters, generate a movie via picasso_tpu.simulate,
+    preview frames and save movie + ground truth."""
+
+    def __init__(self, fig=None, **params):
+        import matplotlib.pyplot as plt
+
+        self.params = dict(
+            n_sites=20,
+            imagesize=32,
+            frames=100,
+            psf=0.82,
+            photonrate=50.0,
+            photonratestd=10.0,
+            photonbudget=1.5e6,
+            taud=5000.0,
+            taub=500.0,
+            itime=300.0,
+            background=1.0,
+            seed=0,
+        )
+        self.params.update(params)
+        self.movie = None
+        self.info = None
+        self.ground_truth = None
+        self.frame_number = 0
+        self.fig = fig or plt.figure(figsize=(6, 6))
+        self.ax = self.fig.add_subplot(111)
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self._init_plugins("simulate")
+
+    def run(self):
+        from picasso_tpu import simulate as _simulate
+
+        self.movie, self.ground_truth, self.info = (
+            _simulate.simulate_movie(**self.params)
+        )
+        self.frame_number = 0
+        self.redraw()
+        return self.movie, self.info
+
+    def redraw(self):
+        self.ax.clear()
+        if self.movie is None:
+            self.ax.set_title("no simulation yet — call run()")
+        else:
+            self.ax.imshow(
+                self.movie[self.frame_number],
+                cmap="gray",
+                interpolation="nearest",
+            )
+            self.ax.set_title(
+                f"frame {self.frame_number + 1}/{len(self.movie)}"
+            )
+        self.fig.canvas.draw_idle()
+
+    def _on_key(self, event):
+        if self.movie is None:
+            return
+        if event.key == "right":
+            self.frame_number = min(
+                self.frame_number + 1, len(self.movie) - 1
+            )
+        elif event.key == "left":
+            self.frame_number = max(self.frame_number - 1, 0)
+        else:
+            return
+        self.redraw()
+
+    def save(self, path: str):
+        if self.movie is None:
+            raise RuntimeError("run() the simulation first")
+        io.save_raw(path, self.movie, [self.info])
+
+
+# Rectangular-origami staple canvas: 16 structure rows (A..P) by 12
+# columns, matching the base staple table (design_sequences) and the
+# two-8-row-plate export layout in picasso_tpu.design.
+DESIGN_ROWS = 16
+DESIGN_COLUMNS = 12
+_ROW_LETTERS = list("ABCDEFGHIJKLMNOP")
+
+
+class DesignApp(_PluginHost):
+    """Origami plate designer (reference gui/design.py): toggle
+    extension sites on the rectangular-origami staple lattice by
+    clicking, assign colors (= DNA-PAINT handle channels), and export
+    pipetting plate lists via picasso_tpu.design. An extended staple's
+    sequence is the base staple plus the selected handle from the
+    canonical table (design_sequences.paint_sequences)."""
+
+    #: color index k>0 selects handle Pk; index 0 = plain staple
+    COLORS = ["lightgrey", "red", "green", "blue", "orange", "purple",
+              "cyan", "magenta"]
+
+    def __init__(self, fig=None):
+        import matplotlib.pyplot as plt
+
+        self.grid = np.zeros(
+            (DESIGN_ROWS, DESIGN_COLUMNS), dtype=np.int64
+        )
+        self.current_color = 1
+        self.fig = fig or plt.figure(figsize=(8, 6))
+        self.ax = self.fig.add_subplot(111)
+        self.fig.canvas.mpl_connect(
+            "button_press_event", self._on_click
+        )
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self._init_plugins("design")
+        self.redraw()
+
+    # -- lattice geometry --
+    @staticmethod
+    def site_position(row: int, col: int) -> tuple[float, float]:
+        """Canvas position of a staple site; odd columns are offset by
+        half a row pitch (honeycomb-like origami lattice)."""
+        return col * 1.0, row * 1.0 + 0.5 * (col % 2)
+
+    def redraw(self):
+        self.ax.clear()
+        for r in range(DESIGN_ROWS):
+            for c in range(DESIGN_COLUMNS):
+                x, y = self.site_position(r, c)
+                color = self.COLORS[self.grid[r, c] % len(self.COLORS)]
+                self.ax.add_patch(
+                    __import__(
+                        "matplotlib.patches", fromlist=["Circle"]
+                    ).Circle((x, y), 0.42, color=color, ec="black",
+                             lw=0.5)
+                )
+        self.ax.set_xlim(-1, DESIGN_COLUMNS)
+        self.ax.set_ylim(DESIGN_ROWS + 0.5, -1)
+        self.ax.set_aspect("equal")
+        n_ext = int((self.grid > 0).sum())
+        self.ax.set_title(
+            f"{n_ext} extended staples — color {self.current_color}"
+        )
+        self.fig.canvas.draw_idle()
+
+    def _on_click(self, event):
+        if event.inaxes != self.ax or event.xdata is None:
+            return
+        best = None
+        for r in range(DESIGN_ROWS):
+            for c in range(DESIGN_COLUMNS):
+                x, y = self.site_position(r, c)
+                d2 = (x - event.xdata) ** 2 + (y - event.ydata) ** 2
+                if best is None or d2 < best[0]:
+                    best = (d2, r, c)
+        if best and best[0] < 0.5:
+            _, r, c = best
+            self.grid[r, c] = (
+                0 if self.grid[r, c] == self.current_color
+                else self.current_color
+            )
+            self.redraw()
+
+    def _on_key(self, event):
+        if event.key and event.key.isdigit():
+            self.current_color = max(1, int(event.key))
+            self.redraw()
+
+    # -- plate export --
+    def to_plate(self) -> list:
+        """Canvas rows [CANVAS_INDEX, OLIGO NAME, SEQUENCE, COLOR] for
+        every staple, extended ones carrying the selected DNA-PAINT
+        handle appended to the base sequence — the input format of
+        design.convertPlateIndexColor."""
+        from picasso_tpu import design_sequences as _seqs
+
+        base = {
+            row[0]: (row[1], row[2])
+            for row in _seqs.base_sequences[1:]
+        }
+        plate = []
+        for r in range(DESIGN_ROWS):
+            for c in range(DESIGN_COLUMNS):
+                canvas_idx = _ROW_LETTERS[r] + str(c + 1)
+                if canvas_idx not in base:
+                    continue
+                name, sequence = base[canvas_idx]
+                color = int(self.grid[r, c])
+                if color > 0:
+                    shortname = f"P{color}"
+                    handle = _seqs.get_paint_sequence(shortname)
+                    name = name.replace("BLK", shortname)
+                    sequence = sequence + "TT" + handle
+                plate.append(
+                    [canvas_idx, name, sequence,
+                     self.COLORS[color % len(self.COLORS)]]
+                )
+        return plate
+
+    def export_plates(self, path: str, platename: str = "design"):
+        from picasso_tpu import design as _design
+
+        data = _design.convertPlateIndexColor(
+            self.to_plate(), platename
+        )
+        _design.savePlate(path, [data])
+        return data
+
+    def save_design(self, path: str):
+        with open(path, "w") as f:
+            import yaml
+
+            yaml.dump(
+                {"Grid": self.grid.tolist(),
+                 "Rows": DESIGN_ROWS,
+                 "Columns": DESIGN_COLUMNS},
+                f,
+            )
+
+    def load_design(self, path: str):
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        self.grid = np.asarray(data["Grid"], dtype=np.int64)
+        self.redraw()
+
+
+class SpinnaApp(_PluginHost):
+    """SPINNA front-end (reference gui/spinna.py): hold structures and
+    experimental NND data, run the stoichiometry fit and plot the
+    fitted NND histogram overlay."""
+
+    def __init__(self, fig=None):
+        import matplotlib.pyplot as plt
+
+        self.structures = []
+        self.exp_data: dict[str, np.ndarray] = {}
+        self.mixer = None
+        self.result = None
+        self.fig = fig or plt.figure(figsize=(7, 5))
+        self.ax = self.fig.add_subplot(111)
+        self._init_plugins("spinna")
+
+    def add_structure(self, structure):
+        self.structures.append(structure)
+
+    def load_structures(self, path: str):
+        from picasso_tpu import spinna as _spinna
+
+        structures, targets = _spinna.load_structures(path)
+        self.structures.extend(structures)
+        return targets
+
+    def set_experimental_data(self, target: str, coords: np.ndarray):
+        self.exp_data[target] = np.asarray(coords, dtype=np.float64)
+
+    def build_mixer(
+        self, label_unc: dict, le: dict, width: float, height: float,
+        depth: float | None = None, **kwargs,
+    ):
+        from picasso_tpu import spinna as _spinna
+
+        self.mixer = _spinna.StructureMixer(
+            self.structures, label_unc=label_unc, le=le,
+            width=width, height=height, depth=depth, **kwargs,
+        )
+        return self.mixer
+
+    def fit(self, N_structures, N_sim: int = 1, **kwargs):
+        from picasso_tpu import spinna as _spinna
+
+        if self.mixer is None:
+            raise RuntimeError("build_mixer() first")
+        fitter = _spinna.SPINNA(
+            self.mixer, self.exp_data, N_sim=N_sim
+        )
+        self.result = fitter.fit(N_structures, **kwargs)
+        self.redraw()
+        return self.result
+
+    def redraw(self):
+        self.ax.clear()
+        if self.result is None:
+            self.ax.set_title("no fit yet")
+        else:
+            opt_props, score = self.result[0], self.result[1]
+            names = (
+                self.mixer.get_structure_names()
+                if self.mixer is not None
+                else [str(i) for i in range(len(opt_props))]
+            )
+            self.ax.bar(range(len(opt_props)), np.atleast_1d(opt_props))
+            self.ax.set_xticks(range(len(names)))
+            self.ax.set_xticklabels(names, rotation=45)
+            self.ax.set_ylabel("fitted proportion")
+            self.ax.set_title(f"KS score {float(score):.4f}")
+        self.fig.canvas.draw_idle()
+
+
+class NanotronApp(_PluginHost):
+    """Structure classification front-end (reference gui/nanotron.py):
+    train the MLP on picked structures and color-classify picks."""
+
+    def __init__(self, fig=None):
+        import matplotlib.pyplot as plt
+
+        self.model = None
+        self.model_info = None
+        self.fig = fig or plt.figure(figsize=(6, 6))
+        self.ax = self.fig.add_subplot(111)
+        self._init_plugins("nanotron")
+
+    def train(self, data, labels, **kwargs):
+        from picasso_tpu import nanotron as _nanotron
+
+        self.model = _nanotron.train_model(data, labels, **kwargs)
+        self.model_info = {"Classes": sorted(set(map(int, labels)))}
+        return self.model
+
+    def load(self, path: str):
+        from picasso_tpu import nanotron as _nanotron
+
+        self.model, self.model_info = _nanotron.load_model(path)
+
+    def predict(self, locs, pick, pick_radius, oversampling):
+        from picasso_tpu import nanotron as _nanotron
+
+        if self.model is None:
+            raise RuntimeError("train or load a model first")
+        return _nanotron.predict_structure(
+            self.model, locs, pick, pick_radius, oversampling
+        )
+
+
+class ToRawApp:
+    """Movie → raw converter (reference gui/toraw.py): queue movie
+    files and convert them to .raw + YAML."""
+
+    def __init__(self):
+        self.queue: list[str] = []
+
+    def add(self, path: str):
+        self.queue.append(path)
+
+    def add_folder(self, folder: str):
+        for name in sorted(os.listdir(folder)):
+            if os.path.splitext(name)[1].lower() in (
+                ".tif", ".tiff", ".stk", ".ims",
+            ):
+                self.queue.append(os.path.join(folder, name))
+
+    def run(self, progress=None) -> list[str]:
+        converted = []
+        for i, path in enumerate(self.queue):
+            io.to_raw(path)
+            converted.append(
+                os.path.splitext(path)[0] + ".ome.raw"
+            )
+            if progress is not None:
+                progress(i + 1)
+        self.queue = []
+        return converted

@@ -14,9 +14,39 @@ import numpy as np
 import pandas as pd
 
 from picasso_tpu import io, lib, localize, render, spatial_index
+from picasso_tpu.gui import plugins as _plugins
 
 
-class RenderApp:
+class _PluginHost:
+    """Plugin surface shared by the apps (reference: plugin menu in each
+    PyQt6 window, picasso/gui/plugins). Plugins register actions with
+    ``add_plugin_action``; actions are invoked by name or by pressing
+    F1..F12 in the figure."""
+
+    def _init_plugins(self, app_name: str):
+        self.plugin_actions: list[tuple[str, object]] = []
+        self.plugins = _plugins.load_plugins(self, app_name)
+        canvas = getattr(getattr(self, "fig", None), "canvas", None)
+        if canvas is not None:
+            canvas.mpl_connect("key_press_event", self._on_plugin_key)
+
+    def add_plugin_action(self, label: str, callback) -> None:
+        self.plugin_actions.append((label, callback))
+
+    def run_plugin_action(self, label: str):
+        for name, callback in self.plugin_actions:
+            if name == label:
+                return callback()
+        raise KeyError(f"no plugin action {label!r}")
+
+    def _on_plugin_key(self, event):
+        if event.key and event.key.startswith("f") and event.key[1:].isdigit():
+            idx = int(event.key[1:]) - 1
+            if 0 <= idx < len(self.plugin_actions):
+                self.plugin_actions[idx][1]()
+
+
+class RenderApp(_PluginHost):
     """Super-resolution viewer: pan/zoom (matplotlib navigation),
     scroll-wheel zoom, blur/colormap/contrast controls, circular
     picking with the right mouse button, pick save/load.
@@ -57,6 +87,7 @@ class RenderApp:
         self.fig.canvas.mpl_connect(
             "button_press_event", self._on_click
         )
+        self._init_plugins("render")
         self.redraw()
 
     # -- rendering --
@@ -150,7 +181,7 @@ class RenderApp:
         self.redraw()
 
 
-class LocalizeApp:
+class LocalizeApp(_PluginHost):
     """Movie browser with live identification overlay — the parameter
     tuning loop of the reference Localize app
     (picasso/gui/localize.py)."""
@@ -175,6 +206,7 @@ class LocalizeApp:
         self.fig.canvas.mpl_connect(
             "key_press_event", self._on_key
         )
+        self._init_plugins("localize")
         self.redraw()
 
     def identify_current(self):
@@ -225,7 +257,7 @@ class LocalizeApp:
         self.redraw()
 
 
-class FilterApp:
+class FilterApp(_PluginHost):
     """Histogram-based filtering of locs tables — the reference Filter
     app (picasso/gui/filter.py): inspect a column's histogram, select
     a range, apply/undo, save."""
@@ -242,6 +274,7 @@ class FilterApp:
         self.current_column = "photons" if "photons" in locs else (
             locs.columns[0]
         )
+        self._init_plugins("filter")
         self.plot_histogram(self.current_column)
 
     def plot_histogram(self, column: str):

@@ -95,3 +95,72 @@ class TestFilterApp:
         assert info[-1]["Filters"][0]["Column"] == "photons"
         app.undo_all()
         assert len(app.locs) == 2000
+
+
+class TestPlugins:
+    def test_drop_in_plugin_loads(self, tmp_path):
+        import importlib
+        import os
+
+        from picasso_tpu.gui import plugins
+
+        plugin_path = os.path.join(
+            os.path.dirname(plugins.__file__), "tmp_test_plugin.py"
+        )
+        with open(plugin_path, "w") as f:
+            f.write(
+                "class Plugin:\n"
+                "    def __init__(self, window):\n"
+                "        self.name = 'filter'\n"
+                "        self.window = window\n"
+                "    def execute(self):\n"
+                "        self.window.add_plugin_action(\n"
+                "            'double photons', self.run)\n"
+                "    def run(self):\n"
+                "        self.window.locs = self.window.locs.assign(\n"
+                "            photons=self.window.locs['photons'] * 2)\n"
+            )
+        try:
+            importlib.invalidate_caches()
+            app = gui.FilterApp(_locs(), INFO)
+            assert len(app.plugins) == 1
+            labels = [label for label, _ in app.plugin_actions]
+            assert labels == ["double photons"]
+            before = app.locs["photons"].sum()
+            app.run_plugin_action("double photons")
+            assert app.locs["photons"].sum() == pytest.approx(
+                2 * before
+            )
+            # plugin scoped to 'filter' must not load into RenderApp
+            render_app = gui.RenderApp(_locs(), INFO)
+            assert len(render_app.plugins) == 0
+        finally:
+            os.remove(plugin_path)
+            import sys
+
+            sys.modules.pop(
+                "picasso_tpu.gui.plugins.tmp_test_plugin", None
+            )
+
+    def test_broken_plugin_does_not_crash(self, tmp_path):
+        import os
+
+        from picasso_tpu.gui import plugins
+
+        plugin_path = os.path.join(
+            os.path.dirname(plugins.__file__), "tmp_broken_plugin.py"
+        )
+        with open(plugin_path, "w") as f:
+            f.write("raise RuntimeError('broken on import')\n")
+        errors = []
+        try:
+            app = gui.FilterApp(_locs(), INFO)
+            # loader reports the failure but the app still works
+            loaded = plugins.load_plugins(
+                app, "filter", on_error=errors.append
+            )
+            assert loaded == []
+            assert len(errors) == 1
+            assert "broken on import" in errors[0]
+        finally:
+            os.remove(plugin_path)

@@ -1,0 +1,166 @@
+"""Secondary GUI apps (rotation, average, simulate, design, toraw) on
+the Agg backend."""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import gui
+
+INFO = [{"Frames": 100, "Height": 32, "Width": 32, "Pixelsize": 130}]
+
+
+def _locs_3d(n=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "frame": rng.integers(0, 100, n).astype(np.uint32),
+            "x": rng.uniform(4, 28, n).astype(np.float32),
+            "y": rng.uniform(4, 28, n).astype(np.float32),
+            "z": rng.uniform(-200, 200, n).astype(np.float32),
+            "photons": rng.uniform(500, 3000, n).astype(np.float32),
+            "sx": np.full(n, 1.1, np.float32),
+            "sy": np.full(n, 1.0, np.float32),
+            "bg": np.full(n, 10, np.float32),
+            "lpx": np.full(n, 0.05, np.float32),
+            "lpy": np.full(n, 0.05, np.float32),
+        }
+    )
+
+
+class TestRotationApp:
+    def test_rotate_changes_render(self):
+        app = gui.RotationApp(_locs_3d(), INFO)
+        before = app.ax.get_title()
+        app.rotate(dy=np.radians(30))
+        assert app.ax.get_title() != before
+        # keyboard path
+        class E:
+            key = "right"
+            inaxes = None
+
+        app._on_key(E())
+        assert "40" in app.ax.get_title()
+
+    def test_requires_z(self):
+        locs = _locs_3d().drop(columns=["z"])
+        with pytest.raises(ValueError):
+            gui.RotationApp(locs, INFO)
+
+
+class TestAverageApp:
+    def test_average_runs(self):
+        rng = np.random.default_rng(1)
+        rows = []
+        template = np.array([[0.0, 0.0], [0.6, 0.0], [0.0, 0.6]])
+        for g in range(12):
+            cx, cy = rng.uniform(5, 27, 2)
+            ang = rng.uniform(0, 2 * np.pi)
+            R = np.array(
+                [[np.cos(ang), -np.sin(ang)],
+                 [np.sin(ang), np.cos(ang)]]
+            )
+            pts = template @ R.T
+            for px, py in pts:
+                for _ in range(8):
+                    rows.append(
+                        (g, cx + px + rng.normal(0, 0.03),
+                         cy + py + rng.normal(0, 0.03))
+                    )
+        arr = np.array(rows)
+        n = len(arr)
+        locs = pd.DataFrame(
+            {
+                "frame": np.arange(n, dtype=np.uint32),
+                "x": arr[:, 1].astype(np.float32),
+                "y": arr[:, 2].astype(np.float32),
+                "photons": np.full(n, 1000, np.float32),
+                "sx": np.full(n, 1.0, np.float32),
+                "sy": np.full(n, 1.0, np.float32),
+                "bg": np.full(n, 5, np.float32),
+                "lpx": np.full(n, 0.03, np.float32),
+                "lpy": np.full(n, 0.03, np.float32),
+                "group": arr[:, 0].astype(np.int32),
+            }
+        )
+        app = gui.AverageApp(locs, INFO)
+        out = app.run(iterations=2)
+        assert app.iterations_done == 2
+        # after averaging all particles are aligned around the origin
+        assert abs(out["x"].mean()) < 0.5
+        assert abs(out["y"].mean()) < 0.5
+
+
+class TestSimulateApp:
+    def test_run_and_save(self, tmp_path):
+        app = gui.SimulateApp(frames=8, imagesize=16, n_sites=5)
+        movie, info = app.run()
+        assert movie.shape == (8, 16, 16)
+        assert movie.dtype == np.uint16
+        assert info["Frames"] == 8
+        app._on_key(type("E", (), {"key": "right"})())
+        assert app.frame_number == 1
+        path = str(tmp_path / "sim.raw")
+        app.save(path)
+        from picasso_tpu import io
+
+        back, (binfo,) = io.load_raw(path)
+        assert back.shape == (8, 16, 16)
+
+
+class TestDesignApp:
+    def test_toggle_and_export(self, tmp_path):
+        app = gui.DesignApp()
+        app.current_color = 3
+        app.grid[0, 0] = 3  # A1 extended with P3
+        app.grid[2, 0] = 0
+        app.redraw()
+        plate = app.to_plate()
+        a1 = [row for row in plate if row[0] == "A1"][0]
+        assert "P3" in a1[1]
+        from picasso_tpu import design_sequences
+
+        handle = design_sequences.get_paint_sequence("P3")
+        assert a1[2].endswith(handle)
+        path = str(tmp_path / "plate.csv")
+        data = app.export_plates(path, platename="test")
+        assert data[0][0] == "PLATE NAME"
+        # 2 plates x 8 rows x 12 cols + header
+        assert len(data) == 2 * 8 * 12 + 1
+        # round-trip through the plate csv reader
+        from picasso_tpu import design
+
+        read_back = design.readPlate(path)
+        assert read_back[0][:2] == ["PLATE NAME", "PLATE POSITION"]
+
+    def test_save_load_design(self, tmp_path):
+        app = gui.DesignApp()
+        app.grid[4, 7] = 2
+        path = str(tmp_path / "design.yaml")
+        app.save_design(path)
+        app2 = gui.DesignApp()
+        app2.load_design(path)
+        assert app2.grid[4, 7] == 2
+
+
+class TestToRawApp:
+    def test_queue_and_convert(self, tmp_path, monkeypatch):
+        calls = []
+        from picasso_tpu import io
+
+        monkeypatch.setattr(io, "to_raw", lambda p: calls.append(p))
+        app = gui.ToRawApp()
+        app.add(str(tmp_path / "a.tif"))
+        app.add(str(tmp_path / "b.tif"))
+        done = []
+        out = app.run(progress=done.append)
+        assert len(calls) == 2
+        assert done == [1, 2]
+        assert app.queue == []
+        assert all(p.endswith(".ome.raw") for p in out)
