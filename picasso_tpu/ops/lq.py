@@ -38,18 +38,25 @@ def initial_parameters_t(spots_t: jnp.ndarray) -> jnp.ndarray:
     half = s // 2
     bg = jnp.min(spots_t, axis=(0, 1))
     nobg = spots_t - bg[None, None, :]
-    idx = jnp.arange(s, dtype=jnp.int32).astype(spots_t.dtype)
+    # >=2D broadcasted_iota index grids (Mosaic-lowerable; see
+    # ops/mle.py for the backend's layout rules).
+    yi = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0).astype(
+        spots_t.dtype
+    )
+    xi = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1).astype(
+        spots_t.dtype
+    )
     total = jnp.sum(nobg, axis=(0, 1))
-    y_com = jnp.sum(nobg * idx[:, None, None], axis=(0, 1)) / total
-    x_com = jnp.sum(nobg * idx[None, :, None], axis=(0, 1)) / total
+    y_com = jnp.sum(nobg * yi, axis=(0, 1)) / total
+    x_com = jnp.sum(nobg * xi, axis=(0, 1)) / total
     degenerate = total <= 0.0
     center = (s - 1) / 2.0
     total_d = jnp.where(degenerate, 0.01, total)
     y_com = jnp.where(degenerate, center, y_com)
     x_com = jnp.where(degenerate, center, x_com)
     photons = jnp.maximum(1.0, total_d)
-    dy2 = (idx[:, None, None] - y_com[None, None, :]) ** 2
-    dx2 = (idx[None, :, None] - x_com[None, None, :]) ** 2
+    dy2 = (yi - y_com[None, None, :]) ** 2
+    dx2 = (xi - x_com[None, None, :]) ** 2
     sy = jnp.sqrt(jnp.sum(nobg * dy2, axis=(0, 1)) / total_d)
     sx = jnp.sqrt(jnp.sum(nobg * dx2, axis=(0, 1)) / total_d)
     return jnp.stack([x_com - half, y_com - half, photons, bg, sx, sy])
@@ -63,7 +70,10 @@ def initial_parameters(spots: jnp.ndarray) -> jnp.ndarray:
 def _axis_factors(theta, s: int):
     """Per-axis (S, N) model factors and their derivatives."""
     half = s // 2
-    grid = (jnp.arange(s, dtype=jnp.int32).astype(theta.dtype) - half)[:, None]
+    grid = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(theta.dtype)
+        - half
+    )
     x, y, photons, bg, sx, sy = theta
     dx = grid - x[None, :]
     dy = grid - y[None, :]
@@ -110,14 +120,16 @@ def _normal_equations(theta, spots_t, s: int):
     ) + theta[3][None, None, :]
     R = spots_t - model
 
-    n = theta.shape[1]
     P = 6
-    JtJ = jnp.zeros((P, P, n), theta.dtype)
-    Jtr = jnp.zeros((P, n), theta.dtype)
+    # Nested stacks instead of .at[].set, broadcast-sum instead of the
+    # batched einsum — neither scatter nor this dot_general form lowers
+    # on the Mosaic (Pallas TPU) backend, and the S axes are tiny.
+    jtr_rows = []
+    entries: dict[tuple[int, int], jnp.ndarray] = {}
     for p in range(P):
         sp, ap, bp = terms[p]
-        T = jnp.einsum("jn,jin->in", ap, R)
-        Jtr = Jtr.at[p].set(sp * jnp.sum(T * bp, axis=0))
+        T = jnp.sum(ap[:, None, :] * R, axis=0)  # (S_i, N)
+        jtr_rows.append(sp * jnp.sum(T * bp, axis=0))
         for q in range(p, P):
             sq, aq, bq = terms[q]
             val = (
@@ -125,8 +137,11 @@ def _normal_equations(theta, spots_t, s: int):
                 * jnp.sum(ap * aq, axis=0)
                 * jnp.sum(bp * bq, axis=0)
             )
-            JtJ = JtJ.at[p, q].set(val)
-            JtJ = JtJ.at[q, p].set(val)
+            entries[(p, q)] = entries[(q, p)] = val
+    JtJ = jnp.stack(
+        [jnp.stack([entries[(p, q)] for q in range(P)]) for p in range(P)]
+    )
+    Jtr = jnp.stack(jtr_rows)
     return JtJ, Jtr, R
 
 
@@ -139,13 +154,28 @@ def _fit_chunk(
     """LM-fit one padded chunk; returns theta (N, 6)."""
     n, s, _ = spots.shape
     spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    theta = _lm_core(spots_t, max_it, ftol)
+    return theta.T
+
+
+def _lm_core(
+    spots_t: jnp.ndarray, max_it: int, ftol: float
+) -> jnp.ndarray:
+    """LM loop on a (S, S, N) batch; returns theta (6, N). Pure — also
+    runs inside the Pallas tile kernel (ops/lq_pallas.py), so loop
+    carries follow the Mosaic layout rules (2D (1, N) f32 masks, no
+    captured constants; see ops/mle.py)."""
+    s = spots_t.shape[0]
     theta0 = initial_parameters_t(spots_t)  # (6, N)
-    cost0 = _cost(theta0, spots_t, s)
-    lam0 = jnp.full((n,), 1e-3, jnp.float32) + 0.0 * cost0
+    cost0 = _cost(theta0, spots_t, s)[None, :]  # (1, N)
+    # NaN-safe data-derived zero row (degenerate spots have NaN cost —
+    # cost0 * 0.0 would poison the done mask and the loop condition).
+    zero_row = jnp.where(jnp.isfinite(cost0), cost0, 0.0) * 0.0
+    lam0 = zero_row + 1e-3
 
     def cond(state):
         theta, lam, cost, done, kk = state
-        return (kk < max_it) & ~jnp.all(done)
+        return (kk < max_it) & (jnp.sum(1.0 - done) > 0.0)
 
     def body(state):
         theta, lam, cost, done, kk = state
@@ -154,37 +184,53 @@ def _fit_chunk(
         # Cholesky solve (N on lanes — see ops/linalg.py).
         from picasso_tpu.ops.linalg import spd_solve
 
-        eye = jnp.eye(6, dtype=theta.dtype)[:, :, None]
         diag = jnp.stack([JtJ[p, p] for p in range(6)])  # (6, N)
-        A = JtJ + eye * (lam[None, :] * diag)[:, None, :]
+        damped = diag * (1.0 + lam)  # (6, N)
+        A = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        damped[p] if p == q else JtJ[p, q]
+                        for q in range(6)
+                    ]
+                )
+                for p in range(6)
+            ]
+        )
         delta = spd_solve(A, Jtr)  # (6, N)
-        ok = jnp.all(jnp.isfinite(delta), axis=0)
-        delta = jnp.where(ok[None, :], delta, 0.0)
+        finite = jnp.min(
+            jnp.isfinite(delta).astype(theta.dtype), axis=0,
+            keepdims=True,
+        )  # (1, N) AND across rows (reduce_prod has no Mosaic lowering)
+        delta = jnp.where(finite > 0.5, delta, 0.0)
         trial = theta + delta
-        trial_cost = _cost(trial, spots_t, s)
-        improved = ok & (trial_cost < cost) & ~done
+        trial_cost = _cost(trial, spots_t, s)[None, :]
+        improved = (
+            finite
+            * (trial_cost < cost)
+            * (1.0 - done)
+        )  # (1, N) f32
         rel = jnp.abs(cost - trial_cost) / jnp.maximum(cost, 1e-20)
-        conv = improved & (rel < ftol)
-        theta = jnp.where(improved[None, :], trial, theta)
-        cost = jnp.where(improved, trial_cost, cost)
+        conv = improved * (rel < ftol)
+        imp = improved > 0.5
+        theta = jnp.where(imp, trial, theta)
+        cost = jnp.where(imp, trial_cost, cost)
         lam = jnp.where(
-            improved, jnp.maximum(lam * 0.1, 1e-9),
-            jnp.where(done, lam, jnp.minimum(lam * 10.0, 1e7)),
+            imp, jnp.maximum(lam * 0.1, 1e-9),
+            jnp.where(done > 0.5, lam, jnp.minimum(lam * 10.0, 1e7)),
         )
         # Spots whose damping exploded cannot improve further.
-        done = done | conv | (lam >= 1e7)
+        done = jnp.maximum(
+            done, jnp.maximum(conv, (lam >= 1e7).astype(done.dtype))
+        )
         return theta, lam, cost, done, kk + 1
 
     # Data-derived zero state: keeps carry types device-varying under
     # shard_map (see ops/mle.py).
-    data_zero = (theta0[0, 0] * 0).astype(jnp.int32)
-    state = (
-        theta0, lam0, cost0,
-        jnp.zeros(n, dtype=bool) ^ (data_zero > 0),
-        data_zero,
-    )
+    data_zero = (zero_row[0, 0]).astype(jnp.int32)
+    state = (theta0, lam0, cost0, zero_row, data_zero)
     theta, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return theta.T
+    return theta
 
 
 def fit_spots_batched(
@@ -195,25 +241,44 @@ def fit_spots_batched(
 ) -> np.ndarray:
     """Fit all spots in device-sized chunks; returns theta (N, 6) with
     columns [x, y, photons, bg, sx, sy]."""
+    import os
+
     n = len(spots)
     if n == 0:
         return np.zeros((0, 6), np.float32)
     spots = np.asarray(spots, dtype=np.float32)
+    use_pallas = False
+    if os.environ.get("PICASSO_TPU_NO_PALLAS", "0") != "1":
+        from picasso_tpu.ops import lq_pallas
+
+        use_pallas = lq_pallas.pallas_supported()
     results = []
-    for start in range(0, n, chunk):
-        part = spots[start:start + chunk]
-        n_part = len(part)
-        pad = -n_part % 128
-        if pad:
-            part = np.concatenate(
-                [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0
-            )
-        results.append((n_part, _fit_chunk(jnp.asarray(part), max_it)))
     out = []
     done_count = 0
-    for n_part, theta in results:
+
+    def _gather(n_part, theta):
+        nonlocal done_count
         out.append(np.asarray(theta)[:n_part])
         done_count += n_part
         if callable(progress_callback):
             progress_callback(done_count)
+
+    for start in range(0, n, chunk):
+        part = spots[start:start + chunk]
+        n_part = len(part)
+        multiple = lq_pallas.TILE if use_pallas else 128
+        pad = -n_part % multiple
+        if pad:
+            part = np.concatenate(
+                [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0
+            )
+        if use_pallas:
+            fit = lq_pallas.fit_pallas(jnp.asarray(part), max_it)
+        else:
+            fit = _fit_chunk(jnp.asarray(part), max_it)
+        results.append((n_part, fit))
+        while len(results) > 2:
+            _gather(*results.pop(0))
+    for pending in results:
+        _gather(*pending)
     return np.concatenate(out)

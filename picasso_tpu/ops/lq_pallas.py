@@ -1,0 +1,80 @@
+"""Pallas TPU tile kernel for the least-squares Gaussian fitter.
+
+Same design as ops/mle_pallas.py: a grid over 512-spot tiles, each tile
+running the full LM program (ops/lq.py:_lm_core) with all per-iteration
+intermediates resident in VMEM and per-tile early exit. This is the
+TPU-native equivalent of the reference's vendored CUDA Gpufit DLL
+(GAUSS_2D_ELLIPTIC batched LM, picasso/gausslq.py:346-395).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from picasso_tpu.ops import lq as _lq
+
+TILE = 512
+
+
+def _tile_kernel(spots_ref, theta_ref, *, max_it, ftol):
+    spots_t = spots_ref[:, :, :]
+    theta_ref[:, :] = _lq._lm_core(spots_t, max_it, ftol)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_it", "ftol", "interpret")
+)
+def fit_pallas(
+    spots: jnp.ndarray,
+    max_it: int = 30,
+    ftol: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LM-fit an (N, S, S) spot batch with the tiled Pallas kernel;
+    N must be a multiple of TILE. Returns theta (N, 6)."""
+    n, s, _ = spots.shape
+    assert n % TILE == 0, f"batch must be a multiple of {TILE}"
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    kernel = functools.partial(
+        _tile_kernel, max_it=max_it, ftol=float(ftol)
+    )
+    theta = pl.pallas_call(
+        kernel,
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec(
+                (s, s, TILE), lambda t: (0, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (6, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((6, n), jnp.float32),
+        interpret=interpret,
+    )(spots_t)
+    return theta.T
+
+
+_PALLAS_OK: bool | None = None
+
+
+def pallas_supported() -> bool:
+    """Compile-probe the kernel once per process; False on platforms
+    where the Mosaic lowering is unavailable."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            probe = jnp.ones((TILE, 7, 7), jnp.float32)
+            out = fit_pallas(probe, max_it=1)
+            np.asarray(out)
+            _PALLAS_OK = True
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK

@@ -483,8 +483,10 @@ def _fit_core(
     # has consistent device-varying types under shard_map (per-device
     # convergence loops in the multi-chip path) and a non-replicated
     # initial layout (Mosaic requires init/body layouts to agree).
-    data_zero = (theta0[0, 0] * 0).astype(jnp.int32)
-    row_zero = theta0[:1] * 0.0  # (1, N)
+    row_zero = (
+        jnp.where(jnp.isfinite(theta0[:1]), theta0[:1], 0.0) * 0.0
+    )  # (1, N) — NaN-safe: a NaN zero mask would poison the loop cond
+    data_zero = row_zero[0, 0].astype(jnp.int32)
     state = (
         theta0,
         theta0,
