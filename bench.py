@@ -67,28 +67,38 @@ def main():
         else (lambda s: _fit_chunk(s, 0.001, 100, method="sigmaxy"))
     )
 
-    # Device-compute timing: consume all outputs into one scalar so the
-    # full fit must execute, and transfer only that scalar per rep.
-    # (block_until_ready can return at dispatch on tunneled backends,
-    # and bulk transfers measure the host link, not the chip.)
+    # Device-compute timing: chain CHAIN data-dependent fits inside ONE
+    # device program and transfer a single scalar, so per-call host
+    # latency (large and noisy on tunneled backends) is amortized 1/CHAIN
+    # and then subtracted. block_until_ready can return at dispatch on
+    # such backends, so the scalar transfer is the synchronization.
+    CHAIN = 8
+
     @jax.jit
-    def fit_scalar(s):
-        th, crlb, ll, it = fit(s)
-        return jnp.sum(th) + jnp.sum(crlb) + jnp.sum(ll) + jnp.sum(it)
+    def fit_chain(s):
+        def body(i, acc):
+            # acc feeds back into the input at float32-epsilon scale to
+            # force sequential execution (no CSE/hoisting of the fit)
+            th, crlb, ll, it = fit(s + acc * 1e-30)
+            return jnp.sum(th) + jnp.sum(ll) + 0.0 * acc
+
+        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
     @jax.jit
     def noop(s):
         return jnp.sum(s[0, 0])
 
-    def timed(f, reps=5):
+    def timed(f, reps=3):
         float(f(spots))  # compile + warm
-        t0 = time.perf_counter()
+        times = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             float(f(spots))
-        return (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     latency = timed(noop)
-    dt = timed(fit_scalar) - latency
+    dt = (timed(fit_chain) - latency) / CHAIN
     throughput = n / dt
     print(
         json.dumps(

@@ -99,6 +99,93 @@ def iso_sigma_axis_terms(
     return dPSF, d2PSF
 
 
+def fused_axis_terms(
+    d: jnp.ndarray, sigma: jnp.ndarray
+) -> tuple[jnp.ndarray, ...]:
+    """(psf, dmu, d2mu, dsig, d2sig) per-axis factors computed from two
+    shared exponentials.
+
+    integrated_gaussian's erf terms and every derivative share the same
+    exp(-(d±0.5)²/2σ²) values; evaluating them once cuts the transcend-
+    ental count per Newton iteration from 6 exps to 2 per axis — the
+    dominant VPU cost in the fit kernels. Identical math to the
+    separate helpers (picasso/gaussmle.py:268-338), same A&S erf."""
+    inv_s = 1.0 / sigma
+    ap = (d + 0.5) * inv_s
+    am = (d - 0.5) * inv_s
+    ea = jnp.exp(-0.5 * ap * ap)
+    eb = jnp.exp(-0.5 * am * am)
+
+    def _erf_from_exp(a, e):
+        # erf(a/sqrt(2)) with exp(-(a/sqrt(2))^2) == e already known
+        x = jnp.abs(a) * _INV_SQRT2
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t
+                * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+        return jnp.sign(a) * (1.0 - poly * e)
+
+    psf = 0.5 * (_erf_from_exp(ap, ea) - _erf_from_exp(am, eb))
+    norm = inv_s / _SQRT_2PI
+    dmu = (eb - ea) * norm
+    g1 = ((d - 0.5) * eb - (d + 0.5) * ea) * norm  # sigma * G(2,1)
+    d2mu = g1 * inv_s * inv_s
+    dsig = g1 * inv_s
+    g3 = (
+        (d - 0.5) ** 3 * eb - (d + 0.5) ** 3 * ea
+    ) * norm  # sigma^4 * G(5,3)
+    d2sig = (g3 * inv_s * inv_s - 2.0 * g1) * inv_s * inv_s
+    return psf, dmu, d2mu, dsig, d2sig
+
+
+def fused_axis_terms_iso(
+    d: jnp.ndarray, sigma: jnp.ndarray
+) -> tuple[jnp.ndarray, ...]:
+    """(psf, dmu, d2mu, dPSF, d2PSF) for the isotropic-sigma model from
+    the same two shared exponentials (cf. iso_sigma_axis_terms /
+    picasso/gaussmle.py:339): with a± = (d±0.5)/(sqrt(2)σ),
+    exp(-a±²) == exp(-(d±0.5)²/2σ²), so no extra transcendentals."""
+    inv_s = 1.0 / sigma
+    ap = (d + 0.5) * inv_s
+    am = (d - 0.5) * inv_s
+    ea = jnp.exp(-0.5 * ap * ap)
+    eb = jnp.exp(-0.5 * am * am)
+
+    def _erf_from_exp(a, e):
+        x = jnp.abs(a) * _INV_SQRT2
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = t * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t
+                * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+        return jnp.sign(a) * (1.0 - poly * e)
+
+    psf = 0.5 * (_erf_from_exp(ap, ea) - _erf_from_exp(am, eb))
+    norm = inv_s / _SQRT_2PI
+    dmu = (eb - ea) * norm
+    d2mu = ((d - 0.5) * eb - (d + 0.5) * ea) * norm * inv_s * inv_s
+
+    sqrt_pi = 1.7724538509055159
+    F = (am * eb - ap * ea) * _INV_SQRT2
+    dPSF = F / (sqrt_pi * sigma)
+    dF = (
+        ap * ea * (1.0 - ap * ap) - am * eb * (1.0 - am * am)
+    ) * _INV_SQRT2 * inv_s
+    d2PSF = (1.0 / sqrt_pi) * (-F * inv_s * inv_s + dF * inv_s)
+    return psf, dmu, d2mu, dPSF, d2PSF
+
+
 def gaussian_pdf(d: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Plain (non-integrated) normalized Gaussian used by the LQ model
     (picasso/gausslq.py:33)."""

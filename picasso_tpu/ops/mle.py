@@ -39,10 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from picasso_tpu.ops.gaussian import (
-    derivative_integrated_gaussian,
-    derivative_integrated_gaussian_sigma,
-    integrated_gaussian,
-    iso_sigma_axis_terms,
+    fused_axis_terms,
+    fused_axis_terms_iso,
 )
 
 _DEFAULT_CHUNK = 262144
@@ -142,16 +140,17 @@ def _bilinear(A: jnp.ndarray, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
 
 def _axis_factors_sigmaxy(x, y, photons, sx, sy, s: int):
-    """All per-axis (S, N) factors for the 6-parameter model."""
+    """All per-axis (S, N) factors for the 6-parameter model, via the
+    fused two-exponential evaluation (ops/gaussian.fused_axis_terms)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(x.dtype)
     dx = idx - x[None, :]
     dy = idx - y[None, :]
-    psf_x = integrated_gaussian(dx, sx[None, :])
-    psf_y = integrated_gaussian(dy, sy[None, :])
-    dmu_x, d2mu_x = derivative_integrated_gaussian(dx, sx[None, :])
-    dmu_y, d2mu_y = derivative_integrated_gaussian(dy, sy[None, :])
-    dsig_x, d2sig_x = derivative_integrated_gaussian_sigma(dx, sx[None, :])
-    dsig_y, d2sig_y = derivative_integrated_gaussian_sigma(dy, sy[None, :])
+    psf_x, dmu_x, d2mu_x, dsig_x, d2sig_x = fused_axis_terms(
+        dx, sx[None, :]
+    )
+    psf_y, dmu_y, d2mu_y, dsig_y, d2sig_y = fused_axis_terms(
+        dy, sy[None, :]
+    )
     return (
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dsig_x, d2sig_x, dsig_y, d2sig_y,
@@ -241,12 +240,8 @@ def _axis_factors_sigma(x, y, sigma, s: int):
     dx = idx - x[None, :]
     dy = idx - y[None, :]
     sg = sigma[None, :]
-    psf_x = integrated_gaussian(dx, sg)
-    psf_y = integrated_gaussian(dy, sg)
-    dmu_x, d2mu_x = derivative_integrated_gaussian(dx, sg)
-    dmu_y, d2mu_y = derivative_integrated_gaussian(dy, sg)
-    dPSFx, d2PSFx = iso_sigma_axis_terms(dx, sg)
-    dPSFy, d2PSFy = iso_sigma_axis_terms(dy, sg)
+    psf_x, dmu_x, d2mu_x, dPSFx, d2PSFx = fused_axis_terms_iso(dx, sg)
+    psf_y, dmu_y, d2mu_y, dPSFy, d2PSFy = fused_axis_terms_iso(dy, sg)
     return (
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dPSFx, d2PSFx, dPSFy, d2PSFy,
