@@ -18,6 +18,7 @@ from picasso_tpu.gui.viewers import (  # noqa: F401
     RenderApp,
 )
 from picasso_tpu.gui.apps import (  # noqa: F401
+    Average3App,
     AverageApp,
     DesignApp,
     NanotronApp,

@@ -155,14 +155,95 @@ class AverageApp(_PluginHost):
         return n
 
     def save(self, path: str):
-        new_info = self.info + [
+        from picasso_tpu import average as _average
+
+        # shift origin-centered averages back into the FOV — the
+        # save-time sanity filter drops negative coordinates
+        out, new_info = _average.prepare_locs_for_save(
+            self.locs, self.info,
+            {"it": self.iterations_done},
+        )
+        io.save_locs(path, out, new_info)
+
+
+class Average3App(_PluginHost):
+    """3D particle averaging (reference gui/average3.py): iterative
+    rotation scans around x/y/z with live projection previews."""
+
+    def __init__(
+        self,
+        picked_locs: pd.DataFrame,
+        info: list[dict],
+        oversampling: float = 10.0,
+        fig=None,
+    ):
+        import matplotlib.pyplot as plt
+
+        if "group" not in picked_locs or "z" not in picked_locs:
+            raise ValueError(
+                "Average3App needs grouped 3D locs (group + z columns)"
+            )
+        self.locs = picked_locs
+        self.info = info
+        self.oversampling = oversampling
+        self.iterations_done = 0
+        self.fig = fig or plt.figure(figsize=(10, 4))
+        self.axes = [
+            self.fig.add_subplot(1, 3, i + 1) for i in range(3)
+        ]
+        self._init_plugins("average3")
+        self.redraw()
+
+    def run(self, iterations: int = 3, rot_axes=("z", "x", "y"),
+            progress=None):
+        from picasso_tpu import average3 as _average3
+
+        self.locs = _average3.average3(
+            self.locs,
+            self.info,
+            iterations=iterations,
+            oversampling=self.oversampling,
+            rot_axes=tuple(rot_axes),
+            progress_callback=progress,
+        )
+        self.iterations_done += iterations
+        self.redraw()
+        return self.locs
+
+    def redraw(self):
+        pixelsize = lib.get_from_metadata(self.info, "Pixelsize", 130)
+        x = self.locs["x"] - self.locs["x"].mean()
+        y = self.locs["y"] - self.locs["y"].mean()
+        z = (self.locs["z"] - self.locs["z"].mean()) / pixelsize
+        r = 2.0
+        planes = [("xy", x, y), ("xz", x, z), ("yz", y, z)]
+        for ax, (name, a, b) in zip(self.axes, planes):
+            ax.clear()
+            H, *_ = np.histogram2d(
+                b, a, bins=int(2 * r * self.oversampling),
+                range=[[-r, r], [-r, r]],
+            )
+            ax.imshow(H, cmap="magma", interpolation="nearest")
+            ax.set_title(name)
+            ax.set_xticks([])
+            ax.set_yticks([])
+        self.fig.suptitle(
+            f"{self.locs['group'].nunique()} particles, "
+            f"{self.iterations_done} iterations"
+        )
+        self.fig.canvas.draw_idle()
+
+    def save(self, path: str):
+        from picasso_tpu import average3 as _average3
+
+        out, new_info = _average3.prepare_locs_for_save(
+            self.locs, self.info,
             {
-                "Generated by": "Picasso Average",
                 "Iterations": self.iterations_done,
                 "Oversampling": self.oversampling,
-            }
-        ]
-        io.save_locs(path, self.locs, new_info)
+            },
+        )
+        io.save_locs(path, out, new_info)
 
 
 class SimulateApp(_PluginHost):

@@ -164,3 +164,23 @@ class TestToRawApp:
         assert done == [1, 2]
         assert app.queue == []
         assert all(p.endswith(".ome.raw") for p in out)
+
+
+class TestAverage3App:
+    def test_runs_and_saves(self, tmp_path):
+        from tests.test_average3 import _dataset, INFO as INFO3
+
+        app = gui.Average3App(_dataset(n_groups=6), INFO3,
+                              oversampling=8)
+        out = app.run(iterations=1, rot_axes=("z",))
+        assert app.iterations_done == 1
+        assert abs(out["x"].mean()) < 0.2
+        path = str(tmp_path / "avg3_locs.hdf5")
+        app.save(path)
+        from picasso_tpu import io
+
+        back, info = io.load_locs(path)
+        assert info[-1]["Generated by"] == "Picasso Average3"
+        assert "z" in back.columns
+        # no locs silently dropped by the save-time sanity filter
+        assert len(back) == len(out)
