@@ -180,38 +180,70 @@ def _newton_step_sigmaxy(theta, spots_t, max_step):
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dsig_x, d2sig_x, dsig_y, d2sig_y,
     ) = _axis_factors_sigmaxy(x, y, photons, sx, sy, s)
-    cf, df, _ = _cf_df(spots_t, psf_x, psf_y, photons, bg)
-    ones = jnp.ones_like(psf_x)
     ph = photons
     ph2 = photons * photons
 
+    # Single-pass accumulation over the x-axis (column) index: the C/D
+    # grids are never materialized — each column's cf/df is computed
+    # from one (S, N) slice of the (pre-swapped) spots and folded into
+    # per-column-factor accumulators. This reads the spot data once per
+    # Newton iteration instead of ~18 full-grid reads (the bilinear
+    # sums are VMEM-bandwidth bound, not FLOP bound).
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+    cf_cols = (dmu_x, psf_x, dsig_x, d2mu_x, d2sig_x)
+    df_cols = (dmu_x, psf_x, dsig_x)  # squared below
+    Tc = [None] * 6  # 5 factors + plain sum
+    Td = [None] * 4  # 3 squared factors + plain sum
+    for i in range(s):
+        data_i = spots_sw[i]  # (S_j, N)
+        model_i = ph[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
+        valid = model_i > 10e-3
+        cf_i = jnp.minimum(
+            jnp.where(valid, data_i / model_i - 1.0, 0.0), 10e4
+        )
+        df_i = jnp.minimum(
+            jnp.where(valid, data_i / (model_i * model_i), 0.0), 10e4
+        )
+        for k, B in enumerate(cf_cols):
+            v = cf_i * B[i][None, :]
+            Tc[k] = v if Tc[k] is None else Tc[k] + v
+        Tc[5] = cf_i if Tc[5] is None else Tc[5] + cf_i
+        for k, B in enumerate(df_cols):
+            b = B[i][None, :]
+            v = df_i * (b * b)
+            Td[k] = v if Td[k] is None else Td[k] + v
+        Td[3] = df_i if Td[3] is None else Td[3] + df_i
+
+    def _rowdot(A, T):
+        return jnp.sum(A * T, axis=0)
+
+    psf_y2 = psf_y * psf_y
     # numerators: sum cf * dudt_p  (dudt_p = scale * A x B)
     num = jnp.stack(
         [
-            ph * _bilinear(psf_y, cf, dmu_x),
-            ph * _bilinear(dmu_y, cf, psf_x),
-            _bilinear(psf_y, cf, psf_x),
-            jnp.sum(cf, axis=(0, 1)),
-            ph * _bilinear(psf_y, cf, dsig_x),
-            ph * _bilinear(dsig_y, cf, psf_x),
+            ph * _rowdot(psf_y, Tc[0]),
+            ph * _rowdot(dmu_y, Tc[1]),
+            _rowdot(psf_y, Tc[1]),
+            jnp.sum(Tc[5], axis=0),
+            ph * _rowdot(psf_y, Tc[2]),
+            ph * _rowdot(dsig_y, Tc[1]),
         ]
     )
     # denominators: sum cf * d2udt2_p - df * dudt_p^2
     den = jnp.stack(
         [
-            ph * _bilinear(psf_y, cf, d2mu_x)
-            - ph2 * _bilinear(psf_y**2, df, dmu_x**2),
-            ph * _bilinear(d2mu_y, cf, psf_x)
-            - ph2 * _bilinear(dmu_y**2, df, psf_x**2),
-            -_bilinear(psf_y**2, df, psf_x**2),
-            -jnp.sum(df, axis=(0, 1)),
-            ph * _bilinear(psf_y, cf, d2sig_x)
-            - ph2 * _bilinear(psf_y**2, df, dsig_x**2),
-            ph * _bilinear(d2sig_y, cf, psf_x)
-            - ph2 * _bilinear(dsig_y**2, df, psf_x**2),
+            ph * _rowdot(psf_y, Tc[3])
+            - ph2 * _rowdot(psf_y2, Td[0]),
+            ph * _rowdot(d2mu_y, Tc[1])
+            - ph2 * _rowdot(dmu_y * dmu_y, Td[1]),
+            -_rowdot(psf_y2, Td[1]),
+            -jnp.sum(Td[3], axis=0),
+            ph * _rowdot(psf_y, Tc[4])
+            - ph2 * _rowdot(psf_y2, Td[2]),
+            ph * _rowdot(d2sig_y, Tc[1])
+            - ph2 * _rowdot(dsig_y * dsig_y, Td[1]),
         ]
     )
-    _ = ones
 
     update = jnp.where(
         den == 0.0,
