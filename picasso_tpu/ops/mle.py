@@ -290,45 +290,77 @@ def _newton_step_sigma(theta, spots_t, max_step):
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dPSFx, d2PSFx, dPSFy, d2PSFy,
     ) = _axis_factors_sigma(x, y, sigma, s)
-    cf, df, _ = _cf_df(spots_t, psf_x, psf_y, photons, bg)
     ph = photons
     ph2 = photons * photons
 
+    # Single-pass column accumulation — see _newton_step_sigmaxy.
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+    cf_cols = (dmu_x, psf_x, dPSFx, d2mu_x, d2PSFx)
+    Tc = [None] * 6  # 5 factors + plain sum
+    Td = [None] * 5  # dmu_x^2, psf_x^2, dPSFx^2, dPSFx*psf_x, plain
+    for i in range(s):
+        data_i = spots_sw[i]  # (S_j, N)
+        model_i = ph[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
+        valid = model_i > 10e-3
+        cf_i = jnp.minimum(
+            jnp.where(valid, data_i / model_i - 1.0, 0.0), 10e4
+        )
+        df_i = jnp.minimum(
+            jnp.where(valid, data_i / (model_i * model_i), 0.0), 10e4
+        )
+        for k, B in enumerate(cf_cols):
+            v = cf_i * B[i][None, :]
+            Tc[k] = v if Tc[k] is None else Tc[k] + v
+        Tc[5] = cf_i if Tc[5] is None else Tc[5] + cf_i
+        dsq = (
+            df_i * (dmu_x[i] * dmu_x[i])[None, :],
+            df_i * (psf_x[i] * psf_x[i])[None, :],
+            df_i * (dPSFx[i] * dPSFx[i])[None, :],
+            df_i * (dPSFx[i] * psf_x[i])[None, :],
+            df_i,
+        )
+        for k, v in enumerate(dsq):
+            Td[k] = v if Td[k] is None else Td[k] + v
+
+    def _rowdot(A, T):
+        return jnp.sum(A * T, axis=0)
+
+    psf_y2 = psf_y * psf_y
     # dudt_sigma = ph * (PSFy x dPSFx + dPSFy x PSFx): two separable
     # terms; its square expands to three.
     num_sigma = ph * (
-        _bilinear(psf_y, cf, dPSFx) + _bilinear(dPSFy, cf, psf_x)
+        _rowdot(psf_y, Tc[2]) + _rowdot(dPSFy, Tc[1])
     )
     # d2udt2_sigma per the reference expression (photons multiplies only
     # the first term — picasso/gaussmle.py:380-382):
     den_sigma_cf = (
-        ph * _bilinear(psf_y, cf, d2PSFx)
-        + 2 * _bilinear(dPSFy, cf, dPSFx)
-        + _bilinear(d2PSFy, cf, psf_x)
+        ph * _rowdot(psf_y, Tc[4])
+        + 2 * _rowdot(dPSFy, Tc[2])
+        + _rowdot(d2PSFy, Tc[1])
     )
     den_sigma_df = ph2 * (
-        _bilinear(psf_y**2, df, dPSFx**2)
-        + 2 * _bilinear(psf_y * dPSFy, df, dPSFx * psf_x)
-        + _bilinear(dPSFy**2, df, psf_x**2)
+        _rowdot(psf_y2, Td[2])
+        + 2 * _rowdot(psf_y * dPSFy, Td[3])
+        + _rowdot(dPSFy * dPSFy, Td[1])
     )
 
     num = jnp.stack(
         [
-            ph * _bilinear(psf_y, cf, dmu_x),
-            ph * _bilinear(dmu_y, cf, psf_x),
-            _bilinear(psf_y, cf, psf_x),
-            jnp.sum(cf, axis=(0, 1)),
+            ph * _rowdot(psf_y, Tc[0]),
+            ph * _rowdot(dmu_y, Tc[1]),
+            _rowdot(psf_y, Tc[1]),
+            jnp.sum(Tc[5], axis=0),
             num_sigma,
         ]
     )
     den = jnp.stack(
         [
-            ph * _bilinear(psf_y, cf, d2mu_x)
-            - ph2 * _bilinear(psf_y**2, df, dmu_x**2),
-            ph * _bilinear(d2mu_y, cf, psf_x)
-            - ph2 * _bilinear(dmu_y**2, df, psf_x**2),
-            -_bilinear(psf_y**2, df, psf_x**2),
-            -jnp.sum(df, axis=(0, 1)),
+            ph * _rowdot(psf_y, Tc[3])
+            - ph2 * _rowdot(psf_y2, Td[0]),
+            ph * _rowdot(d2mu_y, Tc[1])
+            - ph2 * _rowdot(dmu_y * dmu_y, Td[1]),
+            -_rowdot(psf_y2, Td[1]),
+            -jnp.sum(Td[4], axis=0),
             den_sigma_cf - den_sigma_df,
         ]
     )
@@ -377,10 +409,7 @@ def _fisher_terms_sigmaxy(theta, s):
         [(ph, psf_y, dsig_x)],
         [(ph, dsig_y, psf_x)],
     ]
-    model = ph[None, None, :] * (
-        psf_y[:, None, :] * psf_x[None, :, :]
-    ) + bg[None, None, :]
-    return terms, model
+    return terms, psf_x, psf_y
 
 
 def _fisher_terms_sigma(theta, s):
@@ -399,31 +428,74 @@ def _fisher_terms_sigma(theta, s):
         [(one, ones, ones)],
         [(ph, psf_y, dPSFx), (ph, dPSFy, psf_x)],
     ]
-    model = ph[None, None, :] * (
-        psf_y[:, None, :] * psf_x[None, :, :]
-    ) + bg[None, None, :]
-    return terms, model
+    return terms, psf_x, psf_y
 
 
-def _crlb_and_likelihood(terms, model, spots_t):
+def _crlb_and_likelihood(terms, psf_x, psf_y, photons, bg, spots_t):
     """Fisher-matrix CRLBs + Poisson log-likelihood with Stirling
     approximation (picasso/gaussmle.py:684-742/898-954). Each Fisher
     entry is a sum of bilinear forms over W = 1/model; the float32
-    inverse runs on the diagonally equilibrated matrix."""
+    inverse runs on the diagonally equilibrated matrix.
+
+    Single column pass: W and the log-likelihood are computed per spot
+    column and folded into deduplicated B-product accumulators, so the
+    spot data is read once and no (S, S, N) grids are materialized
+    (same structure as the Newton steps)."""
     from picasso_tpu.ops.linalg import spd_inv_diag
 
     P = len(terms)
-    W = 1.0 / model  # model >= bg >= 0.01 after constraints
-    n = model.shape[-1]
+    s = spots_t.shape[0]
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+
+    # distinct column-factor (B) vectors across all terms, by identity
+    b_list: list = []
+    b_ids: dict[int, int] = {}
+    for plist in terms:
+        for (_, _, B) in plist:
+            if id(B) not in b_ids:
+                b_ids[id(B)] = len(b_list)
+                b_list.append(B)
+    nB = len(b_list)
+
+    T: dict[tuple[int, int], jnp.ndarray] = {}
+    ll_acc = None
+    for i in range(s):
+        data_i = spots_sw[i]  # (S_j, N)
+        model_i = (
+            photons[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
+        )
+        W_i = 1.0 / model_i  # model >= bg >= 0.01 after constraints
+        for a in range(nB):
+            Ba_i = b_list[a][i][None, :]
+            for b in range(a, nB):
+                v = W_i * (Ba_i * b_list[b][i][None, :])
+                T[(a, b)] = v if (a, b) not in T else T[(a, b)] + v
+        ll_pos = (
+            data_i * jnp.log(model_i)
+            - model_i
+            - data_i * jnp.log(data_i)
+            + data_i
+        )
+        ll_i = jnp.where(data_i > 0, ll_pos, -model_i)
+        ll_i = jnp.where(model_i > 0, ll_i, 0.0)
+        ll_acc = ll_i if ll_acc is None else ll_acc + ll_i
+
+    def _T(Bp, Bq):
+        a, b = b_ids[id(Bp)], b_ids[id(Bq)]
+        return T[(min(a, b), max(a, b))]
+
     # Built as nested stacks (not .at[p, q].set — that would lower to
     # scatter, unsupported by Mosaic); entries are symmetric-cached.
     entries: dict[tuple[int, int], jnp.ndarray] = {}
     for p in range(P):
         for q in range(p, P):
-            acc = jnp.zeros(n, model.dtype)
+            acc = None
             for (sp, Ap, Bp) in terms[p]:
                 for (sq, Aq, Bq) in terms[q]:
-                    acc = acc + sp * sq * _bilinear(Ap * Aq, W, Bp * Bq)
+                    v = sp * sq * jnp.sum(
+                        Ap * Aq * _T(Bp, Bq), axis=0
+                    )
+                    acc = v if acc is None else acc + v
             entries[(p, q)] = entries[(q, p)] = acc
     M = jnp.stack(
         [
@@ -436,11 +508,7 @@ def _crlb_and_likelihood(terms, model, spots_t):
     M_eq = M * d_inv[:, None, :] * d_inv[None, :, :]
     crlb = spd_inv_diag(M_eq) * d_inv**2  # (P, N)
 
-    data = spots_t
-    ll_pos = data * jnp.log(model) - model - data * jnp.log(data) + data
-    ll = jnp.where(data > 0, ll_pos, -model)
-    ll = jnp.where(model > 0, ll, 0.0)
-    log_likelihood = jnp.sum(ll, axis=(0, 1))
+    log_likelihood = jnp.sum(ll_acc, axis=0)
     return crlb, log_likelihood
 
 
@@ -525,13 +593,17 @@ def _fit_core(
     iters = iters2[0].astype(jnp.int32)
 
     if method == "sigmaxy":
-        terms, model = _fisher_terms_sigmaxy(theta, s)
-        crlb, ll = _crlb_and_likelihood(terms, model, spots_t)
+        terms, fpx, fpy = _fisher_terms_sigmaxy(theta, s)
+        crlb, ll = _crlb_and_likelihood(
+            terms, fpx, fpy, theta[2], theta[3], spots_t
+        )
         thetas6 = theta
         crlb6 = crlb
     else:
-        terms, model = _fisher_terms_sigma(theta, s)
-        crlb, ll = _crlb_and_likelihood(terms, model, spots_t)
+        terms, fpx, fpy = _fisher_terms_sigma(theta, s)
+        crlb, ll = _crlb_and_likelihood(
+            terms, fpx, fpy, theta[2], theta[3], spots_t
+        )
         # Mirror sigma into both sx/sy slots (gaussmle.py:641-642/741-742)
         thetas6 = jnp.concatenate([theta, theta[4:5]])
         crlb6 = jnp.concatenate([crlb, crlb[4:5]])
