@@ -198,12 +198,11 @@ def _newton_step_sigmaxy(theta, spots_t, max_step):
         data_i = spots_sw[i]  # (S_j, N)
         model_i = ph[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
         valid = model_i > 10e-3
-        cf_i = jnp.minimum(
-            jnp.where(valid, data_i / model_i - 1.0, 0.0), 10e4
-        )
-        df_i = jnp.minimum(
-            jnp.where(valid, data_i / (model_i * model_i), 0.0), 10e4
-        )
+        # one reciprocal instead of two divides per column
+        r_i = 1.0 / model_i
+        dr_i = data_i * r_i
+        cf_i = jnp.minimum(jnp.where(valid, dr_i - 1.0, 0.0), 10e4)
+        df_i = jnp.minimum(jnp.where(valid, dr_i * r_i, 0.0), 10e4)
         for k, B in enumerate(cf_cols):
             v = cf_i * B[i][None, :]
             Tc[k] = v if Tc[k] is None else Tc[k] + v
@@ -302,12 +301,11 @@ def _newton_step_sigma(theta, spots_t, max_step):
         data_i = spots_sw[i]  # (S_j, N)
         model_i = ph[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
         valid = model_i > 10e-3
-        cf_i = jnp.minimum(
-            jnp.where(valid, data_i / model_i - 1.0, 0.0), 10e4
-        )
-        df_i = jnp.minimum(
-            jnp.where(valid, data_i / (model_i * model_i), 0.0), 10e4
-        )
+        # one reciprocal instead of two divides per column
+        r_i = 1.0 / model_i
+        dr_i = data_i * r_i
+        cf_i = jnp.minimum(jnp.where(valid, dr_i - 1.0, 0.0), 10e4)
+        df_i = jnp.minimum(jnp.where(valid, dr_i * r_i, 0.0), 10e4)
         for k, B in enumerate(cf_cols):
             v = cf_i * B[i][None, :]
             Tc[k] = v if Tc[k] is None else Tc[k] + v
