@@ -95,8 +95,20 @@ def _residual(theta, spots_t, s: int):
 
 
 def _cost(theta, spots_t, s: int):
-    r = _residual(theta, spots_t, s)
-    return jnp.sum(r * r, axis=(0, 1))
+    """Sum of squared residuals, accumulated per spot column so no
+    (S, S, N) residual grid is materialized."""
+    gx, gy, *_ = _axis_factors(theta, s)
+    ph = theta[2]
+    bg = theta[3]
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+    acc = None
+    for i in range(spots_t.shape[0]):
+        r_i = spots_sw[i] - (
+            ph[None, :] * gy * gx[i][None, :] + bg[None, :]
+        )
+        v = r_i * r_i
+        acc = v if acc is None else acc + v
+    return jnp.sum(acc, axis=0)
 
 
 def _normal_equations(theta, spots_t, s: int):
@@ -115,21 +127,43 @@ def _normal_equations(theta, spots_t, s: int):
         (photons, gy, dgx_dsx),  # d/dsx
         (photons, dgy_dsy, gx),  # d/dsy
     ]
-    model = photons[None, None, :] * (
-        gy[:, None, :] * gx[None, :, :]
-    ) + theta[3][None, None, :]
-    R = spots_t - model
+    # Single column pass for J^T r: the residual is computed per spot
+    # column and folded into per-column-factor accumulators, so the
+    # spot data is read once and no residual grid is materialized (the
+    # same structure as the MLE Newton steps). JtJ needs only 1D dot
+    # products of the separable factors. Nested stacks instead of
+    # .at[].set — scatter has no Mosaic (Pallas TPU) lowering.
+    bg = theta[3]
+    b_cols = (dgx_dx, gx, dgx_dsx)
+    Tc = [None] * 4  # 3 factors + plain sum (for the bg column)
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+    for i in range(s):
+        r_i = spots_sw[i] - (
+            photons[None, :] * gy * gx[i][None, :] + bg[None, :]
+        )
+        for k, B in enumerate(b_cols):
+            v = r_i * B[i][None, :]
+            Tc[k] = v if Tc[k] is None else Tc[k] + v
+        Tc[3] = r_i if Tc[3] is None else Tc[3] + r_i
+
+    def _rowdot(A, T):
+        return jnp.sum(A * T, axis=0)
+
+    Jtr = jnp.stack(
+        [
+            photons * _rowdot(gy, Tc[0]),
+            photons * _rowdot(dgy_dy, Tc[1]),
+            _rowdot(gy, Tc[1]),
+            jnp.sum(Tc[3], axis=0),
+            photons * _rowdot(gy, Tc[2]),
+            photons * _rowdot(dgy_dsy, Tc[1]),
+        ]
+    )
 
     P = 6
-    # Nested stacks instead of .at[].set, broadcast-sum instead of the
-    # batched einsum — neither scatter nor this dot_general form lowers
-    # on the Mosaic (Pallas TPU) backend, and the S axes are tiny.
-    jtr_rows = []
     entries: dict[tuple[int, int], jnp.ndarray] = {}
     for p in range(P):
         sp, ap, bp = terms[p]
-        T = jnp.sum(ap[:, None, :] * R, axis=0)  # (S_i, N)
-        jtr_rows.append(sp * jnp.sum(T * bp, axis=0))
         for q in range(p, P):
             sq, aq, bq = terms[q]
             val = (
@@ -141,8 +175,7 @@ def _normal_equations(theta, spots_t, s: int):
     JtJ = jnp.stack(
         [jnp.stack([entries[(p, q)] for q in range(P)]) for p in range(P)]
     )
-    Jtr = jnp.stack(jtr_rows)
-    return JtJ, Jtr, R
+    return JtJ, Jtr, None
 
 
 @functools.partial(jax.jit, static_argnames=("max_it",))
