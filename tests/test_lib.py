@@ -107,3 +107,44 @@ def test_append_to_rec():
     out = lib.append_to_rec(locs, np.arange(3), "z")
     assert "z" in out.columns
     assert "z" not in locs.columns
+
+
+class TestProfiling:
+    def test_trace_noop_without_dir(self, monkeypatch):
+        from picasso_tpu import profiling
+
+        monkeypatch.delenv("PICASSO_TPU_PROFILE", raising=False)
+        with profiling.trace(None) as d:
+            assert d is None
+
+    def test_trace_captures(self, tmp_path):
+        import jax.numpy as jnp
+
+        from picasso_tpu import profiling
+
+        log_dir = str(tmp_path / "trace")
+        with profiling.trace(log_dir) as d:
+            assert d == log_dir
+            float(jnp.sum(jnp.ones((64, 64))))
+        import os
+
+        found = []
+        for root, _, files in os.walk(log_dir):
+            found.extend(files)
+        assert found  # trace artifacts were written
+
+    def test_annotate_and_stage_timer(self):
+        from picasso_tpu import profiling
+
+        @profiling.annotate("test-span")
+        def f(a, b):
+            return a + b
+
+        assert f(2, 3) == 5
+        timer = profiling.StageTimer()
+        with timer.stage("one"):
+            pass
+        with timer.stage("two"):
+            pass
+        report = timer.report()
+        assert "one" in report and "total" in report
