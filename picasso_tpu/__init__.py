@@ -41,8 +41,24 @@ def _configure_jax_defaults():
         jax.config.jax_compilation_cache_dir is None
         and "JAX_COMPILATION_CACHE_DIR" not in os.environ
     ):
+        # key the cache by a host-CPU fingerprint: XLA:CPU AOT results
+        # are machine-code and can SIGILL if reused on a host with
+        # different vector extensions (shared home dirs across fleets)
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = [
+                    line for line in f if line.startswith("flags")
+                ][:1]
+            fingerprint = hashlib.sha1(
+                "".join(flags).encode()
+            ).hexdigest()[:8]
+        except Exception:
+            fingerprint = "generic"
         cache_dir = os.path.join(
-            os.path.expanduser("~"), ".picasso_tpu", "jax_cache"
+            os.path.expanduser("~"), ".picasso_tpu",
+            f"jax_cache_{fingerprint}",
         )
         try:
             os.makedirs(cache_dir, exist_ok=True)
