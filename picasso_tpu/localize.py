@@ -51,7 +51,7 @@ SET_COLS = [
 # Frames per device batch during identification. 64 frames of a
 # 2048x2048 movie is ~0.5 GB f32 — sized to overlap host decode with
 # device compute while bounding HBM.
-_ID_FRAME_CHUNK = 64
+_ID_FRAME_CHUNK = 256
 
 
 # ---------------------------------------------------------------------------
@@ -171,13 +171,27 @@ def identify(
                 batch = np.stack(
                     [np.asarray(movie[i]) for i in batch_idx]
                 )
+            # pad the tail chunk with zero frames so only one batch
+            # shape ever compiles (zero frames have no local maxima and
+            # net gradient 0, so they produce no hits; trim by frame
+            # index below just in case)
+            n_real = len(batch)
+            pad = _ID_FRAME_CHUNK - n_real
+            if pad > 0 and start > 0:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]),
+                                     batch.dtype)]
+                )
             f, y, x, ng = _identify_ops.identify_frames(
-                batch.astype(np.float32),
+                batch,
                 minimum_ng,
                 box,
                 frame_offset=batch_idx[0],
                 roi=roi,
             )
+            if pad > 0 and start > 0:
+                keep = f < batch_idx[0] + n_real
+                f, y, x, ng = f[keep], y[keep], x[keep], ng[keep]
             all_frames.append(f)
             all_y.append(y)
             all_x.append(x)

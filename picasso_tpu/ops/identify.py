@@ -130,6 +130,28 @@ def identify_maps(
     return maxima, ng
 
 
+@functools.partial(jax.jit, static_argnames=("box", "size"))
+def _identify_compact(frames, minimum_ng, box, size):
+    """Device-side threshold + compaction: returns the true hit count
+    plus (frame, y, x, ng) arrays of static length *size* (fill rows
+    marked frame == -1). The caller retries with a bigger size iff
+    count > size."""
+    maxima, ng = identify_maps(frames, box)
+    mask = maxima & (ng > minimum_ng)
+    count = jnp.sum(mask)
+    f, y, x = jnp.nonzero(mask, size=size, fill_value=-1)
+    ng_vals = ng[
+        jnp.maximum(f, 0), jnp.maximum(y, 0), jnp.maximum(x, 0)
+    ]
+    return count, f, y, x, ng_vals
+
+
+#: speculative compaction bucket per frame-batch shape — one device
+#: round-trip in the common case, a retry only when a chunk has more
+#: spots than any chunk of that shape before it
+_BUCKET_HINT: dict[tuple[int, ...], int] = {}
+
+
 def identify_frames(
     frames: np.ndarray,
     minimum_ng: float,
@@ -140,21 +162,44 @@ def identify_frames(
     """Identify spots in a batch of frames; returns flat
     (frame, y, x, net_gradient) arrays. ROI crops before
     identification and offsets coordinates back, matching
-    identify_in_frame (localize.py:295-337)."""
+    identify_in_frame (localize.py:295-337).
+
+    Host↔device traffic is minimized: frames upload in their native
+    dtype (u16 is half the bytes of f32; the cast runs on device) and
+    only the compacted spot arrays come back — a count first, then a
+    power-of-two-sized nonzero (static shapes; a handful of bucket
+    sizes ever compile) instead of full (B, Y, X) maps."""
     frames = np.asarray(frames)
     if roi is not None:
         (y0, x0), (y1, x1) = roi
         frames = frames[:, y0:y1, x0:x1]
-    maxima, ng = identify_maps(jnp.asarray(frames, jnp.float32), box)
-    maxima = np.asarray(maxima)
-    ng = np.asarray(ng)
-    mask = maxima & (ng > minimum_ng)
-    f_idx, y, x = np.nonzero(mask)
-    ng_vals = ng[f_idx, y, x]
+    dev = jnp.asarray(frames)
+    ng_thresh = jnp.float32(minimum_ng)
+    size = _BUCKET_HINT.get(frames.shape, 4096)
+    while True:
+        count, f, y, x, ng_vals = _identify_compact(
+            dev, ng_thresh, box, size
+        )
+        n = int(count)
+        if n <= size:
+            break
+        size = 1 << (n - 1).bit_length()
+    _BUCKET_HINT[frames.shape] = max(
+        _BUCKET_HINT.get(frames.shape, 0), size
+    )
+    if n == 0:
+        empty = np.zeros(0, np.int64)
+        return empty, empty, empty, np.zeros(0, np.float32)
+    # jnp.nonzero packs real hits first, in row-major (frame-major)
+    # order; fill rows (frame == -1) trail and are dropped by [:n].
+    f_idx = np.asarray(f)[:n].astype(np.int64)
+    y = np.asarray(y)[:n].astype(np.int64)
+    x = np.asarray(x)[:n].astype(np.int64)
+    ng_vals = np.asarray(ng_vals)[:n].astype(np.float32)
     if roi is not None:
         y = y + roi[0][0]
         x = x + roi[0][1]
-    return f_idx + frame_offset, y, x, ng_vals.astype(np.float32)
+    return f_idx + frame_offset, y, x, ng_vals
 
 
 # ---------------------------------------------------------------------------
