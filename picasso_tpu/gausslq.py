@@ -35,13 +35,15 @@ def fit_spots(
     progress_callback: (
         Callable[[int], None] | Literal["console"] | None
     ) = None,
+    photon_conversion: tuple[float, float] | None = None,
 ) -> np.ndarray:
     """Batched LM fit of all spots (picasso/gausslq.py:247)."""
     with lib.progress_reporter(
         progress_callback, len(spots), "Fitting (LQ)"
     ) as rep:
         theta = _lq.fit_spots_batched(
-            spots, progress_callback=rep.set_value
+            spots, progress_callback=rep.set_value,
+            photon_conversion=photon_conversion,
         )
     if callable(progress_callback):
         for i in range(len(spots)):

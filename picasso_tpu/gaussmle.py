@@ -26,6 +26,7 @@ def gaussmle(
     progress_callback: (
         Callable[[int], None] | Literal["console"] | None
     ) = None,
+    photon_conversion: tuple[float, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fit integrated Gaussians by MLE to a batch of spots.
 
@@ -39,6 +40,7 @@ def gaussmle(
     ) as rep:
         thetas, crlbs, lls, its = _mle.gaussmle_batched(
             spots, eps, max_it, method=method,
+            photon_conversion=photon_conversion,
             progress_callback=rep.set_value,
         )
     if callable(progress_callback):

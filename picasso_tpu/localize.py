@@ -291,6 +291,21 @@ def get_spots(
     return _identify_ops.to_photons(spots, camera_info)
 
 
+def get_spots_raw(
+    movie, identifications: pd.DataFrame, box: int
+) -> np.ndarray:
+    """Cut (N, box, box) ROIs in the movie's native dtype, without
+    photon conversion — half the upload bytes for u16 movies when the
+    fitters convert on device (photon_conversion=...)."""
+    return _identify_ops.cut_spots_numpy(
+        movie,
+        identifications["frame"].to_numpy(),
+        identifications["x"].to_numpy(),
+        identifications["y"].to_numpy(),
+        box,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fitting orchestration
 # ---------------------------------------------------------------------------
@@ -333,16 +348,39 @@ def fit2D(
         )
         camera_info["Pixelsize"] = 130
 
-    spots = get_spots(movie, identifications, box, camera_info)
+    # Device-side photon conversion path: raw u16 ROIs upload at half
+    # the bytes; (raw - baseline) * sensitivity / gain runs in HBM.
+    conversion = None
+    if (
+        fitting_method in ("gausslq", "gausslq-gpu", "gaussmle")
+        and np.isscalar(camera_info.get("Baseline", 0))
+        and np.isscalar(camera_info.get("Sensitivity", 1))
+        and np.isscalar(camera_info.get("Gain", 1))
+        and getattr(
+            np.asarray(movie[0]) if not isinstance(movie, np.ndarray)
+            else movie, "dtype", None
+        ) == np.uint16
+    ):
+        spots = get_spots_raw(movie, identifications, box)
+        conversion = (
+            float(camera_info["Baseline"]),
+            float(camera_info["Sensitivity"])
+            / float(camera_info["Gain"]),
+        )
+    else:
+        spots = get_spots(movie, identifications, box, camera_info)
     em = camera_info["Gain"] > 1
     if abort_callback is not None and abort_callback():
         return None, {}
     if fitting_method in ("gausslq", "gausslq-gpu"):
-        theta = gausslq.fit_spots(spots, progress_callback)
+        theta = gausslq.fit_spots(
+            spots, progress_callback, photon_conversion=conversion
+        )
         locs = gausslq.locs_from_fits(identifications, theta, box, em)
     elif fitting_method == "gaussmle":
         thetas, CRLBs, llhoods, iterations = gaussmle.gaussmle(
-            spots, eps, max_it, mle_method, progress_callback
+            spots, eps, max_it, mle_method, progress_callback,
+            photon_conversion=conversion,
         )
         locs = gaussmle.locs_from_fits(
             identifications, thetas, CRLBs, llhoods, iterations, box

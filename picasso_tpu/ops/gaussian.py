@@ -99,6 +99,22 @@ def iso_sigma_axis_terms(
     return dPSF, d2PSF
 
 
+def _erf_from_exp(a, e):
+    """erf(a/sqrt(2)) given e == exp(-(a/sqrt(2))^2) — reuses the
+    exponential already computed for the derivative factors."""
+    x = jnp.abs(a) * _INV_SQRT2
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t
+        * (
+            -0.284496736
+            + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+        )
+    )
+    return jnp.sign(a) * (1.0 - poly * e)
+
+
 def fused_axis_terms(
     d: jnp.ndarray, sigma: jnp.ndarray
 ) -> tuple[jnp.ndarray, ...]:
@@ -115,21 +131,6 @@ def fused_axis_terms(
     am = (d - 0.5) * inv_s
     ea = jnp.exp(-0.5 * ap * ap)
     eb = jnp.exp(-0.5 * am * am)
-
-    def _erf_from_exp(a, e):
-        # erf(a/sqrt(2)) with exp(-(a/sqrt(2))^2) == e already known
-        x = jnp.abs(a) * _INV_SQRT2
-        t = 1.0 / (1.0 + 0.3275911 * x)
-        poly = t * (
-            0.254829592
-            + t
-            * (
-                -0.284496736
-                + t
-                * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
-            )
-        )
-        return jnp.sign(a) * (1.0 - poly * e)
 
     psf = 0.5 * (_erf_from_exp(ap, ea) - _erf_from_exp(am, eb))
     norm = inv_s / _SQRT_2PI
@@ -156,20 +157,6 @@ def fused_axis_terms_iso(
     am = (d - 0.5) * inv_s
     ea = jnp.exp(-0.5 * ap * ap)
     eb = jnp.exp(-0.5 * am * am)
-
-    def _erf_from_exp(a, e):
-        x = jnp.abs(a) * _INV_SQRT2
-        t = 1.0 / (1.0 + 0.3275911 * x)
-        poly = t * (
-            0.254829592
-            + t
-            * (
-                -0.284496736
-                + t
-                * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
-            )
-        )
-        return jnp.sign(a) * (1.0 - poly * e)
 
     psf = 0.5 * (_erf_from_exp(ap, ea) - _erf_from_exp(am, eb))
     norm = inv_s / _SQRT_2PI

@@ -271,15 +271,20 @@ def fit_spots_batched(
     max_it: int = 30,
     chunk: int = _DEFAULT_CHUNK,
     progress_callback=None,
+    photon_conversion: tuple[float, float] | None = None,
 ) -> np.ndarray:
     """Fit all spots in device-sized chunks; returns theta (N, 6) with
-    columns [x, y, photons, bg, sx, sy]."""
+    columns [x, y, photons, bg, sx, sy]. With ``photon_conversion``
+    spots upload raw and convert on device (see ops/mle.py)."""
     import os
 
     n = len(spots)
     if n == 0:
         return np.zeros((0, 6), np.float32)
-    spots = np.asarray(spots, dtype=np.float32)
+    if photon_conversion is None:
+        spots = np.asarray(spots, dtype=np.float32)
+    else:
+        spots = np.asarray(spots)
     use_pallas = False
     if os.environ.get("PICASSO_TPU_NO_PALLAS", "0") != "1":
         from picasso_tpu.ops import lq_pallas
@@ -305,10 +310,18 @@ def fit_spots_batched(
             part = np.concatenate(
                 [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0
             )
+        dev = jnp.asarray(part)
+        if photon_conversion is not None:
+            from picasso_tpu.ops.mle import _photon_convert
+
+            baseline, factor = photon_conversion
+            dev = _photon_convert(
+                dev, jnp.float32(baseline), jnp.float32(factor)
+            )
         if use_pallas:
-            fit = lq_pallas.fit_pallas(jnp.asarray(part), max_it)
+            fit = lq_pallas.fit_pallas(dev, max_it)
         else:
-            fit = _fit_chunk(jnp.asarray(part), max_it)
+            fit = _fit_chunk(dev, max_it)
         results.append((n_part, fit))
         while len(results) > 2:
             _gather(*results.pop(0))

@@ -627,6 +627,14 @@ def _fit_chunk(
     return thetas6.T, crlb6.T, ll, iters
 
 
+@functools.partial(jax.jit)
+def _photon_convert(spots, baseline, factor):
+    """(raw - baseline) * sensitivity / gain on device — lets callers
+    upload raw u16 ROIs (half the bytes of f32) and convert in HBM
+    (picasso/localize.py:1101 semantics)."""
+    return (spots.astype(jnp.float32) - baseline) * factor
+
+
 def gaussmle_batched(
     spots: np.ndarray,
     eps: float,
@@ -634,10 +642,15 @@ def gaussmle_batched(
     method: str = "sigmaxy",
     chunk: int = _DEFAULT_CHUNK,
     progress_callback=None,
+    photon_conversion: tuple[float, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fit all spots in device-sized chunks. Chunking bounds device
     memory, lets whole-chunk convergence pay off, and overlaps host
-    staging with device compute (dispatch is async)."""
+    staging with device compute (dispatch is async).
+
+    With ``photon_conversion=(baseline, factor)`` spots may be raw
+    camera counts of any dtype; they upload as-is and convert to
+    photons on device."""
     n = len(spots)
     if n == 0:
         return (
@@ -646,7 +659,10 @@ def gaussmle_batched(
             np.zeros(0, np.float32),
             np.zeros(0, np.int32),
         )
-    spots = np.asarray(spots, dtype=np.float32)
+    if photon_conversion is None:
+        spots = np.asarray(spots, dtype=np.float32)
+    else:
+        spots = np.asarray(spots)
     out_theta, out_crlb, out_ll, out_it = [], [], [], []
     results = []
     done_count = 0
@@ -682,13 +698,18 @@ def gaussmle_batched(
             part = np.concatenate(
                 [part, np.ones((pad, *part.shape[1:]), part.dtype)], axis=0
             )
+        dev = jnp.asarray(part)
+        if photon_conversion is not None:
+            baseline, factor = photon_conversion
+            dev = _photon_convert(
+                dev, jnp.float32(baseline), jnp.float32(factor)
+            )
         if use_pallas:
             results.append(
                 (
                     n_part,
                     mle_pallas.fit_pallas(
-                        jnp.asarray(part), float(eps), max_it,
-                        method=method,
+                        dev, float(eps), max_it, method=method,
                     ),
                 )
             )
@@ -697,8 +718,7 @@ def gaussmle_batched(
                 (
                     n_part,
                     _fit_chunk(
-                        jnp.asarray(part), float(eps), max_it,
-                        method=method,
+                        dev, float(eps), max_it, method=method,
                     ),
                 )
             )

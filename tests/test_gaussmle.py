@@ -174,3 +174,18 @@ def test_sigma_uncertainty_formula():
         * (1 + 8 * tau + np.sqrt((8 * tau) / (1 + 2 * tau)))
     )
     np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+class TestDevicePhotonConversion:
+    def test_u16_device_conversion_matches_host(self):
+        rng = np.random.default_rng(0)
+        raw = rng.integers(90, 4000, (256, 7, 7)).astype(np.uint16)
+        baseline, sensitivity, gain = 90.0, 0.47, 2.0
+        host = ((raw.astype(np.float32) - baseline) * sensitivity
+                / gain)
+        t_host = gaussmle.gaussmle(host, 1e-3, 30)[0]
+        t_dev = gaussmle.gaussmle(
+            raw, 1e-3, 30,
+            photon_conversion=(baseline, sensitivity / gain),
+        )[0]
+        np.testing.assert_allclose(t_dev, t_host, atol=1e-4)
