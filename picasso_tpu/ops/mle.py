@@ -515,46 +515,56 @@ def _crlb_and_likelihood(terms, psf_x, psf_y, photons, bg, spots_t):
 # ---------------------------------------------------------------------------
 
 
-def _fit_core(
-    spots_t: jnp.ndarray,
-    eps: float,
-    max_it: int,
-    method: str = "sigmaxy",
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fit a (S, S, N) spot batch in lanes-last layout. Returns
-    (thetas (6, N), CRLBs (6, N), log_likelihoods (N,),
-    iterations (N,)). Pure function — also runs inside the Pallas
-    tile kernel (ops/mle_pallas.py)."""
-    s = spots_t.shape[0]
-    n = spots_t.shape[2]
-    eps = float(eps)
-
+def _init_state(spots_t: jnp.ndarray, method: str):
+    """Initial fit state (theta, old, done, iters, max_step): theta0
+    from the moment estimates, f32 (1, N) masks per the Mosaic carry
+    rules, max_step from the INITIAL parameters
+    (picasso/gaussmle.py:770-773) so it must be carried across resumed
+    rounds."""
     x0, y0, ph0, bg0, sx0, sy0 = initial_theta_sigmaxy_t(spots_t)
     if method == "sigmaxy":
         theta0 = jnp.stack([x0, y0, ph0, bg0, sx0, sy0])  # (6, N)
-        step_fn = _newton_step_sigmaxy
-        # max_step (picasso/gaussmle.py:770-773)
         max_step = jnp.stack(
             [sx0, sx0, 0.1 * ph0, 0.1 * bg0, 0.2 * sx0, 0.2 * sy0]
         )
-        conv_rows = (0, 1, 4, 5)
     elif method == "sigma":
         theta0 = jnp.stack([x0, y0, ph0, bg0, (sx0 + sy0) / 2])
-        step_fn = _newton_step_sigma
         max_step = jnp.stack(
             [theta0[4], theta0[4], 0.1 * ph0, 0.1 * bg0, 0.2 * theta0[4]]
         )
-        conv_rows = (0, 1)
     else:
         raise ValueError("Method not available.")
+    # NaN-safe data-derived zeros: device-varying under shard_map and
+    # non-replicated initial layouts for Mosaic (see notes below).
+    row_zero = (
+        jnp.where(jnp.isfinite(theta0[:1]), theta0[:1], 0.0) * 0.0
+    )
+    return theta0, theta0, row_zero, row_zero, max_step
 
-    # Loop-carry layout rules for the Mosaic (Pallas TPU) backend:
-    # vector carries must be 2D (1, N) and float — 1D carries cannot be
-    # relayouted and boolean/int vector carries fail to legalize across
-    # scf.yield. done/iters are therefore f32 {0,1}/count masks.
+
+def _run_newton_rounds(
+    spots_t, theta, old, done, iters, max_step, eps: float,
+    n_iters: int, method: str,
+):
+    """Run up to n_iters Newton iterations from carried state; exits
+    early when every spot has converged. Resumable: calling this twice
+    with n_iters a+b is bit-identical to once with a+b.
+
+    Loop-carry layout rules for the Mosaic (Pallas TPU) backend:
+    vector carries must be 2D (1, N) and float — 1D carries cannot be
+    relayouted and boolean/int vector carries fail to legalize across
+    scf.yield. done/iters are therefore f32 {0,1}/count masks."""
+    eps = float(eps)
+    if method == "sigmaxy":
+        step_fn = _newton_step_sigmaxy
+        conv_rows = (0, 1, 4, 5)
+    else:
+        step_fn = _newton_step_sigma
+        conv_rows = (0, 1)
+
     def cond(state):
         theta, old, done, iters, kk = state
-        return (kk < max_it) & (jnp.sum(1.0 - done) > 0.0)
+        return (kk < n_iters) & (jnp.sum(1.0 - done) > 0.0)
 
     def body(state):
         theta, old, done, iters, kk = state
@@ -572,39 +582,54 @@ def _fit_core(
         old = jnp.where(done > 0.5, old, theta)
         return theta, old, done, iters, kk
 
-    # Derive the zero-initialized loop state from the data so the carry
-    # has consistent device-varying types under shard_map (per-device
-    # convergence loops in the multi-chip path) and a non-replicated
-    # initial layout (Mosaic requires init/body layouts to agree).
-    row_zero = (
-        jnp.where(jnp.isfinite(theta0[:1]), theta0[:1], 0.0) * 0.0
-    )  # (1, N) — NaN-safe: a NaN zero mask would poison the loop cond
-    data_zero = row_zero[0, 0].astype(jnp.int32)
-    state = (
-        theta0,
-        theta0,
-        row_zero,
-        row_zero,
-        data_zero,
-    )
-    theta, _, _, iters2, _ = jax.lax.while_loop(cond, body, state)
-    iters = iters2[0].astype(jnp.int32)
+    data_zero = (done[0, 0] * 0.0).astype(jnp.int32)
+    state = (theta, old, done, iters, data_zero)
+    theta, old, done, iters, _ = jax.lax.while_loop(cond, body, state)
+    return theta, old, done, iters
 
+
+def _crlb_ll_for(theta, spots_t, method: str):
+    """CRLB + log-likelihood at theta, padded to 6 rows for the sigma
+    method (gaussmle.py:641-642/741-742)."""
+    s = spots_t.shape[0]
     if method == "sigmaxy":
         terms, fpx, fpy = _fisher_terms_sigmaxy(theta, s)
         crlb, ll = _crlb_and_likelihood(
             terms, fpx, fpy, theta[2], theta[3], spots_t
         )
-        thetas6 = theta
-        crlb6 = crlb
-    else:
-        terms, fpx, fpy = _fisher_terms_sigma(theta, s)
-        crlb, ll = _crlb_and_likelihood(
-            terms, fpx, fpy, theta[2], theta[3], spots_t
-        )
-        # Mirror sigma into both sx/sy slots (gaussmle.py:641-642/741-742)
-        thetas6 = jnp.concatenate([theta, theta[4:5]])
-        crlb6 = jnp.concatenate([crlb, crlb[4:5]])
+        return theta, crlb, ll
+    terms, fpx, fpy = _fisher_terms_sigma(theta, s)
+    crlb, ll = _crlb_and_likelihood(
+        terms, fpx, fpy, theta[2], theta[3], spots_t
+    )
+    return (
+        jnp.concatenate([theta, theta[4:5]]),
+        jnp.concatenate([crlb, crlb[4:5]]),
+        ll,
+    )
+
+
+def _fit_core(
+    spots_t: jnp.ndarray,
+    eps: float,
+    max_it: int,
+    method: str = "sigmaxy",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fit a (S, S, N) spot batch in lanes-last layout. Returns
+    (thetas (6, N), CRLBs (6, N), log_likelihoods (N,),
+    iterations (N,)). Pure function — also runs inside the Pallas
+    tile kernel (ops/mle_pallas.py)."""
+    s = spots_t.shape[0]
+    theta0, old0, done0, iters0, max_step = _init_state(
+        spots_t, method
+    )
+    theta, _, _, iters2 = _run_newton_rounds(
+        spots_t, theta0, old0, done0, iters0, max_step, eps, max_it,
+        method,
+    )
+    iters = iters2[0].astype(jnp.int32)
+
+    thetas6, crlb6, ll = _crlb_ll_for(theta, spots_t, method)
     return thetas6, crlb6, ll, iters
 
 

@@ -121,3 +121,190 @@ def pallas_supported() -> bool:
         except Exception:
             _PALLAS_OK = False
     return _PALLAS_OK
+
+
+# ---------------------------------------------------------------------------
+# Multi-round fit with straggler compaction
+# ---------------------------------------------------------------------------
+# Per-spot iteration counts are heavy-tailed (mean ~8, p99 ~20, max
+# ~100): a tile runs until ITS slowest spot converges, so random spot
+# placement makes every tile pay near the global tail. Running the fit
+# as short rounds and stable-sorting lanes by convergence between
+# rounds packs the stragglers into the leading tiles — converged tiles'
+# while_loops exit on the first condition check (~free) — cutting the
+# Newton cost from per-tile-max toward the true per-spot mean. The
+# whole schedule (rounds statically unrolled, argsort + gather between
+# them) compiles into ONE device program: no extra host round-trips.
+#
+# NOT the default path: measured on a v5e chip at box=7, one lane-axis
+# gather of the spot batch costs ~5 ms — more than the ~7 ms of
+# straggler iterations the whole schedule can save, so
+# gaussmle_batched keeps the single-pass kernel. Retained (with a
+# bit-exactness test) because the trade flips for larger boxes or
+# much higher iteration caps, where Newton work grows but the gather
+# cost is unchanged.
+
+
+def _round_specs(s):
+    state_in = [
+        pl.BlockSpec((s, s, TILE), lambda t: (0, 0, t),
+                     memory_space=pltpu.VMEM),       # spots
+        pl.BlockSpec((6, TILE), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),       # theta
+        pl.BlockSpec((6, TILE), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),       # old
+        pl.BlockSpec((1, TILE), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),       # done
+        pl.BlockSpec((1, TILE), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),       # iters
+        pl.BlockSpec((6, TILE), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),       # max_step
+    ]
+    state_out = tuple(state_in[1:])
+    return state_in, state_out
+
+
+def _state_shapes(n):
+    return (
+        jax.ShapeDtypeStruct((6, n), jnp.float32),
+        jax.ShapeDtypeStruct((6, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+        jax.ShapeDtypeStruct((1, n), jnp.float32),
+        jax.ShapeDtypeStruct((6, n), jnp.float32),
+    )
+
+
+def _first_round_kernel(spots_ref, theta_o, old_o, done_o, iters_o,
+                        ms_o, *, eps, round_it):
+    sp = spots_ref[:, :, :]
+    th0, old0, done0, it0, ms = _mle._init_state(sp, "sigmaxy")
+    th, old, done, it = _mle._run_newton_rounds(
+        sp, th0, old0, done0, it0, ms, eps, round_it, "sigmaxy"
+    )
+    theta_o[:, :] = th
+    old_o[:, :] = old
+    done_o[:, :] = done
+    iters_o[:, :] = it
+    ms_o[:, :] = ms
+
+
+def _resume_round_kernel(spots_ref, th_ref, old_ref, done_ref,
+                         it_ref, ms_ref, theta_o, old_o, done_o,
+                         iters_o, ms_o, *, eps, round_it):
+    sp = spots_ref[:, :, :]
+    ms = ms_ref[:, :]
+    th, old, done, it = _mle._run_newton_rounds(
+        sp,
+        th_ref[:, :],
+        old_ref[:, :],
+        done_ref[:, :],
+        it_ref[:, :],
+        ms,
+        eps,
+        round_it,
+        "sigmaxy",
+    )
+    theta_o[:, :] = th
+    old_o[:, :] = old
+    done_o[:, :] = done
+    iters_o[:, :] = it
+    ms_o[:, :] = ms
+
+
+def _finalize_kernel(spots_ref, th_ref, theta_o, crlb_o, ll_o):
+    sp = spots_ref[:, :, :]
+    th6, crlb6, ll = _mle._crlb_ll_for(th_ref[:, :], sp, "sigmaxy")
+    theta_o[:, :] = th6
+    crlb_o[:, :] = crlb6
+    ll_o[:, :] = ll[None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "max_it", "round_it", "interpret"),
+)
+def fit_pallas_multiround(
+    spots: jnp.ndarray,
+    eps: float,
+    max_it: int,
+    round_it: int = 8,
+    interpret: bool = False,
+):
+    """Multi-round sigmaxy MLE fit with straggler compaction; same
+    returns as fit_pallas, bit-identical results (the resumed Newton
+    trajectory and the final CRLB pass compute the exact same values,
+    just in sorted lane positions)."""
+    n, s, _ = spots.shape
+    assert n % TILE == 0, f"batch must be a multiple of {TILE}"
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    grid = (n // TILE,)
+    in_specs, out_specs = _round_specs(s)
+
+    first = pl.pallas_call(
+        functools.partial(
+            _first_round_kernel, eps=eps,
+            round_it=min(round_it, max_it),
+        ),
+        grid=grid,
+        in_specs=in_specs[:1],
+        out_specs=out_specs,
+        out_shape=_state_shapes(n),
+        interpret=interpret,
+    )
+    th, old, done, iters, ms = first(spots_t)
+
+    perm = jnp.arange(n)
+    budget = max_it - min(round_it, max_it)
+    while budget > 0:
+        r = min(round_it, budget)
+        budget -= r
+        # stable partition: unconverged lanes (done 0.0) first
+        order = jnp.argsort(done[0], stable=True)
+        perm = perm[order]
+        spots_t = jnp.take(spots_t, order, axis=2)
+        th = jnp.take(th, order, axis=1)
+        old = jnp.take(old, order, axis=1)
+        done = jnp.take(done, order, axis=1)
+        iters = jnp.take(iters, order, axis=1)
+        ms = jnp.take(ms, order, axis=1)
+        resume = pl.pallas_call(
+            functools.partial(
+                _resume_round_kernel, eps=eps, round_it=r
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=_state_shapes(n),
+            interpret=interpret,
+        )
+        th, old, done, iters, ms = resume(
+            spots_t, th, old, done, iters, ms
+        )
+
+    finalize = pl.pallas_call(
+        _finalize_kernel,
+        grid=grid,
+        in_specs=in_specs[:2],
+        out_specs=(
+            out_specs[0],
+            out_specs[0],
+            pl.BlockSpec((1, TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+    th6, crlb, ll = finalize(spots_t, th)
+
+    # undo the accumulated permutation
+    inv = jnp.argsort(perm)
+    return (
+        th6[:, inv].T,
+        crlb[:, inv].T,
+        ll[0, inv],
+        iters[0, inv].astype(jnp.int32),
+    )

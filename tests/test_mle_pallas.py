@@ -58,3 +58,21 @@ def test_pallas_multi_tile():
     np.testing.assert_allclose(
         np.asarray(p[0]), np.asarray(x[0]), rtol=1e-6, atol=1e-5
     )
+
+
+def test_multiround_bit_identical_to_single_pass():
+    """Straggler-compaction schedule must reproduce the single-pass
+    kernel exactly (same trajectories, just permuted lanes)."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.mle_pallas import (
+        TILE, fit_pallas, fit_pallas_multiround,
+    )
+
+    spots = _spots(2 * TILE)
+    a = fit_pallas(jnp.asarray(spots), 1e-3, 40, interpret=True)
+    b = fit_pallas_multiround(
+        jnp.asarray(spots), 1e-3, 40, round_it=8, interpret=True
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
