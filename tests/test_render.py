@@ -237,3 +237,249 @@ class TestSpatialIndex:
         pyr = spatial_index.build_render_index(locs, info)
         out = spatial_index.query_viewport(pyr, ((1, 1), (2, 2)))
         assert len(out) == 0
+
+
+def _locs_3d(n=2000, seed=1):
+    locs = _locs(n, seed)
+    rng = np.random.default_rng(seed + 100)
+    locs["z"] = rng.uniform(-250, 250, n).astype(np.float32)
+    locs["lpz"] = (2 * (locs["lpx"] + locs["lpy"])).astype(np.float32)
+    return locs
+
+
+class TestViewportAlgebra:
+    def test_height_width_size_center(self):
+        vp = ((2.0, 3.0), (10.0, 15.0))
+        assert render.viewport_height(vp) == 8.0
+        assert render.viewport_width(vp) == 12.0
+        assert render.viewport_size(vp) == (8.0, 12.0)
+        assert render.viewport_center(vp) == (6.0, 9.0)
+
+    def test_shift_keeps_size(self):
+        vp = ((0.0, 0.0), (8.0, 8.0))
+        shifted = render.shift_viewport(vp, 2.0, -1.0)
+        assert render.viewport_size(shifted) == (8.0, 8.0)
+        assert render.viewport_center(shifted) == (6.0, 3.0)
+
+    def test_zoom_no_cursor_keeps_center(self):
+        vp = ((1.0, 2.0), (9.0, 12.0))
+        zoomed = render.zoom_viewport(vp, 0.5)
+        assert render.viewport_center(zoomed) == (
+            render.viewport_center(vp)
+        )
+        assert render.viewport_height(zoomed) == pytest.approx(4.0)
+
+    def test_zoom_round_trip(self):
+        vp = ((1.0, 2.0), (9.0, 12.0))
+        back = render.zoom_viewport(
+            render.zoom_viewport(vp, 0.5), 2.0
+        )
+        np.testing.assert_allclose(np.asarray(back), np.asarray(vp))
+
+    def test_adjust_aspect_widens(self):
+        vp = ((0.0, 0.0), (8.0, 8.0))
+        # aspect = height / width convention
+        wide = render.adjust_viewport_to_aspect_ratio(vp, 2.0)
+        h, w = render.viewport_size(wide)
+        assert h / w == pytest.approx(2.0)
+        # original region still inside
+        assert wide[0][1] <= 0 and wide[1][1] >= 8
+
+
+class TestRotationHelpers:
+    def test_zero_angle_identity(self):
+        R = render.rotation_matrix(0.0, 0.0, 0.0).as_matrix()
+        np.testing.assert_allclose(R, np.eye(3), atol=1e-12)
+
+    def test_orthogonality(self):
+        R = render.rotation_matrix(0.3, -0.7, 1.1).as_matrix()
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        assert np.linalg.det(R) == pytest.approx(1.0)
+
+    def test_to_rotation_none(self):
+        assert render.to_rotation(None) is None
+
+    def test_to_rotation_passes_rotation_through(self):
+        from scipy.spatial.transform import Rotation
+
+        r = Rotation.from_euler("x", 0.4)
+        assert render.to_rotation(r) is r
+
+    def test_locs_rotation_zero_angle_preserves_coords(self):
+        locs = _locs_3d(300)
+        x, y, in_view, z = render.locs_rotation(
+            locs, 1.0, 0.0, 32.0, 0.0, 32.0, (0.0, 0.0, 0.0)
+        )
+        np.testing.assert_allclose(
+            np.sort(x), np.sort(locs["x"].to_numpy()[in_view]),
+            atol=1e-5,
+        )
+
+    def test_render_accepts_rotation_object(self):
+        from scipy.spatial.transform import Rotation
+
+        locs = _locs_3d(500)
+        r = Rotation.from_euler("z", 0.5)
+        n, img = render.render(
+            locs, INFO, oversampling=2, blur_method=None, ang=r,
+        )
+        assert img.sum() > 0
+
+
+class TestMathUtils:
+    def test_inverse_3x3_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(0, 1, (3, 3)) + 3 * np.eye(3)
+        np.testing.assert_allclose(
+            render.inverse_3x3(a), np.linalg.inv(a), atol=1e-10
+        )
+
+    def test_determinant_3x3_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 1, (3, 3))
+        assert render.determinant_3x3(a) == pytest.approx(
+            np.linalg.det(a)
+        )
+
+    def test_closest_rotvec_unwraps_full_turn(self):
+        from scipy.spatial.transform import Rotation
+
+        base = Rotation.from_rotvec([0, 0, 0.1])
+        ref = np.array([0, 0, 2 * np.pi + 0.1])
+        out = render.closest_rotvec(base, ref)
+        np.testing.assert_allclose(out, ref, atol=1e-9)
+
+    def test_optimal_scalebar_round_values(self):
+        # ~1/5 to 1/3 of the FOV, snapped to a "nice" length
+        length = render.optimal_scalebar_length(130, 128)
+        assert length in (1000, 2000, 5000, 500, 3000)
+
+
+class TestRenderEdgeCases:
+    def test_empty_locs_gaussian(self):
+        locs = _locs(0)
+        n, img = render.render(
+            locs, INFO, oversampling=4, blur_method="gaussian"
+        )
+        assert n == 0
+        assert img.sum() == 0
+
+    def test_invalid_blur_raises(self):
+        with pytest.raises(Exception):
+            render.render(
+                _locs(10), INFO, oversampling=2,
+                blur_method="not-a-method",
+            )
+
+    def test_min_blur_width_broadens(self):
+        locs = _locs(1)
+        locs["x"] = 16.0
+        locs["y"] = 16.0
+        locs["lpx"] = 0.1
+        locs["lpy"] = 0.1
+        _, sharp = render.render(
+            locs, INFO, oversampling=8, blur_method="gaussian",
+            min_blur_width=0.0,
+        )
+        _, broad = render.render(
+            locs, INFO, oversampling=8, blur_method="gaussian",
+            min_blur_width=1.0,
+        )
+        assert broad.max() < sharp.max()
+        assert broad.sum() == pytest.approx(sharp.sum(), rel=0.05)
+
+    def test_3d_rotation_changes_image(self):
+        locs = _locs_3d(1500)
+        _, img0 = render.render(
+            locs, INFO, oversampling=2, blur_method=None,
+            ang=(0.0, 0.0, 0.0),
+        )
+        _, img1 = render.render(
+            locs, INFO, oversampling=2, blur_method=None,
+            ang=(1.0, 0.3, 0.2),
+        )
+        assert not np.array_equal(img0, img1)
+
+
+class TestScaleContrastDetails:
+    def test_constant_image(self):
+        img = np.full((8, 8), 3.0, np.float32)
+        out = render.scale_contrast(img, autoscale=True)
+        assert np.isfinite(out).all()
+
+    def test_explicit_limits_clip(self):
+        img = np.linspace(0, 10, 16, dtype=np.float32).reshape(4, 4)
+        out = render.scale_contrast(img, vmin=2.0, vmax=8.0)
+        assert out.min() == 0.0
+        assert out.max() == 1.0
+
+    def test_to_8bit(self):
+        img = np.linspace(0, 1, 16, dtype=np.float32).reshape(4, 4)
+        out = render.to_8bit(img)
+        assert out.dtype == np.uint8
+        assert out.max() == 255 and out.min() == 0
+
+
+class TestLuts:
+    def test_solid_to_lut_endpoints(self):
+        lut = render.solid_to_lut((1.0, 0.0, 0.0))
+        assert lut.shape[1] == 3
+        np.testing.assert_allclose(lut[0], [0, 0, 0], atol=1e-9)
+        np.testing.assert_allclose(lut[-1], [1, 0, 0], atol=1e-9)
+
+    def test_stops_to_lut_two_stop_linear(self):
+        lut = render.stops_to_lut(
+            [(0.0, 0.0, 0.0, 0.0), (1.0, 0.0, 1.0, 0.0)]
+        )
+        mid = lut[len(lut) // 2]
+        assert mid[1] == pytest.approx(0.5, abs=0.05)
+
+    def test_black_solid_all_zero(self):
+        lut = render.solid_to_lut((0.0, 0.0, 0.0))
+        assert lut.sum() == 0
+
+
+class TestSplitLocsMore:
+    def test_split_by_property_disjoint_and_total(self):
+        locs = _locs(1000)
+        parts = render.split_locs_by_property(
+            locs, property_name="photons", n_colors=4
+        )
+        assert len(parts) == 4
+        assert sum(len(p) for p in parts) == len(locs)
+
+    def test_split_by_group_missing_column(self):
+        locs = _locs(100)
+        parts = render.split_locs_by_group(locs)
+        assert len(parts) == 1
+        assert len(parts[0]) == 100
+
+    def test_get_group_color_modulo(self):
+        locs = _locs(10)
+        locs["group"] = np.arange(10)
+        colors = render.get_group_color(locs)
+        assert len(colors) == 10
+
+
+class TestRenderSceneMore:
+    def test_multi_channel_color_isolation(self):
+        locs = _locs(500)
+        # red channel only -> green/blue pixels stay dark
+        # multi-channel info is one info chain per channel
+        image, n = render.render_scene(
+            [locs], [INFO], disp_px_size=65.0,
+            colors=[(1.0, 0.0, 0.0)],
+        )
+        assert n == len(locs)
+        assert image[..., 0].sum() > 0
+        assert image[..., 1].sum() == 0
+        assert image[..., 2].sum() == 0
+
+    def test_single_channel_returns_image_and_count(self):
+        locs = _locs(300)
+        image, n = render.render_scene(
+            locs, INFO, disp_px_size=65.0
+        )
+        assert n == len(locs)
+        assert image.ndim == 3 and image.shape[2] == 3
+        assert image.dtype == np.uint8
