@@ -328,3 +328,199 @@ class TestFRC:
         )
         assert result["resolution"] is not None
         assert 10 < result["resolution"] < 500  # nm scale sanity
+
+
+class TestPairCorrelationAndDensity:
+    def test_pair_correlation_shape_and_finite(self):
+        locs = _make_locs(1500)
+        bins, pc = postprocess.pair_correlation(
+            locs, INFO, bin_size=0.2, r_max=4.0
+        )
+        assert len(bins) == len(pc)
+        assert np.isfinite(pc).all()
+        assert (pc >= 0).all()
+
+    def test_density_column_and_monotonic_radius(self):
+        locs = _make_locs(1500)
+        d1 = postprocess.compute_local_density(locs, INFO, radius=1.0)
+        d2 = postprocess.compute_local_density(locs, INFO, radius=3.0)
+        assert "density" in d1.columns
+        assert (
+            d2["density"].to_numpy() >= d1["density"].to_numpy()
+        ).all()
+
+    def test_dense_cluster_has_higher_density(self):
+        rng = np.random.default_rng(1)
+        sparse = _make_locs(500, seed=2)
+        blob = sparse.copy().iloc[:200].reset_index(drop=True)
+        blob["x"] = (30 + rng.normal(0, 0.2, 200)).astype(np.float32)
+        blob["y"] = (30 + rng.normal(0, 0.2, 200)).astype(np.float32)
+        locs = pd.concat([sparse, blob], ignore_index=True)
+        out = postprocess.compute_local_density(locs, INFO, radius=1.0)
+        dense = out["density"].to_numpy()[len(sparse):]
+        rest = out["density"].to_numpy()[: len(sparse)]
+        assert np.median(dense) > np.median(rest) * 5
+
+
+class TestSegmentation:
+    def test_segment_shapes(self):
+        locs = _make_locs(2000)
+        bounds, images = postprocess.segment(
+            locs, INFO, segmentation=250
+        )
+        assert len(images) == 4
+        assert len(bounds) == 5
+
+    def test_single_segment_raises(self):
+        locs = _make_locs(500)
+        with pytest.raises(ValueError):
+            postprocess.segment(locs, INFO, segmentation=1000)
+
+
+class TestApplyDriftVariants:
+    def test_ndarray_2d(self):
+        locs = _make_locs(200, n_frames=10)
+        drift = np.tile([[1.0, -2.0]], (10, 1))
+        out = postprocess.apply_drift(locs, INFO, drift=drift)
+        np.testing.assert_allclose(
+            out["x"], locs["x"] - 1.0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out["y"], locs["y"] + 2.0, atol=1e-6
+        )
+
+    def test_dataframe_with_z(self):
+        locs = _make_locs(100, n_frames=5)
+        locs["z"] = np.float32(100.0)
+        drift = pd.DataFrame(
+            {"x": np.zeros(5), "y": np.zeros(5),
+             "z": np.full(5, 10.0)}
+        )
+        out = postprocess.apply_drift(locs, INFO, drift=drift)
+        np.testing.assert_allclose(out["z"], 90.0, atol=1e-5)
+
+    def test_does_not_mutate_input(self):
+        locs = _make_locs(100, n_frames=5)
+        x_before = locs["x"].copy()
+        drift = pd.DataFrame({"x": np.ones(5), "y": np.ones(5)})
+        postprocess.apply_drift(locs, INFO, drift=drift)
+        np.testing.assert_array_equal(locs["x"], x_before)
+
+
+class TestAlignChannels:
+    def test_known_shift_recovered(self):
+        rng = np.random.default_rng(3)
+        # structured image so RCC has signal: blobs
+        sites = rng.uniform(10, 54, (80, 2))
+        def channel(shift):
+            rows = []
+            for sx, sy in sites:
+                for _ in range(25):
+                    rows.append(
+                        (sx + shift[0] + rng.normal(0, 0.05),
+                         sy + shift[1] + rng.normal(0, 0.05))
+                    )
+            arr = np.array(rows)
+            n = len(arr)
+            return pd.DataFrame(
+                {
+                    "frame": np.zeros(n, np.uint32),
+                    "x": arr[:, 0].astype(np.float32),
+                    "y": arr[:, 1].astype(np.float32),
+                    "photons": np.full(n, 1000, np.float32),
+                    "sx": np.full(n, 1.0, np.float32),
+                    "sy": np.full(n, 1.0, np.float32),
+                    "bg": np.full(n, 5, np.float32),
+                    "lpx": np.full(n, 0.05, np.float32),
+                    "lpy": np.full(n, 0.05, np.float32),
+                }
+            )
+        ch0 = channel((0.0, 0.0))
+        ch1 = channel((1.5, -0.8))
+        aligned, (sx_, sy_) = postprocess.align(
+            [ch0, ch1], [INFO, INFO], display=False,
+            return_shifts=True,
+        )
+        assert sx_[1] - sx_[0] == pytest.approx(1.5, abs=0.2)
+        assert sy_[1] - sy_[0] == pytest.approx(-0.8, abs=0.2)
+        # channels coincide after alignment
+        assert abs(
+            aligned[1]["x"].mean() - aligned[0]["x"].mean()
+        ) < 0.2
+
+    def test_no_shift_is_noop_within_tolerance(self):
+        locs = _make_locs(3000, seed=5)
+        aligned = postprocess.align(
+            [locs, locs.copy()], [INFO, INFO], display=False
+        )
+        assert abs(
+            aligned[1]["x"].mean() - locs["x"].mean()
+        ) < 0.3
+
+
+class TestClusterCombine:
+    def test_combines_groups_to_single_locs(self):
+        rng = np.random.default_rng(0)
+        rows = []
+        for g in range(5):
+            cx, cy = rng.uniform(10, 54, 2)
+            for k in range(20):
+                rows.append((g, k, cx + rng.normal(0, 0.05),
+                             cy + rng.normal(0, 0.05)))
+        arr = np.array(rows)
+        n = len(arr)
+        locs = pd.DataFrame(
+            {
+                "group": arr[:, 0].astype(np.int32),
+                "cluster": arr[:, 0].astype(np.int32),
+                "frame": arr[:, 1].astype(np.uint32),
+                "x": arr[:, 2].astype(np.float32),
+                "y": arr[:, 3].astype(np.float32),
+                "photons": np.full(n, 1000, np.float32),
+                "sx": np.full(n, 1.0, np.float32),
+                "sy": np.full(n, 1.0, np.float32),
+                "bg": np.full(n, 5, np.float32),
+                "lpx": np.full(n, 0.05, np.float32),
+                "lpy": np.full(n, 0.05, np.float32),
+            }
+        )
+        combined = postprocess.cluster_combine(locs)
+        assert len(combined) == 5
+        # combined x is the precision-weighted mean, close to the mean
+        g0 = locs[locs["group"] == 0]
+        assert combined.iloc[0]["x"] == pytest.approx(
+            g0["x"].mean(), abs=0.05
+        )
+
+
+class TestNenaDetails:
+    def test_nena_result_keys_and_s_positive(self):
+        rng = np.random.default_rng(7)
+        sites = rng.uniform(5, 59, (60, 2))
+        rows = []
+        for f in range(400):
+            on = rng.random(60) < 0.4
+            for s_ in np.nonzero(on)[0]:
+                rows.append(
+                    (f, sites[s_, 0] + rng.normal(0, 0.08),
+                     sites[s_, 1] + rng.normal(0, 0.08))
+                )
+        arr = np.array(rows)
+        n = len(arr)
+        locs = pd.DataFrame(
+            {
+                "frame": arr[:, 0].astype(np.uint32),
+                "x": arr[:, 1].astype(np.float32),
+                "y": arr[:, 2].astype(np.float32),
+                "photons": np.full(n, 1000, np.float32),
+                "sx": np.full(n, 1.0, np.float32),
+                "sy": np.full(n, 1.0, np.float32),
+                "bg": np.full(n, 5, np.float32),
+                "lpx": np.full(n, 0.08, np.float32),
+                "lpy": np.full(n, 0.08, np.float32),
+            }
+        ).sort_values("frame")
+        result, s = postprocess.nena(locs, INFO)
+        assert s > 0
+        # recovered precision within 50% of the true 0.08 px
+        assert s == pytest.approx(0.08, rel=0.5)

@@ -195,3 +195,178 @@ class TestMaskGenerator:
         assert mask.shape == (64, 64)
         assert mask.sum() == pytest.approx(1.0)
         assert mg.area is not None and mg.area > 0
+
+
+class TestRref:
+    def test_identity_is_identity(self):
+        I = np.eye(3)
+        np.testing.assert_array_equal(spinna.rref(I.copy()), I)
+
+    def test_full_rank_3x3(self):
+        rng = np.random.default_rng(0)
+        M = rng.normal(0, 1, (3, 3)) + 3 * np.eye(3)
+        R = spinna.rref(M.copy())
+        np.testing.assert_allclose(R, np.eye(3), atol=1e-10)
+
+    def test_does_not_need_mutation(self):
+        M = np.array([[2.0, 4.0], [1.0, 2.0]])
+        R = spinna.rref(M.copy())
+        # rank 1: one pivot row, one zero row
+        np.testing.assert_allclose(R[0], [1.0, 2.0], atol=1e-12)
+        np.testing.assert_allclose(R[1], [0.0, 0.0], atol=1e-12)
+
+
+def _mono_dimer():
+    mono = spinna.Structure("monomer")
+    mono.define_coordinates("R", [0.0], [0.0])
+    dimer = spinna.Structure("dimer")
+    dimer.define_coordinates("R", [0.0, 20.0], [0.0, 0.0])
+    return [mono, dimer]
+
+
+class TestSearchSpace:
+    def test_homo_counts_satisfy_balance(self):
+        structures = _mono_dimer()
+        N = spinna.generate_N_structures(
+            structures, {"R": 120}, granularity=6
+        )
+        assert set(N) == {"monomer", "dimer"}
+        total = np.asarray(N["monomer"]) + 2 * np.asarray(N["dimer"])
+        np.testing.assert_allclose(total, 120, atol=1.5)
+
+    def test_higher_granularity_more_rows(self):
+        structures = _mono_dimer()
+        few = spinna.generate_N_structures(
+            structures, {"R": 120}, granularity=4
+        )
+        many = spinna.generate_N_structures(
+            structures, {"R": 120}, granularity=12
+        )
+        assert len(many["monomer"]) > len(few["monomer"])
+
+    def test_too_few_structures_raises(self):
+        mono = spinna.Structure("m")
+        mono.define_coordinates("A", [0.0], [0.0])
+        mono.define_coordinates("B", [5.0], [0.0])
+        with pytest.raises(ValueError):
+            spinna.generate_N_structures(
+                [mono], {"A": 10, "B": 10}, granularity=4
+            )
+
+
+class TestRotations:
+    @pytest.mark.parametrize("mode", ["2D", "3D"])
+    def test_orthogonal_and_proper(self, mode):
+        R = spinna.random_rotation_matrices(16, mode)
+        assert R.shape == (16, 3, 3)
+        for r in R:
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-9)
+            assert np.linalg.det(r) == pytest.approx(1.0)
+
+    def test_2d_does_not_rotate_z(self):
+        R = spinna.random_rotation_matrices(8, "2D")
+        for r in R:
+            np.testing.assert_allclose(r[2], [0, 0, 1], atol=1e-12)
+            np.testing.assert_allclose(r[:, 2], [0, 0, 1], atol=1e-12)
+
+    def test_none_is_identity(self):
+        R = spinna.random_rotation_matrices(4, None)
+        for r in R:
+            np.testing.assert_array_equal(r, np.eye(3))
+
+    def test_invalid_mode_raises(self):
+        with pytest.raises(ValueError):
+            spinna.random_rotation_matrices(4, "4D")
+
+
+class TestCoordsToLocs:
+    def test_2d_unit_conversion(self):
+        coords = np.array([[130.0, 260.0], [0.0, 130.0]])
+        locs = spinna.coords_to_locs(coords, lp=13.0, pixelsize=130)
+        np.testing.assert_allclose(locs["x"], [1.0, 0.0])
+        np.testing.assert_allclose(locs["y"], [2.0, 1.0])
+        np.testing.assert_allclose(locs["lpx"], 0.1)
+
+    def test_3d_keeps_z_in_nm(self):
+        coords = np.array([[130.0, 130.0, 75.0]])
+        locs = spinna.coords_to_locs(coords, pixelsize=130)
+        assert locs["z"].iloc[0] == pytest.approx(75.0)
+
+
+class TestNNDist:
+    def test_unit_grid(self):
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0],
+                        [1.0, 1.0]])
+        d = spinna.get_NN_dist(pts, pts, 1)
+        np.testing.assert_allclose(d[:, 0], 1.0)
+
+    def test_excludes_self(self):
+        pts = np.random.default_rng(0).random((50, 2))
+        d = spinna.get_NN_dist(pts, pts, 1)
+        assert (d > 0).all()
+
+    def test_empty_returns_empty(self):
+        assert len(spinna.get_NN_dist(np.zeros((0, 2)),
+                                      np.zeros((5, 2)), 1)) == 0
+
+    def test_dim_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            spinna.get_NN_dist(np.zeros((5, 2)), np.zeros((5, 3)), 1)
+
+    def test_score_identical_near_zero(self):
+        rng = np.random.default_rng(0)
+        d = rng.exponential(10, (500, 1))
+        assert spinna.NND_score([d], [d.copy()]) < 1e-9
+
+    def test_score_disjoint_high(self):
+        d1 = np.full((200, 1), 1.0)
+        d2 = np.full((200, 1), 100.0)
+        assert spinna.NND_score([d1], [d2]) > 0.9
+
+
+class TestStructureMore:
+    def test_empty_targets_on_init(self):
+        s = spinna.Structure("s")
+        assert s.targets == []
+        assert s.get_all_targets_count() == 0
+
+    def test_define_pads_z_with_zeros(self):
+        s = spinna.Structure("s")
+        s.define_coordinates("A", [1.0, 2.0], [0.0, 0.0])
+        assert s.get_all_targets_count() == 2
+
+    def test_unequal_lengths_raise(self):
+        s = spinna.Structure("s")
+        with pytest.raises(Exception):
+            s.define_coordinates("A", [1.0, 2.0], [0.0])
+
+    def test_delete_target(self):
+        s = spinna.Structure("s")
+        s.define_coordinates("A", [0.0], [0.0])
+        s.define_coordinates("B", [5.0], [0.0])
+        s.delete_target("A")
+        assert "A" not in s.targets
+        assert s.get_all_targets_count() == 1
+
+    def test_get_max_nn(self):
+        mono, dimer = _mono_dimer()
+        # within the same target: n - 1 possible neighbors
+        assert dimer.get_max_nn("R", "R") == 1
+        assert mono.get_max_nn("R", "R") == 0
+        # missing target: zero
+        assert dimer.get_max_nn("R", "missing") == 0
+
+    def test_restart_clears(self):
+        s = spinna.Structure("s")
+        s.define_coordinates("A", [0.0], [0.0])
+        s.restart()
+        assert s.targets == []
+
+    def test_save_load_round_trip(self, tmp_path):
+        structures = _mono_dimer()
+        path = str(tmp_path / "structs.yaml")
+        structures[0].save(path)  # single-structure save
+        loaded, targets = spinna.load_structures(path)
+        assert len(loaded) >= 1
+        assert loaded[0].title == "monomer"
+        assert "R" in targets
