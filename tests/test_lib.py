@@ -148,3 +148,150 @@ class TestProfiling:
             pass
         report = timer.report()
         assert "one" in report and "total" in report
+
+
+class TestGetFromMetadata:
+    def test_dict_input(self):
+        assert lib.get_from_metadata({"a": 3}, "a") == 3
+        assert lib.get_from_metadata({"a": 3}, "b", 7) == 7
+
+    def test_list_searches_from_last(self):
+        info = [{"k": 1}, {"k": 2}]
+        assert lib.get_from_metadata(info, "k") == 2
+
+    def test_raise_error_on_missing(self):
+        with pytest.raises(KeyError):
+            lib.get_from_metadata([{"a": 1}], "b", raise_error=True)
+
+    def test_invalid_input_raises(self):
+        with pytest.raises(ValueError):
+            lib.get_from_metadata("not-info", "k")
+
+    def test_overwrite_metadata(self):
+        info = [{"Frames": 10}, {"other": 1}]
+        out = lib.overwrite_metadata(info, "Frames", 99)
+        assert lib.get_from_metadata(out, "Frames") == 99
+
+
+class TestEnsureSanity:
+    def _locs(self):
+        return pd.DataFrame(
+            {
+                "frame": np.arange(4, dtype=np.uint32),
+                "x": np.array([1.0, 70.0, 2.0, 3.0], np.float32),
+                "y": np.array([1.0, 2.0, np.nan, 3.0], np.float32),
+                "photons": np.array(
+                    [100.0, 100.0, 100.0, -5.0], np.float32
+                ),
+                "lpx": np.full(4, 0.1, np.float32),
+                "lpy": np.full(4, 0.1, np.float32),
+            }
+        )
+
+    def test_drops_outside_nan_negative(self):
+        info = [{"Frames": 10, "Height": 64, "Width": 64}]
+        out = lib.ensure_sanity(self._locs(), info)
+        # row 1 outside width, row 2 NaN, row 3 negative photons
+        assert len(out) == 1
+        assert out.iloc[0]["frame"] == 0
+
+    def test_missing_metadata_key_raises(self):
+        with pytest.raises(KeyError):
+            lib.ensure_sanity(self._locs(), [{"Frames": 10}])
+
+
+class TestKinetics:
+    def test_fit_cum_exp_recovers_tau(self):
+        rng = np.random.default_rng(0)
+        data = rng.exponential(50.0, 3000)
+        result = lib.fit_cum_exp(data)
+        assert result["best_values"]["t"] == pytest.approx(
+            50.0, rel=0.15
+        )
+
+    def test_estimate_kinetic_rate_long(self):
+        rng = np.random.default_rng(1)
+        data = rng.exponential(20.0, 2000)
+        rate = lib.estimate_kinetic_rate(data)
+        assert rate == pytest.approx(20.0, rel=0.2)
+
+    def test_estimate_kinetic_rate_short_falls_back(self):
+        data = np.array([3.0, 5.0])
+        assert lib.estimate_kinetic_rate(data) == pytest.approx(4.0)
+
+
+class TestFindLocalMinima:
+    def test_simple(self):
+        arr = np.array([3.0, 1.0, 2.0, 0.5, 2.0])
+        minima = lib.find_local_minima(arr)
+        assert 1 in minima and 3 in minima
+
+    def test_monotonic_has_no_interior_minima(self):
+        arr = np.arange(10.0)
+        minima = lib.find_local_minima(arr)
+        assert all(m in (0,) for m in np.atleast_1d(minima))
+
+
+class TestOptimalBins:
+    def test_caps_at_max(self):
+        rng = np.random.default_rng(0)
+        data = rng.normal(0, 1, 10000)
+        bins = lib.calculate_optimal_bins(data, max_n_bins=50)
+        assert len(bins) <= 51
+
+    def test_handles_constant(self):
+        data = np.full(100, 3.0)
+        bins = lib.calculate_optimal_bins(data)
+        assert len(bins) >= 2
+
+
+class TestRecOps:
+    def test_append_and_merge(self):
+        locs = pd.DataFrame(
+            {
+                "frame": np.arange(3, dtype=np.uint32),
+                "x": np.ones(3, np.float32),
+                "y": np.ones(3, np.float32),
+            }
+        )
+        out = lib.append_to_rec(locs, np.arange(3), "extra")
+        assert "extra" in out.columns
+        merged = lib.merge_locs([locs, locs.copy()])
+        assert len(merged) == 6
+
+    def test_merge_increments_frames(self):
+        a = pd.DataFrame(
+            {
+                "frame": np.array([0, 1], np.uint32),
+                "x": np.ones(2, np.float32),
+                "y": np.ones(2, np.float32),
+            }
+        )
+        b = a.copy()
+        merged = lib.merge_locs([a, b], increment_frames=True)
+        assert merged["frame"].max() == 3
+
+
+class TestGeometryHelpers:
+    def test_locs_at_radius(self):
+        locs = pd.DataFrame(
+            {
+                "x": np.array([0.0, 1.0, 5.0], np.float32),
+                "y": np.array([0.0, 0.0, 0.0], np.float32),
+            }
+        )
+        near = lib.locs_at(0.0, 0.0, locs, 2.0)
+        assert len(near) == 2
+
+    def test_polygon_unit_square(self):
+        X = np.array([0.0, 1.0, 1.0, 0.0])
+        Y = np.array([0.0, 0.0, 1.0, 1.0])
+        x = np.array([0.5, 1.5])
+        y = np.array([0.5, 0.5])
+        inside = lib.check_if_in_polygon(x, y, X, Y)
+        assert list(inside) == [True, False]
+
+    def test_polygon_area(self):
+        X = np.array([0.0, 2.0, 2.0, 0.0])
+        Y = np.array([0.0, 0.0, 3.0, 3.0])
+        assert lib.polygon_area(X, Y) == pytest.approx(6.0)

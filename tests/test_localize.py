@@ -213,3 +213,117 @@ class TestPicksToIdentifications:
         assert len(ids) == 10
         assert set(ids["n_id"]) == {0, 1}
         assert (ids[ids["n_id"] == 0]["x"] == 10).all()
+
+
+class TestIdentifyPrimitives:
+    def _frame_with_peak(self, size=32, cy=16, cx=16, sigma=1.0,
+                         photons=5000, bg=10):
+        yy, xx = np.mgrid[:size, :size].astype(np.float64)
+        img = bg + photons * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma**2)
+        ) / (2 * np.pi * sigma**2)
+        return img.astype(np.float32)
+
+    def test_single_peak_detected(self):
+        frame = self._frame_with_peak()
+        y, x, ng = localize.identify_in_image(frame, 500, 7)
+        assert len(x) == 1
+        assert (x[0], y[0]) == (16, 16)
+
+    def test_multiple_peaks_far_apart(self):
+        frame = self._frame_with_peak()
+        frame += self._frame_with_peak(cy=8, cx=24)
+        y, x, ng = localize.identify_in_image(frame, 500, 7)
+        assert len(x) == 2
+
+    def test_border_peaks_excluded(self):
+        frame = self._frame_with_peak(cy=1, cx=1)
+        y, x, ng = localize.identify_in_image(frame, 500, 7)
+        assert len(x) == 0
+
+    def test_flat_frame_no_maxima(self):
+        frame = np.full((32, 32), 7.0, np.float32)
+        y, x, ng = localize.identify_in_image(frame, 0.001, 7)
+        assert len(x) == 0
+
+    def test_high_threshold_rejects_all(self):
+        frame = self._frame_with_peak()
+        y, x, ng = localize.identify_in_image(frame, 1e12, 7)
+        assert len(x) == 0
+
+    def test_inverted_peak_negative_gradient(self):
+        frame = 1000.0 - self._frame_with_peak(bg=0)
+        ng = localize.net_gradient(
+            frame.astype(np.float32),
+            np.array([16]),
+            np.array([16]),
+            7,
+            *_uv(7),
+        )
+        assert ng[0] < 0
+
+    def test_roi_offsets_back_to_global(self):
+        frame = self._frame_with_peak(cy=20, cx=24)
+        y, x, ng = localize.identify_in_frame(
+            frame, 500, 7, roi=((10, 10), (32, 32))
+        )
+        assert len(x) == 1
+        assert (x[0], y[0]) == (24, 20)
+
+    def test_roi_excludes_outside(self):
+        frame = self._frame_with_peak(cy=5, cx=5)
+        y, x, ng = localize.identify_in_frame(
+            frame, 500, 7, roi=((16, 16), (32, 32))
+        )
+        assert len(x) == 0
+
+
+def _uv(box):
+    from picasso_tpu.ops.identify import _unit_vector_masks
+
+    return _unit_vector_masks(box)
+
+
+class TestToPhotons:
+    def test_identity_camera(self):
+        spots = np.random.default_rng(0).integers(
+            0, 100, (4, 7, 7)
+        ).astype(np.uint16)
+        out = localize.get_spots.__globals__[
+            "_identify_ops"
+        ].to_photons(
+            spots,
+            {"Baseline": 0, "Sensitivity": 1, "Gain": 1},
+        )
+        np.testing.assert_array_equal(out, spots)
+        assert out.dtype == np.float32
+
+    def test_combined_transform(self):
+        from picasso_tpu.ops.identify import to_photons
+
+        spots = np.full((1, 3, 3), 300.0, np.float32)
+        out = to_photons(
+            spots, {"Baseline": 100, "Sensitivity": 0.5, "Gain": 2}
+        )
+        np.testing.assert_allclose(out, (300 - 100) * 0.5 / 2)
+
+
+class TestPicksToIdentifications:
+    def test_each_pick_in_every_frame(self):
+        picks = [(10.0, 12.0), (20.0, 8.0)]
+        ids = localize.picks_to_identifications(
+            picks, n_frames=5
+        )
+        assert len(ids) == 10
+        assert set(ids["frame"]) == set(range(5))
+
+    def test_drift_applied(self):
+        picks = [(10.0, 10.0)]
+        drift = pd.DataFrame(
+            {"x": np.arange(3) * 1.0, "y": np.zeros(3)}
+        )
+        ids = localize.picks_to_identifications(
+            picks, n_frames=3, drift=drift
+        )
+        xs = ids.sort_values("frame")["x"].to_numpy()
+        assert xs[1] == xs[0] + 1
