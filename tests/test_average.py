@@ -103,3 +103,64 @@ def test_com_align_centers_groups():
         sub = out[out["group"] == g]
         assert abs(sub["x"].mean()) < 1e-5
         assert abs(sub["y"].mean()) < 1e-5
+
+
+def test_com_align_does_not_mutate_input():
+    locs = _l_shape_locs(n_groups=3)
+    x_before = locs["x"].copy()
+    gi = average.build_group_index(locs)
+    average.com_align(locs, gi)
+    np.testing.assert_array_equal(locs["x"], x_before)
+
+
+def test_build_group_index_maps_groups():
+    locs = _l_shape_locs(n_groups=4)
+    gi = average.build_group_index(locs)
+    assert gi.shape[0] == 4
+    assert gi.shape[1] == len(locs)
+    # each loc belongs to exactly one group
+    assert gi.sum() == len(locs)
+
+
+def test_xcorr_recovers_translation():
+    rng = np.random.default_rng(0)
+    img = np.zeros((32, 32), np.float32)
+    img[10:14, 8:12] = rng.random((4, 4))
+    shifted = np.roll(np.roll(img, 3, axis=0), -2, axis=1)
+    CF = np.conj(np.fft.fft2(img))
+    xc = average.compute_xcorr(CF, shifted)
+    peak = np.unravel_index(np.argmax(xc), xc.shape)
+    assert (peak[0] - 16, peak[1] - 16) == (3, -2)
+
+
+def test_prepare_locs_for_save_shifts_into_fov():
+    locs = _l_shape_locs(n_groups=3)
+    gi = average.build_group_index(locs)
+    centered = average.com_align(locs, gi)
+    INFO = [{"Frames": 100, "Height": 32, "Width": 32,
+             "Pixelsize": 130}]
+    out, info = average.prepare_locs_for_save(
+        centered, INFO, {"it": 5}
+    )
+    assert (out["x"] > 0).all() and (out["y"] > 0).all()
+    assert info[-1]["Iterations"] == 5
+
+
+def test_average_missing_group_raises():
+    locs = _l_shape_locs(n_groups=2).drop(columns=["group"])
+    INFO = [{"Frames": 100, "Height": 32, "Width": 32,
+             "Pixelsize": 130}]
+    with pytest.raises(AssertionError):
+        average.average(locs, INFO)
+
+
+def test_average_progress_callback_invoked():
+    locs = _l_shape_locs(n_groups=3)
+    INFO = [{"Frames": 100, "Height": 32, "Width": 32,
+             "Pixelsize": 130}]
+    calls = []
+    average.average(
+        locs, INFO, iterations=1,
+        progress_callback=lambda *a: calls.append(a),
+    )
+    assert calls

@@ -103,3 +103,122 @@ class TestClosedLoop:
         d, _ = tree.query(np.column_stack([locs["x"], locs["y"]]))
         # majority of locs within 1 px of a site
         assert np.median(d) < 1.0
+
+
+class TestNoiseAndClipping:
+    def test_noisy_clips_negative(self):
+        np.random.seed(0)
+        img = np.zeros((16, 16))
+        out = simulate.noisy(img, mu=-100.0, sigma=1.0)
+        assert (out >= 0).all()
+
+    def test_noisy_p_mean_approx(self):
+        np.random.seed(1)
+        img = np.zeros((64, 64))
+        out = simulate.noisy_p(img, mu=20.0)
+        assert out.mean() == pytest.approx(20.0, rel=0.1)
+
+    def test_check_type_clamps_uint16(self):
+        movie = np.array([[70000.0, 10.0]])
+        out = simulate.check_type(movie)
+        assert out.dtype == np.dtype("<u2")
+        assert out[0, 0] == 2**16 - 1
+        assert out[0, 1] == 10
+
+
+class TestZPSF:
+    def test_widths_positive_on_real_calibration(self):
+        from tests.conftest import CALIB_3D
+
+        z = np.linspace(-400, 400, 41)
+        wx, wy = simulate.calculate_zpsf(
+            z, CALIB_3D["X Coefficients"], CALIB_3D["Y Coefficients"]
+        )
+        assert (np.asarray(wx) > 0).all()
+        assert (np.asarray(wy) > 0).all()
+
+    def test_astigmatism_sign_flips_across_focus(self):
+        from tests.conftest import CALIB_3D
+
+        wx_m, wy_m = simulate.calculate_zpsf(
+            -300.0, CALIB_3D["X Coefficients"],
+            CALIB_3D["Y Coefficients"],
+        )
+        wx_p, wy_p = simulate.calculate_zpsf(
+            300.0, CALIB_3D["X Coefficients"],
+            CALIB_3D["Y Coefficients"],
+        )
+        assert (wx_m - wy_m) * (wx_p - wy_p) < 0
+
+
+class TestStructureHelpers:
+    def test_define_structure_centers_when_mean_true(self):
+        s = simulate.defineStructure(
+            [0.0, 130.0], [0.0, 0.0], [1, 1], [0, 0], 130.0,
+            mean=True,
+        )
+        assert s[0].mean() == pytest.approx(0.0, abs=1e-12)
+        # nm -> px conversion
+        assert s[0, 1] - s[0, 0] == pytest.approx(1.0)
+
+    def test_define_structure_no_center(self):
+        s = simulate.defineStructure(
+            [0.0, 130.0], [0.0, 0.0], [1, 1], [0, 0], 130.0,
+            mean=False,
+        )
+        assert s[0, 0] == 0.0
+
+    def test_rotate_preserves_pairwise_distances(self):
+        np.random.seed(2)
+        s = simulate.defineStructure(
+            [0.0, 100.0, 0.0], [0.0, 0.0, 100.0], [1, 1, 1],
+            [0, 0, 0], 130.0,
+        )
+        r = simulate.rotateStructure(s)
+        def pdist(a):
+            d = a[:2].T
+            return np.linalg.norm(d[:, None] - d[None, :], axis=2)
+        np.testing.assert_allclose(pdist(s), pdist(r), atol=1e-9)
+
+    def test_rotate_preserves_exchange_and_3d_rows(self):
+        np.random.seed(3)
+        s = simulate.defineStructure(
+            [0.0, 100.0], [0.0, 0.0], [1, 2], [5, 6], 130.0
+        )
+        r = simulate.rotateStructure(s)
+        np.testing.assert_array_equal(r[2], s[2])
+        np.testing.assert_array_equal(r[3], s[3])
+
+    def test_incorporation_extremes(self):
+        s = simulate.defineStructure(
+            [0.0, 100.0, 200.0], [0.0, 0.0, 0.0], [1, 1, 1],
+            [0, 0, 0], 130.0,
+        )
+        assert simulate.incorporateStructure(s, 1.0).shape[1] == 3
+        assert simulate.incorporateStructure(s, 0.0).shape[1] == 0
+
+    def test_generate_positions_random_in_range(self):
+        np.random.seed(4)
+        pos = simulate.generatePositions(50, 64, 5, 1)
+        assert pos.shape == (50, 2)
+        assert (pos >= 5).all() and (pos <= 59).all()
+
+
+class TestPaintgenDetails:
+    def test_zero_photonrate_gives_dark_trace(self):
+        np.random.seed(5)
+        photonsinframe, timetrace, kin = simulate.paintgen(
+            100, 5, 50, 100, 0.0, 0.0, 1e6
+        )
+        assert np.sum(photonsinframe) == 0
+
+    def test_kinetics_statistics_match_inputs(self):
+        np.random.seed(6)
+        meandark, meanbright = 400.0, 80.0
+        photonsinframe, timetrace, kin = simulate.paintgen(
+            meandark, meanbright, 20000, 100, 3.0, 0.0, 1e12
+        )
+        n_events, n_on_frames, sim_dark, sim_bright = kin
+        assert n_events > 0
+        assert sim_dark == pytest.approx(meandark, rel=0.4)
+        assert sim_bright == pytest.approx(meanbright, rel=0.4)
