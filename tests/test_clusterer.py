@@ -177,3 +177,50 @@ class TestResi:
         locs1, _ = _clustered_locs()
         with pytest.raises(ValueError):
             postprocess.resi([locs1], [INFO], radius_xy=0.3)
+
+
+class TestClustererErrorsAndInfo:
+    def test_3d_requires_pixelsize_and_radius_z(self):
+        locs = _clustered_locs()[0]
+        locs = locs.assign(z=np.float32(0.0))
+        with pytest.raises(ValueError):
+            clusterer.cluster(locs, 0.2, 10, False)
+
+    def test_cluster_return_info(self):
+        locs, true_centers = _clustered_locs()
+        out, info = clusterer.cluster(
+            locs, 0.2, 10, False, return_info=True
+        )
+        assert info["Number of clusters"] == len(true_centers)
+        assert "Clustering radius (px)" in info
+        assert 0 <= info["Fraction of rejected locs (%)"] <= 100
+
+    def test_dbscan_return_info(self):
+        locs, _ = _clustered_locs()
+        out, info = clusterer.dbscan(
+            locs, 0.3, 5, return_info=True
+        )
+        assert "Generated by" in info
+
+    def test_hdbscan_return_info(self):
+        locs, _ = _clustered_locs()
+        out, info = clusterer.hdbscan(
+            locs, 10, 5, return_info=True
+        )
+        assert "Generated by" in info
+
+    def test_cluster_info_3d_radius_in_nm(self):
+        locs, _ = _clustered_locs()
+        rng = np.random.default_rng(0)
+        locs = locs.assign(
+            z=rng.normal(0, 10, len(locs)).astype(np.float32),
+            lpz=np.float32(20.0),
+        )
+        out, info = clusterer.cluster(
+            locs, 0.2, 10, False, radius_z=30.0, pixelsize=130,
+            return_info=True,
+        )
+        assert "Clustering radius xy (nm)" in info
+        assert info["Clustering radius xy (nm)"] == pytest.approx(
+            0.2 * 130
+        )

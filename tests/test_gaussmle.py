@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from picasso_tpu import gaussmle
@@ -189,3 +190,81 @@ class TestDevicePhotonConversion:
             photon_conversion=(baseline, sensitivity / gain),
         )[0]
         np.testing.assert_allclose(t_dev, t_host, atol=1e-4)
+
+
+class TestGaussmleDetails:
+    def _spots(self, n=256, seed=0):
+        from tests.conftest import make_gaussian_spot
+
+        rng = np.random.default_rng(seed)
+        out = np.empty((n, 7, 7), np.float32)
+        for i in range(n):
+            clean = make_gaussian_spot(
+                7, rng.uniform(-0.5, 0.5), rng.uniform(-0.5, 0.5),
+                1.0, 1.0, rng.uniform(2000, 8000),
+                rng.uniform(5, 30),
+            )
+            out[i] = rng.poisson(
+                np.maximum(clean, 0)
+            ).astype(np.float32)
+        return out
+
+    def test_sigma_method_returns_equal_sx_sy(self):
+        spots = self._spots(128)
+        theta, crlb, ll, it = gaussmle.gaussmle(
+            spots, 1e-3, 50, method="sigma"
+        )
+        np.testing.assert_array_equal(theta[:, 4], theta[:, 5])
+        np.testing.assert_array_equal(crlb[:, 4], crlb[:, 5])
+
+    def test_invalid_method_raises(self):
+        with pytest.raises(Exception):
+            gaussmle.gaussmle(self._spots(128), 1e-3, 10,
+                              method="bogus")
+
+    def test_iterations_within_max_it(self):
+        spots = self._spots(128)
+        _, _, _, it = gaussmle.gaussmle(spots, 1e-3, 17)
+        assert (it <= 17).all()
+        assert (it >= 1).all()
+
+    def test_looser_eps_fewer_iterations(self):
+        spots = self._spots(256)
+        _, _, _, tight = gaussmle.gaussmle(spots, 1e-4, 100)
+        _, _, _, loose = gaussmle.gaussmle(spots, 1e-2, 100)
+        assert loose.mean() < tight.mean()
+
+    def test_progress_callback_invoked(self):
+        calls = []
+        gaussmle.gaussmle(
+            self._spots(128), 1e-3, 20,
+            progress_callback=calls.append,
+        )
+        assert calls
+
+
+class TestSigmaUncertainty:
+    def test_monotonic_in_photons(self):
+        lo = gaussmle.sigma_uncertainty(1.0, 1.0, 1000.0, 10.0)
+        hi = gaussmle.sigma_uncertainty(1.0, 1.0, 10000.0, 10.0)
+        assert hi < lo
+
+    def test_monotonic_in_bg(self):
+        lo = gaussmle.sigma_uncertainty(1.0, 1.0, 1000.0, 5.0)
+        hi = gaussmle.sigma_uncertainty(1.0, 1.0, 1000.0, 50.0)
+        assert hi > lo
+
+    def test_differs_from_lq_formula(self):
+        from picasso_tpu import gausslq
+
+        mle = gaussmle.sigma_uncertainty(1.0, 1.0, 1000.0, 10.0)
+        lq = gausslq.sigma_uncertainty(1.0, 1.0, 1000.0, 10.0)
+        assert mle != lq
+
+    def test_pandas_series_input(self):
+        s = pd.Series([1.0, 1.2])
+        out = gaussmle.sigma_uncertainty(
+            s, s, pd.Series([1000.0, 2000.0]), pd.Series([10.0, 10.0])
+        )
+        assert len(out) == 2
+        assert np.isfinite(np.asarray(out)).all()
