@@ -17,7 +17,16 @@ sys.path.insert(
     ),
 )
 
-import streamlit as st  # noqa: E402
+try:
+    import streamlit as st  # noqa: E402
+except ImportError as _err:  # pragma: no cover - env without streamlit
+    raise ImportError(
+        "picasso_tpu.server.app is a Streamlit script; install the"
+        " optional 'streamlit' package and launch it with"
+        " 'python -m picasso_tpu server'. The query layer"
+        " (picasso_tpu.server.db) and the folder watcher"
+        " (picasso_tpu.server.watcher) work without Streamlit."
+    ) from _err
 
 from picasso_tpu.server import db as _db  # noqa: E402
 
