@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from picasso_tpu.ops.gaussian import gaussian_pdf
 
 _DEFAULT_CHUNK = 262144
 
@@ -77,12 +76,16 @@ def _axis_factors(theta, s: int):
     x, y, photons, bg, sx, sy = theta
     dx = grid - x[None, :]
     dy = grid - y[None, :]
-    gx = gaussian_pdf(dx, sx[None, :])
-    gy = gaussian_pdf(dy, sy[None, :])
-    dgx_dx = gx * dx / sx[None, :] ** 2
-    dgy_dy = gy * dy / sy[None, :] ** 2
-    dgx_dsx = gx * (dx**2 / sx[None, :] ** 3 - 1.0 / sx[None, :])
-    dgy_dsy = gy * (dy**2 / sy[None, :] ** 3 - 1.0 / sy[None, :])
+    # one reciprocal per axis; all derivative factors are products
+    inv_sx = 1.0 / sx[None, :]
+    inv_sy = 1.0 / sy[None, :]
+    norm = 0.3989422804014327
+    gx = norm * inv_sx * jnp.exp(-0.5 * (dx * inv_sx) ** 2)
+    gy = norm * inv_sy * jnp.exp(-0.5 * (dy * inv_sy) ** 2)
+    dgx_dx = gx * dx * inv_sx * inv_sx
+    dgy_dy = gy * dy * inv_sy * inv_sy
+    dgx_dsx = gx * inv_sx * ((dx * inv_sx) ** 2 - 1.0)
+    dgy_dsy = gy * inv_sy * ((dy * inv_sy) ** 2 - 1.0)
     return gx, gy, dgx_dx, dgy_dy, dgx_dsx, dgy_dsy
 
 
