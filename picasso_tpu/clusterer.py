@@ -336,6 +336,9 @@ def find_cluster_centers(
     mean_cols = [
         "frame", "x", "y", "photons", "sx", "sy", "bg", "net_gradient",
     ]
+    # imported data (e.g. ThunderSTORM csv) may lack some columns the
+    # localizer always produces; aggregate what exists, fill the rest
+    mean_cols = [c for c in mean_cols if c in locs.columns]
     std_cols = ["frame", "x", "y"]
     if has_z:
         mean_cols.append("z")
@@ -405,9 +408,11 @@ def find_cluster_centers(
     columns.update(
         {
             "ellipticity": ellipticity.astype(np.float32),
-            "net_gradient": means["net_gradient"]
-            .to_numpy()
-            .astype(np.float32),
+            "net_gradient": (
+                means["net_gradient"].to_numpy()
+                if "net_gradient" in means.columns
+                else np.zeros(len(means))
+            ).astype(np.float32),
             "n_locs": n_locs.astype(np.uint32),
             "n_events": n_events.astype(np.int32),
         }

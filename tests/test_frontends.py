@@ -242,3 +242,105 @@ class TestServer:
         # now the file counts as processed
         new2, _ = watcher.check_new(str(tmp_path), {})
         assert raw not in new2
+
+
+class TestCLIBreadth:
+    """One small dataset driven through many subcommands — each stage
+    consumes the previous stage's file, mirroring the reference's
+    file-granular checkpoint/resume design."""
+
+    @pytest.fixture(scope="class")
+    def locs_file(self, tmp_path_factory):
+        from picasso_tpu import io
+
+        tmp = tmp_path_factory.mktemp("cli_breadth")
+        rng = np.random.default_rng(0)
+        # clustered sites with repeated localizations
+        rows = []
+        sites = rng.uniform(5, 27, (15, 2))
+        for f in range(300):
+            for s in np.nonzero(rng.random(15) < 0.3)[0]:
+                rows.append(
+                    (f, sites[s, 0] + rng.normal(0, 0.05),
+                     sites[s, 1] + rng.normal(0, 0.05))
+                )
+        arr = np.array(rows)
+        n = len(arr)
+        locs = pd.DataFrame(
+            {
+                "frame": arr[:, 0].astype(np.uint32),
+                "x": arr[:, 1].astype(np.float32),
+                "y": arr[:, 2].astype(np.float32),
+                "photons": rng.uniform(
+                    500, 3000, n
+                ).astype(np.float32),
+                "sx": np.full(n, 1.1, np.float32),
+                "sy": np.full(n, 1.0, np.float32),
+                "bg": np.full(n, 10, np.float32),
+                "lpx": np.full(n, 0.05, np.float32),
+                "lpy": np.full(n, 0.05, np.float32),
+            }
+        ).sort_values("frame")
+        path = str(tmp / "data_locs.hdf5")
+        io.save_locs(
+            path, locs,
+            [{"Frames": 300, "Height": 32, "Width": 32,
+              "Pixelsize": 130}],
+        )
+        return path
+
+    def test_analysis_chain(self, locs_file):
+        from picasso_tpu import io
+
+        base = os.path.splitext(locs_file)[0]
+        folder = os.path.dirname(locs_file)
+
+        out = _run_cli(["link", locs_file, "-d", "0.3", "-t", "2"])
+        assert out.returncode == 0, out.stderr
+        linked = base + "_link.hdf5"
+        assert os.path.isfile(linked)
+
+        out = _run_cli(["dark", linked])
+        assert out.returncode == 0, out.stderr
+        dark_file = base + "_link_dark.hdf5"
+        assert os.path.isfile(dark_file)
+        locs, _ = io.load_locs(dark_file)
+        assert "dark" in locs.columns
+
+        out = _run_cli(["dbscan", locs_file, "0.3", "5"])
+        assert out.returncode == 0, out.stderr
+        clustered = base + "_dbscan.hdf5"
+        assert os.path.isfile(clustered)
+        locs, _ = io.load_locs(clustered)
+        assert "group" in locs.columns
+
+        out = _run_cli(["groupprops", clustered])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["density", locs_file, "1.0"])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["pc", locs_file, "-b", "0.2", "-r", "4.0"])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["aim", locs_file, "-s", "50"])
+        assert out.returncode == 0, out.stderr
+        assert os.path.isfile(base + "_aim.hdf5")
+
+    def test_format_converters_chain(self, locs_file):
+        base = os.path.splitext(locs_file)[0]
+        out = _run_cli(["hdf2csv", locs_file])
+        assert out.returncode == 0, out.stderr
+        assert os.path.isfile(base + ".csv")
+        out = _run_cli(["hdf2ts", locs_file])
+        assert out.returncode == 0, out.stderr
+        out = _run_cli(["hdf2imagej", locs_file])
+        assert out.returncode == 0, out.stderr
+        out = _run_cli(["hdf2nis", locs_file])
+        assert out.returncode == 0, out.stderr
+        # ThunderSTORM round trip back to hdf5
+        ts_files = [
+            f for f in os.listdir(os.path.dirname(locs_file))
+            if f.endswith(".csv")
+        ]
+        assert ts_files
