@@ -344,3 +344,63 @@ class TestCLIBreadth:
             if f.endswith(".csv")
         ]
         assert ts_files
+
+
+class TestSpinnaCLI:
+    def test_stoichiometry_fit_via_cli(self, tmp_path):
+        from picasso_tpu import io, spinna
+
+        # structures: monomer + dimer of one target
+        mono = spinna.Structure("monomer")
+        mono.define_coordinates("R", [0.0], [0.0])
+        dimer = spinna.Structure("dimer")
+        dimer.define_coordinates("R", [0.0, 30.0], [0.0, 0.0])
+        structures_path = str(tmp_path / "structures.yaml")
+        # save both structures to one file
+        import yaml as _yaml
+
+        docs = []
+        for s in (mono, dimer):
+            s.save(str(tmp_path / f"{s.title}.yaml"))
+            with open(tmp_path / f"{s.title}.yaml") as f:
+                docs.extend(list(_yaml.safe_load_all(f)))
+        with open(structures_path, "w") as f:
+            _yaml.dump_all(docs, f)
+
+        # experimental data: mostly dimers at 30 nm spacing
+        rng = np.random.default_rng(0)
+        n_dimers = 250
+        centers = rng.uniform(500, 19500, (n_dimers, 2))
+        ang = rng.uniform(0, 2 * np.pi, n_dimers)
+        offs = 30.0 * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+        pts = np.concatenate([centers, centers + offs])
+        pts += rng.normal(0, 4.0, pts.shape)  # label uncertainty
+        locs = pd.DataFrame(
+            {
+                "frame": np.zeros(len(pts), np.uint32),
+                "x": (pts[:, 0] / 130).astype(np.float32),
+                "y": (pts[:, 1] / 130).astype(np.float32),
+                "photons": np.full(len(pts), 1000, np.float32),
+                "sx": np.full(len(pts), 1.0, np.float32),
+                "sy": np.full(len(pts), 1.0, np.float32),
+                "bg": np.full(len(pts), 5, np.float32),
+                "lpx": np.full(len(pts), 0.03, np.float32),
+                "lpy": np.full(len(pts), 0.03, np.float32),
+            }
+        )
+        locs_path = str(tmp_path / "R_locs.hdf5")
+        io.save_locs(
+            locs_path, locs,
+            [{"Frames": 1, "Height": 160, "Width": 160,
+              "Pixelsize": 130}],
+        )
+        out = _run_cli(
+            [
+                "spinna", structures_path, locs_path,
+                "-g", "8", "-u", "4.0", "-l", "1.0",
+                "-W", "20800", "-H", "20800", "-m", "brute-force",
+            ]
+        )
+        assert out.returncode == 0, out.stderr
+        # fitted proportions reported; dimer should dominate
+        assert "dimer" in out.stdout.lower()
