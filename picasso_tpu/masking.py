@@ -185,28 +185,34 @@ def threshold_otsu(image: np.ndarray) -> float:
 
 
 def threshold_triangle(image: np.ndarray) -> float:
-    """Zack's triangle method: maximum distance from the line between
-    the histogram peak and the far tail."""
+    """Zack's triangle method (Zack 1977; the standard ImageJ/skimage
+    formulation, as used by picasso/masking.py:449): flip so the longer
+    tail is examined, then maximize h_peak*x - width*y along the tail,
+    with x ascending from the tail end toward the peak."""
     counts, centers = _histogram(image)
+    nbins = len(counts)
     peak = int(np.argmax(counts))
+    peak_height = counts[peak]
     nonzero = np.nonzero(counts)[0]
     left, right = nonzero[0], nonzero[-1]
-    # pick the longer tail
-    if peak - left < right - peak:
-        lo, hi = peak, right
-        idx = np.arange(lo, hi + 1)
-    else:
-        lo, hi = left, peak
-        idx = np.arange(hi, lo - 1, -1)
-    width = idx[-1] - idx[0]
+    if left == right:
+        return float(image.ravel()[0])
+    flip = peak - left < right - peak
+    if flip:
+        counts = counts[::-1]
+        left = nbins - right - 1
+        peak = nbins - peak - 1
+    width = peak - left
     if width == 0:
-        return float(centers[peak])
-    h_peak = counts[idx[0]]
-    norm = np.hypot(h_peak, width)
-    distances = (
-        h_peak * (idx - idx[0]) - width * (counts[idx] - h_peak)
-    ) / norm
-    return float(centers[idx[int(np.argmax(distances))]])
+        return float(centers[peak if not flip else nbins - peak - 1])
+    x1 = np.arange(width)
+    y1 = counts[x1 + left]
+    norm = np.sqrt(peak_height**2 + width**2)
+    length = (peak_height / norm) * x1 - (width / norm) * y1
+    arg_level = int(np.argmax(length)) + left
+    if flip:
+        arg_level = nbins - arg_level - 1
+    return float(centers[arg_level])
 
 
 def threshold_yen(image: np.ndarray) -> float:
