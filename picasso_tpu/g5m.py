@@ -29,6 +29,10 @@ MAX_ROUNDS_WITHOUT_BEST_BIC = 3
 MIN_SIGMA_FACTOR = 0.8
 MAX_SIGMA_FACTOR = 1.5
 N_COMPONENTS_MAX = 100
+# Reference process-pool chunk size (g5m.py:58); the batched TPU EM
+# fits clusters in padded batches instead, but the name is kept for
+# API parity.
+N_TASKS = 500
 
 
 # ---------------------------------------------------------------------------

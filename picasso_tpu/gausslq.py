@@ -214,3 +214,32 @@ def sigma_uncertainty(
     )
     var_sigma = var_sa2 / (4 * sigma**2)
     return np.sqrt(var_sigma)
+
+
+def _initial_parameters_gpufit(
+    spots: np.ndarray, size: int
+) -> np.ndarray:
+    """Initial parameters in gpufit layout — amplitude, x, y, sx, sy,
+    bg per spot (picasso/gausslq.py:128)."""
+    center = (size / 2.0) - 0.5
+    initial_width = max(size / 5.0, 1.0)
+    spot_max = np.amax(spots, axis=(1, 2))
+    spot_min = np.amin(spots, axis=(1, 2))
+    initial = np.empty((len(spots), 6), dtype=np.float32)
+    initial[:, 0] = spot_max - spot_min
+    initial[:, 1] = center
+    initial[:, 2] = center
+    initial[:, 3] = initial_width
+    initial[:, 4] = initial_width
+    initial[:, 5] = spot_min
+    return initial
+
+
+def initial_parameters_gpufit(spots: np.ndarray, size: int) -> np.ndarray:
+    """Deprecated alias of _initial_parameters_gpufit
+    (picasso/gausslq.py:115)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _initial_parameters_gpufit instead."
+    )
+    return _initial_parameters_gpufit(spots, size)

@@ -131,3 +131,30 @@ def sigma_uncertainty(
         1 + 8 * tau + np.sqrt((8 * tau) / (1 + 2 * tau))
     )
     return np.sqrt(delta_sigma_sq)
+
+
+def _mean_filter(spot: np.ndarray, size: int) -> np.ndarray:
+    """3x3 edge-clipped mean filter over a size x size patch
+    (picasso/gaussmle.py:62) — the background initializer's smoothing
+    step (the batched TPU path fuses this into ops/mle.py
+    _mean_filter_min)."""
+    spot = np.asarray(spot, dtype=np.float64)
+    padded = np.pad(spot, 1)
+    sums = sum(
+        padded[1 + di:1 + di + size, 1 + dj:1 + dj + size]
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    )
+    rows = np.minimum(np.arange(size) + 2, size) - np.maximum(
+        np.arange(size) - 1, 0
+    )
+    counts = rows[:, None] * rows[None, :]
+    return sums / counts
+
+
+def mean_filter(spot: np.ndarray, size: int) -> np.ndarray:
+    """Deprecated alias of _mean_filter (picasso/gaussmle.py:52)."""
+    print(
+        "mean_filter is deprecated and will become a private function "
+        "in v0.11.0. Use _mean_filter instead."
+    )
+    return _mean_filter(spot, size)

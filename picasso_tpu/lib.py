@@ -13,6 +13,7 @@ All hot paths here are vectorized numpy / jnp instead of numba loops.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Literal
 
 import numpy as np
@@ -762,3 +763,328 @@ def locs_glob_map(
             _io.save_locs(out_path, out_locs, out_info)
         results.append(result)
     return results
+
+
+# ---------------------------------------------------------------------------
+# Public constants and type aliases (picasso/lib.py:46-83)
+# ---------------------------------------------------------------------------
+
+SOUND_NOTIFICATION_DURATION = 60  # seconds
+
+# Columns that every locs table must carry for 3D analysis
+REQUIRED_COLUMNS = ["frame", "x", "y", "z", "lpx", "lpy", "lpz"]
+
+# Type aliases used throughout the reference API docs. We keep them as
+# plain ndarray aliases — shape/dtype parametrization adds nothing at
+# runtime and the reference's forms require Python >= 3.11 semantics.
+IntArray1D = np.ndarray
+IntArray2D = np.ndarray
+IntArray3D = np.ndarray
+FloatArray1D = np.ndarray
+FloatArray2D = np.ndarray
+FloatArray3D = np.ndarray
+BoolArray1D = np.ndarray
+BoolArray2D = np.ndarray
+Array3x3 = np.ndarray
+SeriesOrFloatArray1D = "pd.Series | np.ndarray"
+SeriesOrIntArray1D = "pd.Series | np.ndarray"
+
+
+# ---------------------------------------------------------------------------
+# Misc helpers for API parity (picasso/lib.py:765-2504)
+# ---------------------------------------------------------------------------
+
+
+def hist2d_numba(x, y, x_min, x_max, y_min, y_max, nx, ny):
+    """Alias of ``hist2d`` under the reference's name
+    (picasso/lib.py:1603; 'numba' is historical — this build bins with
+    vectorized numpy)."""
+    return hist2d(x, y, x_min, x_max, y_min, y_max, nx, ny)
+
+
+def is_path_available(path, *, check_ext="", parent=None):
+    """For each extension variant of ``path``, True if nothing exists
+    there yet (picasso/lib.py:1121). The reference's Qt overwrite
+    prompt (``parent``) is accepted for signature parity but headless
+    builds never prompt — an existing path is reported unavailable."""
+    if check_ext:
+        if isinstance(check_ext, str):
+            check_ext = [check_ext]
+        paths = [os.path.splitext(path)[0] + ext for ext in check_ext]
+    else:
+        paths = [path]
+    return [not os.path.exists(p) for p in paths]
+
+
+def get_pick_polygon_corners(pick):
+    """X and Y corner coordinates of a closed pick polygon, or
+    (None, None) if the pick is not closed (picasso/lib.py:2158)."""
+    if len(pick) < 3 or pick[0] != pick[-1]:
+        return None, None
+    return [p[0] for p in pick], [p[1] for p in pick]
+
+
+def remove_from_rec(rec_array, name):
+    """Deprecated recarray column removal (picasso/lib.py:2087)."""
+    from numpy.lib.recfunctions import drop_fields
+
+    deprecation_warning(
+        "Removing columns from recarrays is deprecated and will be"
+        " removed in Picasso 1.0. Since 0.9.0, Picasso uses pandas"
+        " DataFrames instead of recarrays. Simply use"
+        " locs.drop('new_column', axis=1) to remove a column from the"
+        " DataFrame."
+    )
+    return drop_fields(rec_array, name, usemask=False, asrecarray=True)
+
+
+def unpack_calibration(calibration, pixelsize):
+    """Deprecated 3D-calibration unpacking for G5M: per-z spot
+    width/height from the polynomial coefficients, the z grid in camera
+    pixels, and the magnification factor (picasso/lib.py:1488)."""
+    deprecation_warning(
+        "The function 'unpack_calibration' is deprecated and will be"
+        " removed in Picasso 0.11.0. 3D G5M, for which this function"
+        " was originally implemented, only requires x and y"
+        " coefficients."
+    )
+    cx = calibration["X Coefficients"]
+    cy = calibration["Y Coefficients"]
+    z_step_size = calibration["Step size in nm"]
+    n_frames = calibration["Number of frames"]
+    mag_factor = calibration["Magnification factor"]
+    z_total_range = (n_frames - 1) * z_step_size
+    z_range = -(np.arange(n_frames) * z_step_size - z_total_range / 2)
+    spot_size = np.stack(
+        (np.polyval(cx, z_range), np.polyval(cy, z_range))
+    )
+    return spot_size, z_range / pixelsize, mag_factor
+
+
+# ---------------------------------------------------------------------------
+# Sound notifications: settings round-trip without Qt
+# (picasso/lib.py:765-840). Actual playback is a GUI concern; headless
+# builds only persist the selection.
+# ---------------------------------------------------------------------------
+
+
+def _sound_notification_dir() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.realpath(__file__)),
+        "gui",
+        "notification_sounds",
+    )
+
+
+def get_sound_notification_path():
+    """Path of the configured notification sound, or None when unset,
+    missing, or not an mp3/wav (picasso/lib.py:765)."""
+    from picasso_tpu import io
+
+    settings = io.load_user_settings()
+    if "Sound_notification" not in settings:
+        settings["Sound_notification"]["filename"] = None
+        io.save_user_settings(settings)
+    filename = settings["Sound_notification"]["filename"]
+    if filename is None:
+        return None
+    path = os.path.join(_sound_notification_dir(), filename)
+    if not os.path.isfile(path):
+        return None
+    if os.path.splitext(filename)[1].lower() not in (".mp3", ".wav"):
+        return None
+    return path
+
+
+def get_available_sound_notifications():
+    """File names of bundled notification sounds, preceded by "None"
+    (picasso/lib.py:795)."""
+    sounds_dir = _sound_notification_dir()
+    filenames = []
+    if os.path.isdir(sounds_dir):
+        filenames = sorted(
+            f for f in os.listdir(sounds_dir)
+            if os.path.isfile(os.path.join(sounds_dir, f))
+            and os.path.splitext(f)[1].lower() in (".mp3", ".wav")
+        )
+    return ["None"] + filenames
+
+
+def set_sound_notification(selection) -> None:
+    """Persist the selected notification sound in the user settings
+    (picasso/lib.py:815). Accepts a file name or a Qt action with
+    ``objectName()``; playback preview is left to the GUI layer."""
+    from picasso_tpu import io
+
+    if hasattr(selection, "objectName"):
+        selection = selection.objectName()
+    if selection == "None":
+        selection = None
+    settings = io.load_user_settings()
+    settings["Sound_notification"]["filename"] = selection
+    io.save_user_settings(settings)
+
+
+# ---------------------------------------------------------------------------
+# QC plots (picasso/lib.py:1385 plot_trace, :2381 plot_subclustering_check,
+# :2504 plot_rel_sigma_check)
+# ---------------------------------------------------------------------------
+
+
+def plot_trace(locs, info, *, fig=None, include_photons=True,
+               return_trace=False):
+    """Per-frame trace of one binding site: x, y, ON/OFF and photons
+    (picasso/lib.py:1385)."""
+    import matplotlib.pyplot as plt
+
+    n_rows = 4 if include_photons else 3
+    if fig is None:
+        fig, axes = plt.subplots(
+            n_rows, 1, figsize=(5, 5), constrained_layout=True,
+            sharex=True,
+        )
+    else:
+        fig.clear()
+        axes = fig.subplots(n_rows, sharex=True)
+    n_frames = get_from_metadata(info, "Frames", raise_error=True)
+    xvec = np.arange(n_frames)
+    yvec = np.zeros(n_frames, dtype=int)
+    yvec[locs["frame"]] = 1
+    yvec_ph = np.zeros(n_frames)
+    if "photons" in locs.columns:
+        yvec_ph[locs["frame"]] = locs["photons"]
+    trace_data = (
+        (xvec, yvec, yvec_ph) if include_photons else (xvec, yvec)
+    )
+
+    axes[0].scatter(locs["frame"], locs["x"], s=2)
+    axes[0].set_title("X-pos vs frame")
+    axes[0].set_xlim(0, n_frames)
+    axes[0].set_ylabel("X-pos [Px]")
+    axes[1].scatter(locs["frame"], locs["y"], s=2)
+    axes[1].set_title("Y-pos vs frame")
+    axes[1].set_ylabel("Y-pos [Px]")
+    axes[2].plot(xvec, yvec, linewidth=1)
+    axes[2].fill_between(xvec, 0, yvec, facecolor="red")
+    axes[2].set_title("Localizations")
+    axes[2].set_xlabel("Frames")
+    axes[2].set_ylabel("ON")
+    axes[2].set_yticks([0, 1])
+    axes[2].set_ylim([-0.1, 1.1])
+    if include_photons:
+        axes[3].plot(xvec, yvec_ph, linewidth=1)
+        axes[3].set_title("Photons")
+        axes[3].set_xlabel("Frames")
+        axes[3].set_ylabel("Photons")
+        axes[3].set_ylim([0, max(yvec_ph.max(), 1) * 1.1])
+    if return_trace:
+        return fig, trace_data
+    return fig
+
+
+def plot_subclustering_check(
+    clustered_n_events, sparse_n_events, plot_path="", return_fig=False,
+    clustering_dist=None, sparse_dist=None,
+):
+    """Event-count histograms of clustered vs sparse molecules with a
+    KS/permutation test in the title — the QC companion of
+    ``clusterer.test_subclustering`` (picasso/lib.py:2381)."""
+    import matplotlib.pyplot as plt
+
+    clustered_n_events = np.asarray(clustered_n_events)
+    sparse_n_events = np.asarray(sparse_n_events)
+    has_clustered = len(clustered_n_events) > 0
+    has_sparse = len(sparse_n_events) > 0
+    fig, ax = plt.subplots(1, figsize=(6, 4), constrained_layout=True)
+
+    populations = [
+        (has_clustered, clustered_n_events, clustering_dist, "<",
+         "Clustered", "C0"),
+        (has_sparse, sparse_n_events, sparse_dist, ">", "Sparse", "C1"),
+    ]
+    for present, events, dist, sign, name, color in populations:
+        if not present:
+            continue
+        vals, counts = np.unique(events, return_counts=True)
+        label = f"{name} {events.mean():.1f} +/- {events.std():.1f}"
+        if dist is not None:
+            label = (
+                f"{name} (d {sign} {dist:.1f} nm) "
+                f"{events.mean():.1f} +/- {events.std():.1f}"
+            )
+        ax.bar(vals, counts, width=0.8, alpha=0.5, label=label,
+               color=color)
+        ax.axvline(events.mean(), color=color, linestyle="--")
+
+    if has_clustered or has_sparse:
+        all_events = np.concatenate((sparse_n_events, clustered_n_events))
+        min_bin, max_bin = np.percentile(all_events, [2.5, 97.5])
+        ax.set_xlabel("Number of events")
+        ax.set_ylabel("Counts")
+        ax.set_xlim(min_bin - 1, max_bin + 1)
+        ax.legend()
+    if has_clustered and has_sparse:
+        stat, p_perm, p = permutation_test(
+            clustered_n_events, sparse_n_events
+        )
+        p_str = r"$p_{value}$"
+        title = (
+            f"KS test: stat={stat:.4f}\n"
+            f"permutation {p_str}={p_perm:.4f}\n"
+            f"theoretical {p_str}={p:.4f}"
+        )
+    elif has_clustered or has_sparse:
+        title = (
+            "Only one population found, no statistical test performed; "
+            "adjust distance parameters."
+        )
+    else:
+        title = (
+            "No molecules found in either population, adjust distance"
+            " parameters."
+        )
+    ax.set_title(title, fontsize=10)
+    if len(plot_path):
+        if isinstance(plot_path, str):
+            plot_path = [plot_path]
+        for path in plot_path:
+            fig.savefig(path, dpi=300)
+    if return_fig:
+        return fig, ax
+    plt.close(fig)
+    return None, None
+
+
+def plot_rel_sigma_check(mols, info, path) -> None:
+    """Histogram the relative sigmas of G5M molecules (one panel per
+    dimension in 3D) and save to ``path`` (picasso/lib.py:2504)."""
+    import matplotlib.pyplot as plt
+
+    if "z" in mols.columns:
+        fig, axes = plt.subplots(
+            3, 1, figsize=(6, 8), constrained_layout=True
+        )
+        bins = calculate_optimal_bins(
+            np.concatenate([
+                mols["rel_sigma_x"], mols["rel_sigma_y"],
+                mols["rel_sigma_z"],
+            ])
+        )
+        for i, dim in enumerate("xyz"):
+            axes[i].hist(
+                mols[f"rel_sigma_{dim}"], bins=bins, color=f"C{i}",
+                alpha=0.7,
+            )
+            axes[i].set_xlabel(f"Relative sigma {dim}")
+            axes[i].set_ylabel("Counts")
+    else:
+        fig, ax = plt.subplots(1, figsize=(6, 4), constrained_layout=True)
+        ax.hist(
+            mols["rel_sigma"],
+            bins=calculate_optimal_bins(mols["rel_sigma"]),
+            color="C0", alpha=0.7,
+        )
+        ax.set_xlabel("Relative sigma")
+        ax.set_ylabel("Counts")
+    fig.savefig(path, dpi=300)
+    plt.close(fig)

@@ -413,6 +413,19 @@ def fit(movie, camera_info, identifications, box, eps=0.001, max_it=100,
     )
 
 
+def fit_async(movie, camera_info, identifications, box, eps=0.001,
+              max_it=100, method="sigmaxy"):
+    """Deprecated MLE launcher returning (current, thetas, CRLBs,
+    likelihoods, iterations) (picasso/localize.py:1214). The batched
+    TPU fit completes eagerly; ``current`` is already at N."""
+    lib.deprecation_warning(
+        "Deprecation warning: this function will be removed in v0.11.0."
+        " Use localize.fit2D instead."
+    )
+    spots = get_spots(movie, identifications, box, camera_info)
+    return gaussmle.gaussmle_async(spots, eps, max_it, method=method)
+
+
 def locs_from_fits(
     identifications, theta, CRLBs, likelihoods, iterations, box
 ) -> pd.DataFrame:

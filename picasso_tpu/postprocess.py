@@ -1650,3 +1650,145 @@ def resi(
     if resi_path is not None:
         _io.save_locs(resi_path, resi_centers, resi_info)
     return resi_centers, resi_info
+
+
+# ---------------------------------------------------------------------------
+# Deprecated public aliases kept for API parity with the reference,
+# which keeps these shims around until its v0.11.0
+# (picasso/postprocess.py:97/802/890/932/1165/2422/2664).
+# ---------------------------------------------------------------------------
+
+
+def index_blocks_shape(info: list[dict], size: float) -> tuple[int, int]:
+    """Deprecated alias of _index_blocks_shape
+    (picasso/postprocess.py:97)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _index_blocks_shape instead."
+    )
+    return _index_blocks_shape(info, size)
+
+
+def n_block_locs_at(
+    x_range: int,
+    y_range: int,
+    K: int,
+    L: int,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+) -> int:
+    """Deprecated: number of locs in the 3x3 block neighborhood of the
+    given grid cell (picasso/postprocess.py:802; note the reference
+    excludes row/column 0 here, unlike _get_block_locs_at_numba)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use the block index returned by get_index_blocks."
+    )
+    total = np.uint32(0)
+    for k in range(y_range - 1, y_range + 2):
+        if 0 < k < K:
+            for ll in range(x_range - 1, x_range + 2):
+                if 0 < ll < L:
+                    total += np.uint32(
+                        block_ends[k][ll] - block_starts[k][ll]
+                    )
+    return total
+
+
+def _block_neighborhood_indices(
+    x_index: int,
+    y_index: int,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    K: int,
+    L: int,
+) -> np.ndarray:
+    """Indices of locs in the 3x3 block neighborhood
+    (picasso/postprocess.py:849)."""
+    chunks = []
+    for k in range(y_index - 1, y_index + 2):
+        if 0 <= k < K:
+            for ll in range(x_index - 1, x_index + 2):
+                if 0 <= ll < L and block_ends[k, ll] > block_starts[k, ll]:
+                    chunks.append(
+                        np.arange(
+                            block_starts[k, ll],
+                            block_ends[k, ll],
+                            dtype=np.uint32,
+                        )
+                    )
+    if not chunks:
+        return np.empty(0, dtype=np.uint32)
+    return np.concatenate(chunks)
+
+
+def get_block_locs_at_numba(
+    x_index: int,
+    y_index: int,
+    locs_xy: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+    K: int,
+    L: int,
+) -> np.ndarray:
+    """Deprecated: the locs (columns of ``locs_xy``, shape (2, N)
+    lexsorted by block) in the 3x3 block neighborhood of the given cell
+    (picasso/postprocess.py:890)."""
+    indices = _block_neighborhood_indices(
+        x_index, y_index, block_starts, block_ends, K, L
+    )
+    return locs_xy[:, indices]
+
+
+def locs_at_numba(
+    x: float, y: float, locs_xy: np.ndarray, r: float
+) -> np.ndarray:
+    """Deprecated: columns of ``locs_xy`` within radius ``r`` of (x, y)
+    (picasso/postprocess.py:932)."""
+    dx = locs_xy[0] - x
+    dy = locs_xy[1] - y
+    return locs_xy[:, dx**2 + dy**2 < r**2]
+
+
+def next_frame_neighbor_distance_histogram(locs, callback=None):
+    """Deprecated alias of _next_frame_neighbor_distance_histogram
+    (picasso/postprocess.py:1165)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _next_frame_neighbor_distance_histogram instead."
+    )
+    return _next_frame_neighbor_distance_histogram(locs, callback)
+
+
+def get_link_groups(
+    frame: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    d_max: float,
+    max_dark_time: int,
+    group: np.ndarray,
+) -> np.ndarray:
+    """Deprecated alias of _get_link_groups
+    (picasso/postprocess.py:2422)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _get_link_groups instead."
+    )
+    return _get_link_groups(frame, x, y, d_max, max_dark_time, group)
+
+
+def link_loc_groups(
+    locs: pd.DataFrame,
+    info: list[dict],
+    link_group: np.ndarray,
+    remove_ambiguous_lengths: bool = True,
+) -> pd.DataFrame:
+    """Deprecated alias of _link_loc_groups
+    (picasso/postprocess.py:2664)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _link_loc_groups instead."
+    )
+    return _link_loc_groups(
+        locs, info, link_group, remove_ambiguous_lengths
+    )

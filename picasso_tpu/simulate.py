@@ -17,6 +17,7 @@ import numpy as np
 from picasso_tpu import io
 
 MAGFAC = 0.79  # astigmatism magnification factor (simulate.py:16)
+magfac = MAGFAC  # reference public name (simulate.py:15)
 
 
 def calculate_zpsf(z, cx, cy):

@@ -33,6 +33,9 @@ from picasso_tpu import __version__, io, lib
 N_TASKS = 100
 N_BOOTSTRAPS = 20
 BOOTSTRAP_DISTANCE = 30.0
+# Minkowski power for the bootstrap-subset distance (reference
+# spinna.py:45: p=1, Manhattan)
+BOOTSTRAP_DISTANCE_METRIC = 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -1041,17 +1044,25 @@ class SPINNA:
         return np.array(selected)
 
     def get_subset_N_structures(
-        self, N_structures, center, radius: float = BOOTSTRAP_DISTANCE
+        self, N_structures, center, radius: float = BOOTSTRAP_DISTANCE,
+        p: float = None,
     ):
-        """Candidates within radius (in proportion space) of a
-        center."""
+        """Candidates within radius (in proportion space) of a center,
+        measured with the Minkowski-p metric — the reference defaults to
+        p=1, i.e. Manhattan distance (picasso/spinna.py:3970-4012)."""
+        if p is None:
+            p = BOOTSTRAP_DISTANCE_METRIC
         props = self.mixer.convert_counts_to_props(N_structures)
         if props.ndim == 1:
             props = props.reshape(1, -1)
         center_props = self.mixer.convert_counts_to_props(
             np.asarray(center).reshape(1, -1)
         )
-        d = np.linalg.norm(props - center_props, axis=1)
+        diff = np.abs(props - center_props)
+        if np.isinf(p):
+            d = diff.max(axis=1)
+        else:
+            d = (diff**p).sum(axis=1) ** (1 / p)
         subset = N_structures[d <= radius]
         if len(subset) == 0:
             subset = np.asarray(center).reshape(1, -1)
