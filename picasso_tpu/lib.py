@@ -1088,3 +1088,85 @@ def plot_rel_sigma_check(mols, info, path) -> None:
         ax.set_ylabel("Counts")
     fig.savefig(path, dpi=300)
     plt.close(fig)
+
+
+class ProgressDialog:
+    """Headless stand-in for the reference's Qt progress dialog
+    (picasso/lib.py:307): same constructor and method surface —
+    ``set_value``, ``zero_progress``, ``close``, ``get_iterator`` — but
+    rendered as a tqdm bar, so long-running API calls accept the same
+    progress object with or without a GUI."""
+
+    def __init__(self, description, minimum, maximum, parent=None):
+        from tqdm import tqdm
+
+        self.description_base = description
+        self._minimum = minimum
+        self._maximum = maximum
+        self._bar = tqdm(
+            total=maximum - minimum, desc=description, leave=False
+        )
+        self._value = minimum
+
+    def value(self):
+        return self._value
+
+    def maximum(self):
+        return self._maximum
+
+    def set_value(self, value):
+        self._value = value
+        self._bar.n = value - self._minimum
+        self._bar.refresh()
+
+    def setLabelText(self, description):
+        self.description_base = description
+        self._bar.set_description(description)
+
+    def zero_progress(self, description=None):
+        if description:
+            self.setLabelText(description)
+        self.set_value(self._minimum)
+
+    def get_iterator(self, start=None, end=None):
+        start = self._value if start is None else start
+        end = self._maximum if end is None else end
+        return range(start, end)
+
+    def close(self):
+        self._bar.close()
+
+    def closeEvent(self, event=None):
+        self.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+ProgressType = ProgressDialog | MockProgress | TqdmProgress
+
+
+_QT_ONLY_NAMES = {
+    "Dialog", "GenericPlotWindow", "HelpButton", "LogDoubleSpinBox",
+    "MetadataDialog", "RemoveColumnsDialog", "ScrollableGroupBox",
+    "StatusDialog", "UserSettingsDialog", "adjust_widget_size",
+    "cancel_dialogs", "get_save_filename_ext_dialog",
+    "install_excepthook",
+}
+
+
+def __getattr__(name):
+    if name in _QT_ONLY_NAMES:
+        raise ImportError(
+            f"lib.{name} is a Qt widget/helper in the reference "
+            "(picasso/lib.py); this TPU-native build keeps the compute "
+            "core headless. Interactive widgets live in "
+            "picasso_tpu.gui and require PyQt6."
+        )
+    raise AttributeError(
+        f"module 'picasso_tpu.lib' has no attribute {name!r}"
+    )

@@ -829,3 +829,213 @@ def draw_picks(
         ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
         rgb[ys[ok], xs[ok]] = color
     return rgb
+
+
+# ---------------------------------------------------------------------------
+# Scene annotations: legend, minimap, rotation axes
+# (numpy/PIL analogues of the reference's QImage painters,
+# picasso/render.py:2480-2727). All take and return uint8 RGB arrays.
+# ---------------------------------------------------------------------------
+
+POLYGON_POINTER_SIZE = 16  # must be even (picasso/render.py:34)
+
+
+def _draw_text(rgb, text, xy, color, fontsize=16, bg=None):
+    """Rasterize text into an RGB array with PIL (the headless
+    stand-in for QPainter.drawText)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    img = Image.fromarray(rgb)
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.load_default(size=fontsize)
+    except TypeError:  # older Pillow: fixed-size bitmap font
+        font = ImageFont.load_default()
+    if bg is not None:
+        bbox = draw.textbbox(xy, text, font=font)
+        pad = 4
+        draw.rectangle(
+            (bbox[0] - pad, bbox[1] - pad, bbox[2] + pad, bbox[3] + pad),
+            fill=tuple(bg),
+        )
+    draw.text(xy, text, fill=tuple(color), font=font)
+    return np.asarray(img)
+
+
+def _draw_line(rgb, p0, p1, color):
+    """Burn a 1-px line into an RGB array."""
+    h, w = rgb.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
+    xs = np.linspace(p0[0], p1[0], n).round().astype(int)
+    ys = np.linspace(p0[1], p1[1], n).round().astype(int)
+    ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    rgb[ys[ok], xs[ok]] = color
+    return rgb
+
+
+def _draw_rect(rgb, x, y, width, height, color):
+    """Burn a 1-px rectangle outline into an RGB array."""
+    _draw_line(rgb, (x, y), (x + width, y), color)
+    _draw_line(rgb, (x, y + height), (x + width, y + height), color)
+    _draw_line(rgb, (x, y), (x, y + height), color)
+    _draw_line(rgb, (x + width, y), (x + width, y + height), color)
+    return rgb
+
+
+def adjust_viewport_decorator(func):
+    """Adjust the viewport to the image's aspect ratio before calling
+    the wrapped painter — image and viewport must be its first two
+    arguments (picasso/render.py:2014)."""
+
+    def wrapper(image, viewport, *args, **kwargs):
+        h, w = np.asarray(image).shape[:2]
+        adjusted = adjust_viewport_to_aspect_ratio(viewport, h / w)
+        return func(image, adjusted, *args, **kwargs)
+
+    return wrapper
+
+
+def draw_legend(
+    rgb: np.ndarray,
+    channel_names: list[str],
+    channel_colors: list[tuple[int, int, int]],
+    init_pos: tuple[int, int] = (12, 26),
+    dy: int = 24,
+    padding: int = 4,
+    text_fontsize: int = 16,
+) -> np.ndarray:
+    """Multichannel legend in the top-left corner: each channel name in
+    its color on a black box (picasso/render.py:2480)."""
+    assert len(channel_names) == len(channel_colors), (
+        "Length of channel_names must match number of channels in "
+        "dataset."
+    )
+    rgb = np.ascontiguousarray(rgb).copy()
+    x, y = init_pos
+    for name, color in zip(channel_names, channel_colors):
+        rgb = _draw_text(
+            rgb, name, (x, y - text_fontsize), color,
+            fontsize=text_fontsize, bg=(0, 0, 0),
+        )
+        y += dy
+    return rgb
+
+
+@adjust_viewport_decorator
+def draw_minimap(
+    rgb: np.ndarray,
+    viewport,
+    max_viewport_size: tuple[float, float],
+    color_main=(255, 255, 0),
+    color_frame=(255, 255, 255),
+    length_minimap: int = 100,
+    margin: tuple[int, int] = (20, 20),
+) -> np.ndarray:
+    """Minimap in the top-right corner showing where the current
+    viewport sits within the full FOV (picasso/render.py:2550)."""
+    rgb = rgb.copy()
+    movie_height, movie_width = max_viewport_size
+    height_minimap = int(movie_height / movie_width * length_minimap)
+    x = rgb.shape[1] - length_minimap - margin[0]
+    y = margin[1]
+    _draw_rect(rgb, x, y, length_minimap, height_minimap, color_frame)
+    length = max(
+        5, int(viewport_width(viewport) / movie_width * length_minimap)
+    )
+    height = max(
+        5,
+        int(viewport_height(viewport) / movie_height * height_minimap),
+    )
+    x_vp = int(viewport[0][1] / movie_width * length_minimap)
+    y_vp = int(viewport[0][0] / movie_height * height_minimap)
+    _draw_rect(rgb, x + x_vp, y + y_vp, length, height, color_main)
+    return rgb
+
+
+def draw_rotation(
+    rgb: np.ndarray,
+    ang,
+    axis_length: int = 30,
+    axis_center: tuple[int, int] = (50, -50),
+) -> np.ndarray:
+    """Rotated x/y/z axis tripod icon (red/cyan/green), by default in
+    the bottom-left corner (picasso/render.py:2604)."""
+    rgb = rgb.copy()
+    h, w = rgb.shape[:2]
+    x = axis_center[0] if axis_center[0] >= 0 else w + axis_center[0]
+    y = axis_center[1] if axis_center[1] >= 0 else h + axis_center[1]
+    axes = np.eye(3) * axis_length
+    rotated = to_rotation(ang).apply(axes).astype(int)
+    colors = [(255, 0, 0), (0, 255, 255), (0, 255, 0)]
+    for (ex, ey, _), color in zip(rotated, colors):
+        _draw_line(rgb, (x, y), (x + ex, y + ey), color)
+    return rgb
+
+
+def draw_rotation_angles(
+    rgb: np.ndarray, ang, color=(255, 255, 255)
+) -> np.ndarray:
+    """Rotation angles in degrees as text in the bottom-right corner
+    (picasso/render.py:2693)."""
+    h, w = rgb.shape[:2]
+    angx, angy, angz = [int(np.round(a * 180 / np.pi)) for a in ang]
+    text = f"{angx} {angy} {angz}"
+    x = w - len(text) * 8 - 10
+    y = h - 20
+    return _draw_text(
+        np.ascontiguousarray(rgb).copy(), text, (x, y - 12), color,
+        fontsize=12,
+    )
+
+
+def rgb_to_qimage(rgb: np.ndarray):
+    """Convert a uint8 RGB array to a QImage (picasso/render.py:3047).
+    Qt-only — raises ImportError when PyQt6 is unavailable."""
+    try:
+        from PyQt6 import QtGui
+    except ImportError as e:
+        raise ImportError(
+            "rgb_to_qimage requires PyQt6, which is not installed. Use "
+            "the numpy RGB image directly, or PIL for file export."
+        ) from e
+    rgb = np.ascontiguousarray(rgb)
+    h, w = rgb.shape[:2]
+    image = QtGui.QImage(
+        rgb.data, w, h, 3 * w, QtGui.QImage.Format.Format_RGB888
+    )
+    return image.copy()
+
+
+def _export_image(image, path) -> None:
+    """Write an RGB array (or QImage, when Qt is present) to a vector
+    or raster file via matplotlib — the headless replacement for the
+    reference's QPdfWriter/QSvgGenerator painters
+    (picasso/render.py:1640/1666)."""
+    import matplotlib.pyplot as plt
+
+    if not isinstance(image, np.ndarray):  # QImage duck-typing
+        ptr = image.constBits()
+        ptr.setsize(image.sizeInBytes())
+        arr = np.frombuffer(ptr, np.uint8).reshape(
+            image.height(), image.bytesPerLine() // 4, 4
+        )[:, : image.width(), :3]
+        image = arr[..., ::-1]  # BGRA -> RGB
+    h, w = image.shape[:2]
+    fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.imshow(image, interpolation="nearest")
+    ax.axis("off")
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
+def export_qimage_to_pdf(image, path: str) -> None:
+    """Export a rendered image (numpy RGB or QImage) to PDF
+    (picasso/render.py:1640)."""
+    _export_image(image, path)
+
+
+def export_qimage_to_svg(image, path: str) -> None:
+    """Export a rendered image (numpy RGB or QImage) to SVG
+    (picasso/render.py:1666)."""
+    _export_image(image, path)

@@ -295,3 +295,35 @@ class TestGeometryHelpers:
         X = np.array([0.0, 2.0, 2.0, 0.0])
         Y = np.array([0.0, 0.0, 3.0, 3.0])
         assert lib.polygon_area(X, Y) == pytest.approx(6.0)
+
+
+class TestProgressDialogShim:
+    """Headless ProgressDialog with the reference's Qt interface
+    (picasso/lib.py:307) and the Qt-only attribute gate."""
+
+    def test_progress_dialog_interface(self):
+        p = lib.ProgressDialog("work", 0, 10, None)
+        p.set_value(4)
+        assert p.value() == 4
+        assert p.maximum() == 10
+        assert list(p.get_iterator()) == list(range(4, 10))
+        p.zero_progress("next phase")
+        assert p.value() == 0
+        assert p.description_base == "next phase"
+        p.close()
+
+    def test_progress_dialog_context_manager(self):
+        with lib.ProgressDialog("ctx", 0, 3, None) as p:
+            p.set_value(3)
+
+    def test_progress_type_union(self):
+        assert lib.MockProgress in lib.ProgressType.__args__
+        assert lib.ProgressDialog in lib.ProgressType.__args__
+
+    def test_qt_only_names_raise_import_error(self):
+        with pytest.raises(ImportError, match="headless"):
+            lib.Dialog
+        with pytest.raises(ImportError, match="PyQt6"):
+            lib.install_excepthook
+        with pytest.raises(AttributeError):
+            lib.definitely_not_a_symbol

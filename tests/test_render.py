@@ -3,6 +3,8 @@ contrast, spatial index correctness."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -483,3 +485,78 @@ class TestRenderSceneMore:
         assert n == len(locs)
         assert image.ndim == 3 and image.shape[2] == 3
         assert image.dtype == np.uint8
+
+
+class TestSceneAnnotations:
+    """Numpy/PIL analogues of the reference's QImage painters
+    (picasso/render.py:2480-2727, :1640/:1666, :3047)."""
+
+    @pytest.fixture
+    def rgb(self):
+        return np.zeros((200, 300, 3), np.uint8)
+
+    def test_draw_legend(self, rgb):
+        out = render.draw_legend(
+            rgb, ["ch0", "ch1"], [(255, 0, 0), (0, 255, 0)]
+        )
+        assert out.shape == rgb.shape
+        assert out[..., 0].sum() > 0  # red text drawn
+        assert out[..., 1].sum() > 0  # green text drawn
+        assert (rgb == 0).all()  # input untouched
+        with pytest.raises(AssertionError):
+            render.draw_legend(rgb, ["a"], [(1, 2, 3), (4, 5, 6)])
+
+    def test_draw_minimap(self, rgb):
+        viewport = ((10.0, 10.0), (20.0, 30.0))
+        out = render.draw_minimap(rgb, viewport, (64.0, 64.0))
+        # frame (white) and viewport rect (yellow) in the top-right
+        assert (out[:140, 150:] == 255).any()
+        assert (out[140:] == 0).all()
+
+    def test_draw_rotation_tripod(self, rgb):
+        out = render.draw_rotation(rgb, (0.0, 0.0, 0.0))
+        # unrotated: x axis is a pure red horizontal line at the icon
+        # (the center pixel itself is overdrawn by the y/z axes)
+        row = out[150, 51:80]
+        np.testing.assert_array_equal(row, [[255, 0, 0]] * 29)
+        out2 = render.draw_rotation(rgb, (0.3, 0.5, 0.2))
+        assert (out2 != out).any()
+
+    def test_draw_rotation_angles(self, rgb):
+        out = render.draw_rotation_angles(
+            rgb, (np.pi / 2, 0.0, np.pi)
+        )
+        assert (out[160:, 200:] > 0).any()
+
+    def test_export_image_files(self, rgb, tmp_path):
+        annotated = render.draw_legend(rgb, ["a"], [(255, 255, 255)])
+        pdf = str(tmp_path / "scene.pdf")
+        svg = str(tmp_path / "scene.svg")
+        render.export_qimage_to_pdf(annotated, pdf)
+        render.export_qimage_to_svg(annotated, svg)
+        assert os.path.getsize(pdf) > 0
+        assert open(svg, "rb").read(5) == b"<?xml"
+
+    def test_rgb_to_qimage_gated(self, rgb):
+        try:
+            import PyQt6  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError, match="PyQt6"):
+                render.rgb_to_qimage(rgb)
+
+    def test_adjust_viewport_decorator(self):
+        seen = {}
+
+        @render.adjust_viewport_decorator
+        def probe(image, viewport):
+            seen["viewport"] = viewport
+            return image
+
+        img = np.zeros((100, 200, 3), np.uint8)
+        probe(img, ((0.0, 0.0), (10.0, 10.0)))
+        h = render.viewport_height(seen["viewport"])
+        w = render.viewport_width(seen["viewport"])
+        assert h / w == pytest.approx(0.5)
+
+    def test_polygon_pointer_size_constant(self):
+        assert render.POLYGON_POINTER_SIZE % 2 == 0
