@@ -1159,9 +1159,16 @@ _QT_ONLY_NAMES = {
 }
 
 
+class QtOnlyAttributeError(AttributeError):
+    """Raised for reference symbols that exist only in Qt builds.
+    An AttributeError so hasattr()/getattr(..., default) feature
+    probing still works (AttributeError and ImportError cannot be
+    combined — their C instance layouts conflict)."""
+
+
 def __getattr__(name):
     if name in _QT_ONLY_NAMES:
-        raise ImportError(
+        raise QtOnlyAttributeError(
             f"lib.{name} is a Qt widget/helper in the reference "
             "(picasso/lib.py); this TPU-native build keeps the compute "
             "core headless. Interactive widgets live in "

@@ -202,9 +202,9 @@ def threshold_triangle(image: np.ndarray) -> float:
         counts = counts[::-1]
         left = nbins - right - 1
         peak = nbins - peak - 1
+    # width >= 1 here: a single-bin histogram returned above, and the
+    # flip puts the longer (non-empty) tail on the left of the peak
     width = peak - left
-    if width == 0:
-        return float(centers[peak if not flip else nbins - peak - 1])
     x1 = np.arange(width)
     y1 = counts[x1 + left]
     norm = np.sqrt(peak_height**2 + width**2)

@@ -1016,10 +1016,17 @@ def _export_image(image, path) -> None:
     if not isinstance(image, np.ndarray):  # QImage duck-typing
         ptr = image.constBits()
         ptr.setsize(image.sizeInBytes())
-        arr = np.frombuffer(ptr, np.uint8).reshape(
-            image.height(), image.bytesPerLine() // 4, 4
-        )[:, : image.width(), :3]
-        image = arr[..., ::-1]  # BGRA -> RGB
+        h, w = image.height(), image.width()
+        bpp = image.depth() // 8  # 3 for RGB888, 4 for (A)RGB32
+        rows = np.frombuffer(ptr, np.uint8).reshape(
+            h, image.bytesPerLine()
+        )
+        arr = rows[:, : w * bpp].reshape(h, w, bpp)
+        if bpp == 4:
+            # (A)RGB32 is BGRA in little-endian memory
+            image = arr[..., 2::-1]
+        else:
+            image = arr[..., :3]
     h, w = image.shape[:2]
     fig = plt.figure(figsize=(w / 100, h / 100), dpi=100)
     ax = fig.add_axes([0, 0, 1, 1])

@@ -320,10 +320,13 @@ class TestProgressDialogShim:
         assert lib.MockProgress in lib.ProgressType.__args__
         assert lib.ProgressDialog in lib.ProgressType.__args__
 
-    def test_qt_only_names_raise_import_error(self):
-        with pytest.raises(ImportError, match="headless"):
+    def test_qt_only_names_raise_attribute_error(self):
+        # AttributeError subclass so hasattr() feature probing works
+        with pytest.raises(lib.QtOnlyAttributeError, match="headless"):
             lib.Dialog
-        with pytest.raises(ImportError, match="PyQt6"):
+        with pytest.raises(AttributeError, match="PyQt6"):
             lib.install_excepthook
+        assert not hasattr(lib, "StatusDialog")
+        assert getattr(lib, "cancel_dialogs", None) is None
         with pytest.raises(AttributeError):
             lib.definitely_not_a_symbol
