@@ -21,6 +21,10 @@ from scipy.optimize import curve_fit
 
 from picasso_tpu import lib
 
+# Below ~32M pair-correlation pixels the dispatch/compile overhead
+# beats the device FFT win; rcc() falls back to the host batch.
+DEVICE_PAIR_PIXELS = 32e6
+
 
 def xcorr(imageA: np.ndarray, imageB: np.ndarray) -> np.ndarray:
     """FFT cross-correlation: fftshift(Re(ifft2(FA * conj(FB)))) /
@@ -150,8 +154,11 @@ def rcc(
     shape = (Y, X)
     # Below ~32M correlation pixels the dispatch/compile overhead beats
     # the device FFT win; use the host batch.
-    use_device = len(pairs) * Y * X > 32e6
-    if use_device:
+    use_device = len(pairs) * Y * X > DEVICE_PAIR_PIXELS
+    use_sharded = use_device and jax.device_count() > 1
+    if use_sharded:
+        from picasso_tpu.parallel import mesh as _pmesh
+    elif use_device:
         F = jnp.fft.fft2(jnp.asarray(seg_arr))
     else:
         F_h = np.fft.fft2(seg_arr)
@@ -161,7 +168,10 @@ def rcc(
         batch = pairs[start:start + chunk]
         ii = np.asarray([p[0] for p in batch])
         jj = np.asarray([p[1] for p in batch])
-        if use_device:
+        if use_sharded:
+            # pair products sharded over the device mesh
+            xc_batch = _pmesh.pair_xcorrs_sharded(seg_arr, ii, jj)
+        elif use_device:
             xc_batch = np.asarray(
                 _pair_xcorrs_device(F, jnp.asarray(ii), jnp.asarray(jj))
             )

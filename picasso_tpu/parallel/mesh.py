@@ -184,3 +184,82 @@ def sharded_pipeline_step(
     )
     theta, img = fn(frames_dev)
     return np.asarray(theta), np.asarray(img)
+
+
+def fit_lq_sharded(
+    spots: np.ndarray,
+    max_it: int = 30,
+    ftol: float = 1e-6,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Run the batched Levenberg-Marquardt (LQ) fit with the spot batch
+    sharded over the mesh — the multi-chip counterpart of the
+    reference's process pool / CUDA Gpufit paths
+    (picasso/gausslq.py:292/:346). Zero collectives: each chip fits its
+    shard. Returns theta (N, 6) gathered to host."""
+    from picasso_tpu.ops import lq as _lq
+
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    n = len(spots)
+    spots = np.asarray(spots, np.float32)
+    padded_n = _pad_to(max(n, 1), 8 * n_dev)
+    if padded_n != n:
+        spots = np.concatenate(
+            [spots, np.ones((padded_n - n, *spots.shape[1:]), np.float32)]
+        )
+    sharding = NamedSharding(mesh, P("spots", None, None))
+    spots_dev = jax.device_put(spots, sharding)
+    theta = jax.jit(
+        functools.partial(_lq._fit_chunk, max_it=max_it, ftol=ftol),
+        in_shardings=(sharding,),
+        out_shardings=NamedSharding(mesh, P("spots")),
+    )(spots_dev)
+    return np.asarray(theta)[:n]
+
+
+def pair_xcorrs_sharded(
+    segments: np.ndarray,
+    pairs_i: np.ndarray,
+    pairs_j: np.ndarray,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Cross-correlation maps of segment pairs for RCC drift
+    correction, sharded over the PAIR axis — for large segmentations
+    the n(n-1)/2 pair FFTs dominate undrift (picasso/imageprocess.py:
+    160 runs them serially on host). Segment FFTs are computed once and
+    replicated; each chip evaluates its share of the pair products.
+    Returns the fftshifted correlation maps (n_pairs, Y, X) on host."""
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    n_pairs = len(pairs_i)
+    pad = _pad_to(max(n_pairs, 1), n_dev)
+    ii = np.zeros(pad, np.int32)
+    jj = np.zeros(pad, np.int32)
+    ii[:n_pairs] = pairs_i
+    jj[:n_pairs] = pairs_j
+    seg = np.asarray(segments, np.float32)
+    replicated = NamedSharding(mesh, P())
+    pair_sharding = NamedSharding(mesh, P("spots"))
+
+    def xcorr_pairs(seg_arr, idx_i, idx_j):
+        F = jnp.fft.fft2(seg_arr)
+        prod = F[idx_i] * jnp.conj(F[idx_j])
+        size = seg_arr.shape[1] * seg_arr.shape[2]
+        res = jnp.real(jnp.fft.ifft2(prod)) / jnp.sqrt(
+            jnp.asarray(size, jnp.float32)
+        )
+        return jnp.fft.fftshift(res, axes=(1, 2))
+
+    out = jax.jit(
+        xcorr_pairs,
+        in_shardings=(replicated, pair_sharding, pair_sharding),
+        out_shardings=NamedSharding(mesh, P("spots")),
+    )(
+        jax.device_put(seg, replicated),
+        jax.device_put(ii, pair_sharding),
+        jax.device_put(jj, pair_sharding),
+    )
+    return np.asarray(out)[:n_pairs]

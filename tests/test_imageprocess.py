@@ -95,3 +95,26 @@ class TestRadialSum:
         rs = imageprocess.radial_sum(z)
         assert np.iscomplexobj(rs)
         np.testing.assert_allclose(rs.real, rs.imag, rtol=1e-6)
+
+
+def test_rcc_sharded_path_matches_host(monkeypatch):
+    """Force the mesh-sharded pair-correlation path (taken for large
+    segmentations on multi-device meshes) and check it reproduces the
+    host result."""
+    from picasso_tpu import imageprocess
+
+    rng = np.random.default_rng(7)
+    base = rng.random((32, 32)).astype(np.float32)
+    segments = [
+        np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+        for dy, dx in [(0, 0), (1, 2), (2, 4), (3, 6)]
+    ]
+    host_drift = imageprocess.rcc(segments, max_shift=10)
+    monkeypatch.setattr(imageprocess, "DEVICE_PAIR_PIXELS", 0)
+    sharded_drift = imageprocess.rcc(segments, max_shift=10)
+    np.testing.assert_allclose(
+        sharded_drift[0], host_drift[0], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        sharded_drift[1], host_drift[1], atol=1e-3
+    )

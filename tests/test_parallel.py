@@ -94,3 +94,45 @@ class TestPipelineStep:
         assert img.shape == (7, 7)
         # every device contributed spots to the psum-reduced image
         assert img.sum() == 16 * 4
+
+
+class TestFitLQSharded:
+    def test_matches_single_device(self, mesh8):
+        from picasso_tpu.ops import lq
+        from picasso_tpu.parallel import mesh as pmesh
+
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:7, 0:7]
+        n = 40
+        spots = np.stack([
+            50 + 800 * np.exp(
+                -((xx - 3.2) ** 2 + (yy - 2.8) ** 2) / (2 * 1.1**2)
+            )
+            + rng.normal(0, 3, (7, 7))
+            for _ in range(n)
+        ]).astype(np.float32)
+        theta_sharded = pmesh.fit_lq_sharded(spots, mesh=mesh8)
+        theta_single = np.asarray(lq._fit_chunk(spots))
+        assert theta_sharded.shape == (n, 6)
+        np.testing.assert_allclose(
+            theta_sharded, theta_single, rtol=1e-4, atol=1e-4
+        )
+
+
+class TestPairXcorrsSharded:
+    def test_matches_numpy_fft(self, mesh8):
+        from picasso_tpu.parallel import mesh as pmesh
+
+        rng = np.random.default_rng(4)
+        segments = rng.random((6, 16, 16)).astype(np.float32)
+        pairs = [(i, j) for i in range(5) for j in range(i + 1, 6)]
+        ii = np.array([p[0] for p in pairs])
+        jj = np.array([p[1] for p in pairs])
+        out = pmesh.pair_xcorrs_sharded(segments, ii, jj, mesh=mesh8)
+        F = np.fft.fft2(segments)
+        ref = np.fft.fftshift(
+            np.real(np.fft.ifft2(F[ii] * np.conj(F[jj]))),
+            axes=(1, 2),
+        ) / np.sqrt(16 * 16)
+        assert out.shape == (len(pairs), 16, 16)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
