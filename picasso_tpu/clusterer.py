@@ -204,10 +204,19 @@ def cluster(
 # ---------------------------------------------------------------------------
 
 
-def _dbscan(X, radius: float, min_density: int) -> np.ndarray:
+def _dbscan(
+    X, radius: float, min_density: int, min_locs: int = 0
+) -> np.ndarray:
     from sklearn.cluster import DBSCAN
 
-    return DBSCAN(eps=radius, min_samples=min_density).fit(X).labels_
+    labels = DBSCAN(eps=radius, min_samples=min_density).fit(X).labels_
+    if min_locs > 0:
+        values, counts = np.unique(
+            labels[labels != -1], return_counts=True
+        )
+        small = values[counts < min_locs]
+        labels[np.isin(labels, small)] = -1
+    return labels
 
 
 def dbscan(
@@ -216,20 +225,31 @@ def dbscan(
     min_density: int,
     pixelsize: float | None = None,
     return_info: bool = False,
+    min_locs: int = 0,
+    radius_z: float | None = None,
 ):
-    """DBSCAN wrapper (Ester et al. 1996;
-    picasso/clusterer.py:448)."""
+    """DBSCAN wrapper (Ester et al. 1996; picasso/clusterer.py:448).
+
+    With ``radius_z`` set on 3D data, clustering is anisotropic: z is
+    scaled by ``radius / radius_z`` so the isotropic epsilon search
+    corresponds to an ellipsoidal neighborhood with semi-axes
+    (radius, radius, radius_z), as in the reference since v0.10.1.
+    Clusters smaller than ``min_locs`` are dropped."""
     locs = locs.copy()
-    if "z" in locs.columns:
+    n_raw = len(locs)
+    is_3d = "z" in locs.columns
+    if is_3d:
         if pixelsize is None:
             raise ValueError(
                 "Camera pixel size must be specified for 3D DBSCAN."
             )
         X = locs[["x", "y", "z"]].to_numpy().copy()
         X[:, 2] /= pixelsize
+        if radius_z is not None:
+            X[:, 2] *= radius / radius_z
     else:
         X = locs[["x", "y"]].to_numpy()
-    labels = _dbscan(X, radius, min_density)
+    labels = _dbscan(X, radius, min_density, min_locs)
     locs = extract_valid_labels(locs, labels)
     info = {
         "Generated by": f"Picasso v{__version__} DBSCAN",
@@ -238,7 +258,13 @@ def dbscan(
         else 0,
         "Radius (px)": radius,
         "Min. density": min_density,
+        "Min. localizations per cluster": min_locs,
+        "Fraction of rejected locs (%)": (
+            100 * (n_raw - len(locs)) / n_raw if n_raw else 0.0
+        ),
     }
+    if is_3d and radius_z is not None:
+        info["Radius z (px)"] = radius_z
     if return_info:
         return locs, info
     return locs

@@ -256,6 +256,28 @@ class LocalizeApp(_PluginHost):
             return
         self.redraw()
 
+    def save_spots(self, path: str, camera_info: dict | None = None):
+        """Identify the whole movie at the current parameters and save
+        the cut ROIs (.npy/.tif + yaml), like the reference Localize
+        app's 'Save spots' (picasso/gui/localize.py:2762)."""
+        ids = localize.identify(
+            self.movie, self.min_net_gradient, self.box,
+            return_info=False,
+        )
+        camera_info = camera_info or {
+            "Baseline": 0, "Sensitivity": 1, "Gain": 1,
+        }
+        spots = localize.get_spots(
+            self.movie, ids, self.box, camera_info
+        )
+        info = list(self.info) + [{
+            "Generated by": "picasso-tpu Localize spots",
+            "Min. Net Gradient": self.min_net_gradient,
+            "Box Size": self.box,
+        }]
+        io.save_spots(path, np.asarray(spots), info)
+        return len(ids)
+
 
 class FilterApp(_PluginHost):
     """Histogram-based filtering of locs tables — the reference Filter

@@ -224,3 +224,63 @@ class TestClustererErrorsAndInfo:
         assert info["Clustering radius xy (nm)"] == pytest.approx(
             0.2 * 130
         )
+
+
+class TestAnisotropicDBSCAN:
+    """radius_z anisotropy and min_locs filtering
+    (picasso/clusterer.py:448, v0.10.1 changelog)."""
+
+    def _locs_3d(self):
+        rng = np.random.default_rng(11)
+        # tight cluster in xy but spread in z, plus a sparse background
+        n = 60
+        cx = rng.normal(10, 0.05, n)
+        cy = rng.normal(10, 0.05, n)
+        cz = rng.normal(0, 150, n)  # nm, elongated along z
+        bx = rng.uniform(0, 20, 30)
+        by = rng.uniform(0, 20, 30)
+        bz = rng.uniform(-500, 500, 30)
+        return pd.DataFrame({
+            "frame": np.zeros(n + 30, np.uint32),
+            "x": np.concatenate([cx, bx]).astype(np.float32),
+            "y": np.concatenate([cy, by]).astype(np.float32),
+            "z": np.concatenate([cz, bz]).astype(np.float32),
+        })
+
+    def test_radius_z_recovers_elongated_cluster(self):
+        locs = self._locs_3d()
+        # isotropic with small radius splits the z-elongated cluster
+        iso = clusterer.dbscan(
+            locs, radius=0.3, min_density=5, pixelsize=130
+        )
+        aniso = clusterer.dbscan(
+            locs, radius=0.3, min_density=5, pixelsize=130,
+            radius_z=3.0,
+        )
+        assert len(aniso) >= len(iso)
+        assert len(aniso) >= 50  # most of the cluster kept together
+        assert aniso["group"].nunique() == 1
+
+    def test_min_locs_drops_small_clusters(self):
+        rng = np.random.default_rng(12)
+        big = rng.normal(5, 0.05, (40, 2))
+        small = rng.normal(15, 0.05, (4, 2))
+        locs = pd.DataFrame({
+            "frame": np.zeros(44, np.uint32),
+            "x": np.concatenate([big[:, 0], small[:, 0]]).astype(
+                np.float32
+            ),
+            "y": np.concatenate([big[:, 1], small[:, 1]]).astype(
+                np.float32
+            ),
+        })
+        out, info = clusterer.dbscan(
+            locs, radius=0.3, min_density=3, min_locs=10,
+            return_info=True,
+        )
+        assert out["group"].nunique() == 1
+        assert len(out) == 40
+        assert info["Min. localizations per cluster"] == 10
+        assert info["Fraction of rejected locs (%)"] == pytest.approx(
+            100 * 4 / 44
+        )

@@ -78,6 +78,19 @@ class TestLocalizeApp:
         app._on_key(E2())
         assert app.min_net_gradient < 5000
 
+    def test_save_spots(self, movie, movie_info, tmp_path):
+        from picasso_tpu import io
+
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        path = str(tmp_path / "movie_spots.npy")
+        n = app.save_spots(path)
+        spots, info = io.load_spots(path)
+        assert len(spots) == n > 0
+        assert spots.shape[1:] == (7, 7)
+        assert info[-1]["Box Size"] == 7
+
 
 class TestFilterApp:
     def test_filter_and_save(self, tmp_path):
