@@ -180,6 +180,36 @@ class RenderApp(_PluginHost):
             self.pick_diameter = size
         self.redraw()
 
+    def pick_info(self) -> dict:
+        """Info block describing the current picks, with per-pick and
+        total areas in um^2 (reference gui/render.py:10570; the total
+        'Area (um^2)' for circle/square picks was fixed in v0.10.3)."""
+        pixelsize = lib.get_from_metadata(self.info, "Pixelsize", 130)
+        areas_px = lib.pick_areas_circle(
+            self.picks, self.pick_diameter / 2
+        )
+        areas_um2 = areas_px * (pixelsize / 1000) ** 2
+        return {
+            "Generated by": "picasso-tpu Render : Pick",
+            "Pick Shape": "Circle",
+            # one value — identical for every circular pick
+            "Pick Areas (um^2)": [float(areas_um2[0])]
+            if len(areas_um2)
+            else [],
+            "Area (um^2)": float(np.sum(areas_um2)),
+            "Number of picks": len(self.picks),
+        }
+
+    def save_picked_locs(self, path: str):
+        """Save the locs inside the current picks with the pick info
+        appended to the yaml chain (reference gui/render.py:10588)."""
+        picked = self.picked_locs()
+        if not picked:
+            raise ValueError("No picks to save.")
+        out = pd.concat(picked, ignore_index=True)
+        io.save_locs(path, out, list(self.info) + [self.pick_info()])
+        return len(out)
+
 
 class LocalizeApp(_PluginHost):
     """Movie browser with live identification overlay — the parameter

@@ -177,3 +177,26 @@ class TestPlugins:
             assert "broken on import" in errors[0]
         finally:
             os.remove(plugin_path)
+
+
+class TestRenderAppPickedLocs:
+    def test_save_picked_locs_with_areas(self, tmp_path):
+        from picasso_tpu import io as _io
+
+        app = gui.RenderApp(_locs(), INFO)
+        app.picks = [(16.0, 16.0), (8.0, 8.0)]
+        app.pick_diameter = 4.0
+        path = str(tmp_path / "picked_locs.hdf5")
+        n = app.save_picked_locs(path)
+        locs, info = _io.load_locs(path)
+        assert len(locs) == n > 0
+        assert "group" in locs.columns
+        block = info[-1]
+        assert block["Number of picks"] == 2
+        # total area = 2 * pi * r^2 in um^2
+        pixelsize = INFO[0]["Pixelsize"]
+        expected = 2 * np.pi * 2.0**2 * (pixelsize / 1000) ** 2
+        assert block["Area (um^2)"] == pytest.approx(expected)
+        assert block["Pick Areas (um^2)"][0] == pytest.approx(
+            expected / 2
+        )
