@@ -67,8 +67,9 @@ def identify_maps(
     half = box // 2
 
     # --- local maxima with first-argmax tie-breaking ---------------------
-    # Pad with +inf so windows touching the border never qualify; the
-    # eligible range is then enforced exactly below.
+    # Pad with -inf (padding never beats a real center); the border
+    # exclusion itself is enforced ONLY by the eligible mask below —
+    # do not relax those bounds without adjusting the padding.
     neg = jnp.float32(-jnp.inf)
     padded = jnp.pad(
         frames, ((0, 0), (half, half), (half, half)),
@@ -118,12 +119,17 @@ def identify_maps(
     # of the gradient maps with the unit-vector masks. XLA's conv is
     # cross-correlation (no kernel flip), which is exactly this sum.
     def corr(img, kernel):
+        # HIGHEST precision: the TPU default lowers convs to bf16 MXU
+        # passes, which shifts net gradients by ~0.4% on u16-scale
+        # frames and flips spots near the minimum_ng threshold vs the
+        # f32 reference.
         return jax.lax.conv_general_dilated(
             img[:, None, :, :],
             jnp.asarray(kernel)[None, None, :, :],
             window_strides=(1, 1),
             padding=((half, half), (half, half)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
         )[:, 0]
 
     ng = corr(gy, uy) + corr(gx, ux)
@@ -232,10 +238,7 @@ def cut_spots_numpy(
     n = len(ids_frame)
     spots = np.zeros((n, box, box), dtype=movie.dtype)
     order = np.argsort(ids_frame, kind="stable")
-    inv = np.empty_like(order)
-    inv[order] = np.arange(n)
     sorted_frames = ids_frame[order]
-    start = 0
     unique_frames, starts = np.unique(sorted_frames, return_index=True)
     bounds = list(starts) + [n]
     for fi, frame_number in enumerate(unique_frames):

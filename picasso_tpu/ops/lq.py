@@ -89,14 +89,6 @@ def _axis_factors(theta, s: int):
     return gx, gy, dgx_dx, dgy_dy, dgx_dsx, dgy_dsy
 
 
-def _residual(theta, spots_t, s: int):
-    gx, gy, *_ = _axis_factors(theta, s)
-    model = theta[2][None, None, :] * (
-        gy[:, None, :] * gx[None, :, :]
-    ) + theta[3][None, None, :]
-    return spots_t - model
-
-
 def _cost(theta, spots_t, s: int):
     """Sum of squared residuals, accumulated per spot column so no
     (S, S, N) residual grid is materialized."""
@@ -292,7 +284,7 @@ def fit_spots_batched(
     if os.environ.get("PICASSO_TPU_NO_PALLAS", "0") != "1":
         from picasso_tpu.ops import lq_pallas
 
-        use_pallas = lq_pallas.pallas_supported()
+        use_pallas = lq_pallas.pallas_supported(int(spots.shape[-1]))
     results = []
     out = []
     done_count = 0

@@ -62,19 +62,19 @@ def fit_pallas(
     return theta.T
 
 
-_PALLAS_OK: bool | None = None
+_PALLAS_OK: dict[int, bool] = {}
 
 
-def pallas_supported() -> bool:
-    """Compile-probe the kernel once per process; False on platforms
-    where the Mosaic lowering is unavailable."""
-    global _PALLAS_OK
-    if _PALLAS_OK is None:
+def pallas_supported(box: int = 7) -> bool:
+    """Compile-probe the kernel once per box size per process; False
+    where the Mosaic lowering is unavailable OR this box exceeds the
+    VMEM budget (the 7x7 probe alone cannot vouch for large boxes)."""
+    if box not in _PALLAS_OK:
         try:
-            probe = jnp.ones((TILE, 7, 7), jnp.float32)
+            probe = jnp.ones((TILE, box, box), jnp.float32)
             out = fit_pallas(probe, max_it=1)
             np.asarray(out)
-            _PALLAS_OK = True
+            _PALLAS_OK[box] = True
         except Exception:
-            _PALLAS_OK = False
-    return _PALLAS_OK
+            _PALLAS_OK[box] = False
+    return _PALLAS_OK[box]

@@ -123,22 +123,6 @@ def initial_theta_sigmaxy(spots: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(parts, axis=1)
 
 
-# ---------------------------------------------------------------------------
-# Bilinear-form helpers
-# ---------------------------------------------------------------------------
-
-
-def _bilinear(A: jnp.ndarray, M: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    """<A, M, B>[n] = sum_ji A[j,n] M[j,i,n] B[i,n].
-
-    Broadcast-multiply + tree reduction over the tiny S axes (pure VPU
-    work, N on the lane axis) — S is ~7, so a dot_general would waste
-    the MXU, and Mosaic cannot lower this contraction's batched form
-    anyway."""
-    T = jnp.sum(A[:, None, :] * M, axis=0)  # (S_i, N)
-    return jnp.sum(T * B, axis=0)
-
-
 def _axis_factors_sigmaxy(x, y, photons, sx, sy, s: int):
     """All per-axis (S, N) factors for the 6-parameter model, via the
     fused two-exponential evaluation (ops/gaussian.fused_axis_terms)."""
@@ -155,19 +139,6 @@ def _axis_factors_sigmaxy(x, y, photons, sx, sy, s: int):
         psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
         dsig_x, d2sig_x, dsig_y, d2sig_y,
     )
-
-
-def _cf_df(spots_t, psf_x, psf_y, photons, bg):
-    """C = x/mu - 1 and D = x/mu^2 pixel grids (eq. 13), with the
-    reference's model>1e-2 gate and 1e5 clamps
-    (picasso/gaussmle.py:828-835)."""
-    model = photons[None, None, :] * (
-        psf_y[:, None, :] * psf_x[None, :, :]
-    ) + bg[None, None, :]
-    valid = model > 10e-3
-    cf = jnp.where(valid, spots_t / model - 1.0, 0.0)
-    df = jnp.where(valid, spots_t / model**2, 0.0)
-    return jnp.minimum(cf, 10e4), jnp.minimum(df, 10e4), model
 
 
 def _newton_step_sigmaxy(theta, spots_t, max_step):
@@ -711,7 +682,9 @@ def gaussmle_batched(
     if os.environ.get("PICASSO_TPU_NO_PALLAS", "0") != "1":
         from picasso_tpu.ops import mle_pallas
 
-        use_pallas = mle_pallas.pallas_supported()
+        use_pallas = mle_pallas.pallas_supported(
+            int(spots.shape[-1]), method
+        )
     for start in range(0, n, chunk):
         part = spots[start:start + chunk]
         n_part = len(part)

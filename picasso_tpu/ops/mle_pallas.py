@@ -105,22 +105,24 @@ def fit_pallas(
     return theta.T, crlb.T, ll[0], iters[0]
 
 
-_PALLAS_OK: bool | None = None
+_PALLAS_OK: dict[tuple[int, str], bool] = {}
 
 
-def pallas_supported() -> bool:
-    """Compile-probe the kernel once per process; False on platforms
-    where the Mosaic lowering is unavailable."""
-    global _PALLAS_OK
-    if _PALLAS_OK is None:
+def pallas_supported(box: int = 7, method: str = "sigmaxy") -> bool:
+    """Compile-probe the kernel once per (box, method) per process;
+    False where the Mosaic lowering is unavailable OR this particular
+    shape exceeds the VMEM budget — large boxes can fail even when the
+    7x7 probe compiles, so the gate must match the real call."""
+    key = (box, method)
+    if key not in _PALLAS_OK:
         try:
-            probe = jnp.ones((TILE, 7, 7), jnp.float32)
-            out = fit_pallas(probe, 1e-3, 1, method="sigmaxy")
+            probe = jnp.ones((TILE, box, box), jnp.float32)
+            out = fit_pallas(probe, 1e-3, 1, method=method)
             np.asarray(out[3])
-            _PALLAS_OK = True
+            _PALLAS_OK[key] = True
         except Exception:
-            _PALLAS_OK = False
-    return _PALLAS_OK
+            _PALLAS_OK[key] = False
+    return _PALLAS_OK[key]
 
 
 # ---------------------------------------------------------------------------

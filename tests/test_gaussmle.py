@@ -268,3 +268,88 @@ class TestSigmaUncertainty:
         )
         assert len(out) == 2
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFusedAxisTermOracles:
+    """The fused two-exponential axis terms (the live kernel path) must
+    match the unfused reference-math helpers term by term
+    (picasso/gaussmle.py:268-338)."""
+
+    def _grid(self):
+        rng = np.random.default_rng(0)
+        d = rng.uniform(-4, 4, (9, 64)).astype(np.float32)
+        sigma = rng.uniform(0.8, 2.0, (1, 64)).astype(np.float32)
+        return d, sigma
+
+    def test_sigmaxy_terms_match_unfused(self):
+        from picasso_tpu.ops import gaussian as g
+
+        d, sigma = self._grid()
+        psf, dmu, d2mu, dsig, d2sig = (
+            np.asarray(t) for t in g.fused_axis_terms(d, sigma)
+        )
+        np.testing.assert_allclose(
+            psf, np.asarray(g.integrated_gaussian(d, sigma)),
+            rtol=1e-5, atol=1e-7,
+        )
+        first, second = g.derivative_integrated_gaussian(d, sigma)
+        np.testing.assert_allclose(
+            dmu, np.asarray(first), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            d2mu, np.asarray(second), rtol=1e-4, atol=1e-6
+        )
+        s1, s2 = g.derivative_integrated_gaussian_sigma(d, sigma)
+        np.testing.assert_allclose(
+            dsig, np.asarray(s1), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            d2sig, np.asarray(s2), rtol=1e-3, atol=1e-5
+        )
+
+    def test_iso_terms_match_unfused(self):
+        from picasso_tpu.ops import gaussian as g
+
+        d, sigma = self._grid()
+        psf, dmu, d2mu, dPSF, d2PSF = (
+            np.asarray(t) for t in g.fused_axis_terms_iso(d, sigma)
+        )
+        np.testing.assert_allclose(
+            psf, np.asarray(g.integrated_gaussian(d, sigma)),
+            rtol=1e-5, atol=1e-7,
+        )
+        ref_d, ref_d2 = g.iso_sigma_axis_terms(d, sigma)
+        np.testing.assert_allclose(
+            dPSF, np.asarray(ref_d), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            d2PSF, np.asarray(ref_d2), rtol=1e-3, atol=1e-5
+        )
+
+    def test_lq_axis_factors_match_gaussian_pdf(self):
+        import jax.numpy as jnp
+
+        from picasso_tpu.ops import gaussian as g
+        from picasso_tpu.ops import lq
+
+        s = 7
+        theta = jnp.asarray(
+            np.array(
+                [[0.3], [-0.2], [1000.0], [10.0], [1.1], [1.3]],
+                np.float32,
+            )
+        )
+        gx, gy, *_ = lq._axis_factors(theta, s)
+        grid = np.arange(s, dtype=np.float32) - s // 2
+        dx = grid[:, None] - 0.3
+        dy = grid[:, None] - (-0.2)
+        np.testing.assert_allclose(
+            np.asarray(gx),
+            np.asarray(g.gaussian_pdf(jnp.asarray(dx), 1.1)),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gy),
+            np.asarray(g.gaussian_pdf(jnp.asarray(dy), 1.3)),
+            rtol=1e-5,
+        )
