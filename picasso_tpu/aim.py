@@ -34,16 +34,41 @@ def _count_intersections_all_shifts(
     once (replaces aim.py:95-135 + the per-shift thread pool
     :214-258)."""
     n_shifts = len(shifts)
-    shifted = l1_coords[:, None] + shifts[None, :]  # (n1, S)
-    pos = np.searchsorted(l0_coords, shifted)
-    pos_c = np.minimum(pos, len(l0_coords) - 1)
-    hit = l0_coords[pos_c] == shifted
-    mins = np.minimum(l0_counts[pos_c], l1_counts[:, None])
-    return np.sum(np.where(hit, mins, 0), axis=0).astype(np.int64)
+    out = np.empty(n_shifts, np.int64)
+    # chunk the shift axis so the (n1, chunk) temporaries stay ~64 MB
+    # even for dense segments with ~1e6 occupied cells
+    chunk = max(1, int(8e6 / max(len(l1_coords), 1)))
+    for s0 in range(0, n_shifts, chunk):
+        block = shifts[s0:s0 + chunk]
+        shifted = l1_coords[:, None] + block[None, :]  # (n1, <=chunk)
+        pos = np.searchsorted(l0_coords, shifted)
+        pos_c = np.minimum(pos, len(l0_coords) - 1)
+        hit = l0_coords[pos_c] == shifted
+        mins = np.minimum(l0_counts[pos_c], l1_counts[:, None])
+        out[s0:s0 + len(block)] = np.sum(
+            np.where(hit, mins, 0), axis=0
+        )
+    return out
 
 
 def _grid_counts(l1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return np.unique(l1, return_counts=True)
+
+
+def _grid_stride(units: float) -> int:
+    """Integer row stride for the quantized-cell keys.
+
+    The reference multiplies by the FLOAT width/intersect_d
+    (aim.py:337/:421) and truncates to int32, which makes the key
+    arithmetic inconsistent with its own integer shift offsets whenever
+    the stride is not integer-valued (and risks int32 overflow in 3D).
+    Using a rounded-up integer stride matches the reference exactly in
+    the (typical) integer case and keeps keys collision-free and
+    shift-consistent otherwise."""
+    r = round(units)
+    if abs(units - r) < 1e-6:
+        return int(r)
+    return int(np.ceil(units)) + 1
 
 
 def _point_intersect_2d(
@@ -52,9 +77,10 @@ def _point_intersect_2d(
 ) -> np.ndarray:
     """Count intersections for every xy shift of the local search
     region (picasso/aim.py:297)."""
-    x1_units = np.round(np.asarray(x1) / intersect_d)
-    y1_units = np.round(np.asarray(y1) / intersect_d)
-    l1 = np.int32(x1_units + y1_units * width_units)
+    stride = _grid_stride(width_units)
+    x1_units = np.round(np.asarray(x1) / intersect_d).astype(np.int64)
+    y1_units = np.round(np.asarray(y1) / intersect_d).astype(np.int64)
+    l1 = x1_units + y1_units * stride
     l1_coords, l1_counts = _grid_counts(l1)
     counts = _count_intersections_all_shifts(
         l0_coords, l0_counts, l1_coords, l1_counts, shifts_xy
@@ -67,14 +93,12 @@ def _point_intersect_3d(
     height_units, shifts_z,
 ) -> np.ndarray:
     """Count intersections for every z shift (picasso/aim.py:377)."""
-    x1_units = np.round(np.asarray(x1) / intersect_d)
-    y1_units = np.round(np.asarray(y1) / intersect_d)
-    z1_units = np.round(np.asarray(z1) / intersect_d)
-    l1 = np.int32(
-        x1_units
-        + y1_units * width_units
-        + z1_units * width_units * height_units
-    )
+    sw = _grid_stride(width_units)
+    sh = _grid_stride(height_units)
+    x1_units = np.round(np.asarray(x1) / intersect_d).astype(np.int64)
+    y1_units = np.round(np.asarray(y1) / intersect_d).astype(np.int64)
+    z1_units = np.round(np.asarray(z1) / intersect_d).astype(np.int64)
+    l1 = x1_units + y1_units * sw + z1_units * sw * sh
     l1_coords, l1_counts = _grid_counts(l1)
     return _count_intersections_all_shifts(
         l0_coords, l0_counts, l1_coords, l1_counts, shifts_z
@@ -134,15 +158,17 @@ def intersection_max(
     steps = np.arange(-roi_units, roi_units + 1)
     box = len(steps)
     width_units = width / intersect_d
-    # shifts[i, j] = step_x_i + step_y_j * width_units, flattened
-    # row-major like the reference grid (aim.py:594-601)
+    stride = _grid_stride(width_units)
+    # shifts[i, j] = step_x_i + step_y_j * stride, flattened row-major
+    # like the reference grid (aim.py:594-601); integer stride keeps
+    # the shift offsets exactly consistent with the cell keys
     shifts_xy = (
-        steps[:, None] + steps[None, :] * width_units
-    ).astype(np.int32).reshape(box * box)
+        steps[:, None] + steps[None, :] * stride
+    ).astype(np.int64).reshape(box * box)
 
-    x0_units = np.round(np.asarray(ref_x) / intersect_d)
-    y0_units = np.round(np.asarray(ref_y) / intersect_d)
-    l0 = np.int32(x0_units + y0_units * width_units)
+    x0_units = np.round(np.asarray(ref_x) / intersect_d).astype(np.int64)
+    y0_units = np.round(np.asarray(ref_y) / intersect_d).astype(np.int64)
+    l0 = x0_units + y0_units * stride
     l0_coords, l0_counts = _grid_counts(l0)
 
     start_idx = 1 if aim_round == 1 else 0
@@ -202,14 +228,16 @@ def intersection_max_z(
     steps = np.arange(-roi_units, roi_units + 1)
     width_units = width / intersect_d
     height_units = height / intersect_d
-    shifts_z = (
-        steps * width_units * height_units
-    ).astype(np.int32)
+    sw = _grid_stride(width_units)
+    sh = _grid_stride(height_units)
+    # int64: z keys reach stride_w * stride_h * z_units and overflow
+    # int32 on large FOVs (the reference's int32 keys would wrap)
+    shifts_z = (steps * sw * sh).astype(np.int64)
 
-    l0 = np.int32(
-        np.round(np.asarray(ref_x) / intersect_d)
-        + np.round(np.asarray(ref_y) / intersect_d) * width_units
-        + np.round(ref_z / intersect_d) * width_units * height_units
+    l0 = (
+        np.round(np.asarray(ref_x) / intersect_d).astype(np.int64)
+        + np.round(np.asarray(ref_y) / intersect_d).astype(np.int64) * sw
+        + np.round(ref_z / intersect_d).astype(np.int64) * sw * sh
     )
     l0_coords, l0_counts = _grid_counts(l0)
 

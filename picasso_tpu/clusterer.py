@@ -377,7 +377,10 @@ def find_cluster_centers(
 
     lpx = stds["x"].to_numpy() / np.sqrt(n_locs)
     lpy = stds["y"].to_numpy() / np.sqrt(n_locs)
-    ellipticity = means["sx"].to_numpy() / means["sy"].to_numpy()
+    if "sx" in means.columns and "sy" in means.columns:
+        ellipticity = means["sx"].to_numpy() / means["sy"].to_numpy()
+    else:
+        ellipticity = np.ones(len(means))
     n_events, order, group_s = _count_binding_events(
         group_arr, frame_arr
     )
@@ -408,20 +411,24 @@ def find_cluster_centers(
         "std_y": stds["y"].to_numpy().astype(np.float32),
     }
     if has_z:
-        w = 1.0 / (
-            locs["lpx"].to_numpy() + locs["lpy"].to_numpy()
-        ) ** 2
+        if "lpx" in locs.columns and "lpy" in locs.columns:
+            w = 1.0 / (
+                locs["lpx"].to_numpy() + locs["lpy"].to_numpy()
+            ) ** 2
+        else:  # imported data without precision columns: plain mean
+            w = np.ones(len(locs))
         wz = pd.Series(locs["z"].to_numpy() * w).groupby(
             group_arr, sort=True
         ).sum()
         ws = pd.Series(w).groupby(group_arr, sort=True).sum()
         columns["z"] = (wz / ws).to_numpy().astype(np.float32)
+    # optional columns: present only when the input carried them
+    # (imported data, e.g. ThunderSTORM csv, may lack these)
+    for col in ("photons", "sx", "sy", "bg"):
+        if col in means.columns:
+            columns[col] = means[col].to_numpy().astype(np.float32)
     columns.update(
         {
-            "photons": means["photons"].to_numpy().astype(np.float32),
-            "sx": means["sx"].to_numpy().astype(np.float32),
-            "sy": means["sy"].to_numpy().astype(np.float32),
-            "bg": means["bg"].to_numpy().astype(np.float32),
             "lpx": lpx.astype(np.float32),
             "lpy": lpy.astype(np.float32),
         }

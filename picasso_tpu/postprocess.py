@@ -144,12 +144,16 @@ def picked_locs(
         x = locs["x"].to_numpy()
         y = locs["y"].to_numpy()
         for i, pick in enumerate(picks):
-            arr = np.asarray(pick, dtype=float)
-            if len(arr) < 3:
-                out.append(locs.iloc[:0].copy())
+            # unclosed/in-progress polygons are skipped entirely — no
+            # list entry, like the reference (postprocess.py:312-318)
+            X, Y = lib.get_pick_polygon_corners(
+                [tuple(p) for p in pick]
+            )
+            if X is None:
+                rep.set_value(i + 1)
                 continue
             inside = lib.check_if_in_polygon(
-                x, y, arr[:, 0], arr[:, 1]
+                x, y, np.asarray(X), np.asarray(Y)
             )
             group_locs = locs.iloc[np.nonzero(inside)[0]].copy()
             if add_group:
@@ -187,9 +191,12 @@ def pick_similar(
     """Find circular picks over the FOV whose loc count and RMSD match
     the given picks within std_range standard deviations
     (picasso/postprocess.py:597). Vectorized: hex grid of candidate
-    centers, KDTree radius queries, one center-of-mass refinement."""
+    centers, KDTree radius queries, center-of-mass refinement iterated
+    to 1e-3 convergence (max 500 steps, like the reference)."""
     r = d / 2
-    d2 = (d / 2) ** 2
+    # duplicate suppression radius is the full DIAMETER
+    # (picasso/postprocess.py:529 d2 = d**2)
+    d2 = d**2
     x = locs["x"].to_numpy()
     y = locs["y"].to_numpy()
     tree = KDTree(np.column_stack([x, y]))
@@ -223,11 +230,24 @@ def pick_similar(
         gy = np.arange(r + (i % 2) * r, height, d)
         for cy in gy:
             idx = tree.query_ball_point([cx, cy], r)
-            if len(idx) < max(1, min_n):
+            if len(idx) < max(2, min_n):
                 continue
-            # shift to center of mass and re-pick
-            comx = np.mean(x[idx])
-            comy = np.mean(y[idx])
+            # walk to the local center-of-mass peak
+            # (picasso/postprocess.py:700-723: iterate to 1e-3)
+            comx, comy = np.mean(x[idx]), np.mean(y[idx])
+            prev_x, prev_y = cx, cy
+            count = 0
+            while (
+                abs(comx - prev_x) > 1e-3 or abs(comy - prev_y) > 1e-3
+            ):
+                count += 1
+                if count > 500:
+                    break
+                prev_x, prev_y = comx, comy
+                idx = tree.query_ball_point([comx, comy], r)
+                if len(idx) <= 1:
+                    break
+                comx, comy = np.mean(x[idx]), np.mean(y[idx])
             idx = tree.query_ball_point([comx, comy], r)
             n = len(idx)
             if not (min_n <= n <= max_n) or n < 2:
@@ -494,8 +514,14 @@ def distance_histogram(
     bin_size: float,
     r_max: float,
 ) -> np.ndarray:
-    """Histogram of pairwise distances below r_max (each pair counted
-    once; picasso/postprocess.py:1002)."""
+    """Histogram of pairwise distances below r_max, each pair counted
+    once (picasso/postprocess.py:1002).
+
+    Intentional divergence: the reference's block scan only visits the
+    2x2 forward window (postprocess.py:984-989) and structurally misses
+    pairs whose blocks are diagonal down-left of each other, so it
+    undercounts; this KDTree implementation counts ALL pairs, making
+    results here >= the reference's on real data."""
     locs = lib.ensure_sanity(locs, info)
     pts = np.column_stack(
         [locs["x"].to_numpy(), locs["y"].to_numpy()]
@@ -1293,40 +1319,56 @@ def align_from_picked(
     index_blocks=None,
 ):
     """Align channels from the centers of mass of picked fiducial
-    regions: each channel shifts by the mean per-pick COM offset to
-    channel 0 (picasso/postprocess.py:3446)."""
+    regions: all-pairs per-pick COM shifts for every coordinate
+    (including z when all channels carry it), solved jointly with the
+    least-squares redundancy step, exactly like the reference
+    (picasso/postprocess.py:3446/_shifts_from_picked_coordinate
+    :3538)."""
     assert pick_shape in ("Circle", "Rectangle", "Polygon", "Square")
     size = pick_size / 2 if pick_shape == "Circle" else pick_size
-    coms = []
+    pl = []
     for ch, (locs_, info_) in enumerate(zip(all_locs, infos)):
         ib = index_blocks[ch] if index_blocks else None
-        pl = picked_locs(
-            locs_, info_, picks, pick_shape, pick_size=size,
-            add_group=False, index_blocks=ib,
-        )
-        coms.append(
-            np.array(
-                [
-                    (p["x"].mean(), p["y"].mean())
-                    if len(p)
-                    else (np.nan, np.nan)
-                    for p in pl
-                ]
+        pl.append(
+            picked_locs(
+                locs_, info_, picks, pick_shape, pick_size=size,
+                add_group=False, index_blocks=ib,
             )
         )
-    ref = coms[0]
+
+    def pair_shifts(coordinate):
+        coms = [
+            np.array([
+                p[coordinate].mean() if len(p) else np.nan
+                for p in channel
+            ])
+            for channel in pl
+        ]
+        n = len(coms)
+        shifts = np.zeros((n, n))
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                shifts[i, j] = np.nanmean(coms[j] - coms[i])
+        return shifts
+
+    dy = pair_shifts("y")
+    dx = pair_shifts("x")
+    dz = (
+        pair_shifts("z")
+        if all("z" in channel[0].columns for channel in pl)
+        else None
+    )
+    shift = lib.minimize_shifts(dx, dy, shifts_z=dz)
     aligned = []
-    shifts = []
     for ch, locs_ in enumerate(all_locs):
-        delta = np.nanmean(coms[ch] - ref, axis=0)
-        dx, dy = float(delta[0]), float(delta[1])
         out = locs_.copy()
-        out["x"] = out["x"] - dx
-        out["y"] = out["y"] - dy
+        out["y"] = out["y"] - shift[0][ch]
+        out["x"] = out["x"] - shift[1][ch]
+        if len(shift) == 3:
+            out["z"] = out["z"] - shift[2][ch]
         aligned.append(out)
-        shifts.append((dx, dy))
     if return_shifts:
-        return aligned, shifts
+        return aligned, shift
     return aligned
 
 

@@ -284,3 +284,45 @@ class TestAnisotropicDBSCAN:
         assert info["Fraction of rejected locs (%)"] == pytest.approx(
             100 * 4 / 44
         )
+
+
+class TestClusterCentersMinimalColumns:
+    def test_imported_data_without_fit_columns(self):
+        """ThunderSTORM-style imports lack sx/sy/photons/bg; centers
+        must still compute (picasso/clusterer.py:803 tolerance)."""
+        rng = np.random.default_rng(3)
+        n = 120
+        locs = pd.DataFrame({
+            "frame": np.sort(rng.integers(0, 50, n)).astype(np.uint32),
+            "x": np.concatenate([
+                rng.normal(5, 0.05, n // 2), rng.normal(15, 0.05, n // 2)
+            ]).astype(np.float32),
+            "y": np.concatenate([
+                rng.normal(5, 0.05, n // 2), rng.normal(15, 0.05, n // 2)
+            ]).astype(np.float32),
+            "group": np.repeat([0, 1], n // 2).astype(np.int32),
+        })
+        centers = clusterer.find_cluster_centers(locs, pixelsize=130)
+        assert len(centers) == 2
+        assert "x" in centers.columns and "lpx" in centers.columns
+        for absent in ("photons", "sx", "sy", "bg"):
+            assert absent not in centers.columns
+        np.testing.assert_allclose(
+            centers["ellipticity"], [1.0, 1.0]
+        )
+
+    def test_3d_centers_without_precision_columns(self):
+        rng = np.random.default_rng(4)
+        n = 60
+        locs = pd.DataFrame({
+            "frame": np.sort(rng.integers(0, 50, n)).astype(np.uint32),
+            "x": rng.normal(5, 0.05, n).astype(np.float32),
+            "y": rng.normal(5, 0.05, n).astype(np.float32),
+            "z": rng.normal(100, 20, n).astype(np.float32),
+            "group": np.zeros(n, np.int32),
+        })
+        centers = clusterer.find_cluster_centers(locs, pixelsize=130)
+        assert len(centers) == 1
+        assert centers["z"].iloc[0] == pytest.approx(
+            locs["z"].mean(), abs=1.0
+        )

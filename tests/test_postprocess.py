@@ -54,10 +54,11 @@ class TestIndexBlocksAndPicks:
             locs, INFO, [(32.0, 32.0)], "Square", pick_size=10.0
         )[0]
         assert (abs(sq["x"] - 32) < 5).all()
+        # polygons must be closed (first point repeated at the end)
         poly = postprocess.picked_locs(
             locs,
             INFO,
-            [[(20, 20), (44, 20), (44, 44), (20, 44)]],
+            [[(20, 20), (44, 20), (44, 44), (20, 44), (20, 20)]],
             "Polygon",
         )[0]
         inside = (
@@ -65,6 +66,15 @@ class TestIndexBlocksAndPicks:
             & (locs["y"] > 20) & (locs["y"] < 44)
         )
         assert abs(len(poly) - inside.sum()) <= len(poly) // 50
+        # an unclosed polygon is skipped entirely, like the reference
+        # (picasso/postprocess.py:312-318)
+        skipped = postprocess.picked_locs(
+            locs,
+            INFO,
+            [[(20, 20), (44, 20), (44, 44), (20, 44)]],
+            "Polygon",
+        )
+        assert skipped == []
 
     def test_pick_similar_finds_dense_regions(self):
         rng = np.random.default_rng(1)
@@ -524,3 +534,71 @@ class TestNenaDetails:
         assert s > 0
         # recovered precision within 50% of the true 0.08 px
         assert s == pytest.approx(0.08, rel=0.5)
+
+
+class TestAlignFromPicked:
+    def test_recovers_known_shifts_3d(self):
+        rng = np.random.default_rng(5)
+        # fiducial-like clusters at known sites
+        sites = np.array([[10.0, 12.0], [30.0, 40.0], [50.0, 20.0]])
+        n_per = 200
+        base_x = np.concatenate(
+            [rng.normal(sx, 0.05, n_per) for sx, _ in sites]
+        )
+        base_y = np.concatenate(
+            [rng.normal(sy, 0.05, n_per) for _, sy in sites]
+        )
+        base_z = rng.normal(0, 10, 3 * n_per)
+
+        def channel(dx, dy, dz):
+            return pd.DataFrame({
+                "frame": np.zeros(3 * n_per, np.uint32),
+                "x": (base_x + dx).astype(np.float32),
+                "y": (base_y + dy).astype(np.float32),
+                "z": (base_z + dz).astype(np.float32),
+            })
+
+        true = [(0.0, 0.0, 0.0), (0.7, -0.4, 25.0), (-0.3, 0.9, -12.0)]
+        all_locs = [channel(*t) for t in true]
+        infos = [INFO] * 3
+        aligned, shift = postprocess.align_from_picked(
+            all_locs, infos,
+            picks=[tuple(s) for s in sites],
+            pick_shape="Circle", pick_size=3.0, return_shifts=True,
+        )
+        assert len(shift) == 3  # y, x AND z solved
+        # after alignment all channels agree at each site
+        for coord, idx in (("x", 1), ("y", 0), ("z", 2)):
+            m0 = aligned[0][coord].mean()
+            for ch in (1, 2):
+                assert abs(
+                    aligned[ch][coord].mean() - m0
+                ) < 0.05 + (2.0 if coord == "z" else 0.0)
+
+
+class TestPickSimilarDedup:
+    def test_no_overlapping_accepted_picks(self):
+        rng = np.random.default_rng(2)
+        blob1 = rng.normal((10, 10), 0.2, (200, 2))
+        blob2 = rng.normal((30, 30), 0.22, (215, 2))
+        locs = pd.DataFrame({
+            "frame": np.zeros(415, np.uint32),
+            "x": np.concatenate([blob1[:, 0], blob2[:, 0]]).astype(
+                np.float32
+            ),
+            "y": np.concatenate([blob1[:, 1], blob2[:, 1]]).astype(
+                np.float32
+            ),
+        })
+        d = 2.0
+        picks = postprocess.pick_similar(
+            locs, INFO, [(10.0, 10.0), (30.0, 30.0)], d,
+            std_range=3.0,
+        )
+        # accepted picks must be at least one DIAMETER apart
+        # (picasso/postprocess.py:529)
+        arr = np.asarray(picks)
+        for i in range(len(arr)):
+            for j in range(i + 1, len(arr)):
+                dist2 = np.sum((arr[i] - arr[j]) ** 2)
+                assert dist2 > d**2
