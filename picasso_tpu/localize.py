@@ -48,10 +48,16 @@ SET_COLS = [
     "Pixelsize",
 ]
 
-# Frames per device batch during identification. 64 frames of a
-# 2048x2048 movie is ~0.5 GB f32 — sized to overlap host decode with
-# device compute while bounding HBM.
-_ID_FRAME_CHUNK = 256
+# f32 bytes per identification device batch; frames-per-chunk adapts
+# to the frame size so a 2048x2048 movie stages ~8 frames while small
+# test movies batch hundreds (one compile per movie either way).
+_ID_CHUNK_BYTES = 128e6
+
+
+def _id_frame_chunk(height: int, width: int) -> int:
+    return int(
+        np.clip(_ID_CHUNK_BYTES / (height * width * 4), 16, 1024)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -154,15 +160,38 @@ def identify(
             hi = min(frame_bounds[1], n_frames)
     frames_idx = [f for f in range(n_frames) if lo <= f <= hi]
 
+    def _empty_ids():
+        return pd.DataFrame(
+            {
+                "frame": np.empty(0, int),
+                "x": np.empty(0, int),
+                "y": np.empty(0, int),
+                "net_gradient": np.empty(0, np.float32),
+            }
+        )
+
+    if not frames_idx:
+        ids = _empty_ids()
+        if return_info:
+            return ids, {
+                "Generated by": f"Picasso: v{__version__} Identify",
+                "Min. Net Gradient": minimum_ng,
+                "Box Size": box,
+                "ROI": roi,
+                "Frame Bounds": frame_bounds,
+            }
+        return ids
+    frame_chunk = _id_frame_chunk(*np.asarray(movie[0]).shape)
+
     all_frames, all_y, all_x, all_ng = [], [], [], []
     with lib.progress_reporter(
         progress_callback, len(frames_idx), "Identifying spots"
     ) as rep:
         done = 0
-        for start in range(0, len(frames_idx), _ID_FRAME_CHUNK):
+        for start in range(0, len(frames_idx), frame_chunk):
             if abort_callback is not None and abort_callback():
                 return None
-            batch_idx = frames_idx[start:start + _ID_FRAME_CHUNK]
+            batch_idx = frames_idx[start:start + frame_chunk]
             if isinstance(movie, np.ndarray) or isinstance(
                 movie, np.memmap
             ):
@@ -176,7 +205,7 @@ def identify(
             # net gradient 0, so they produce no hits; trim by frame
             # index below just in case)
             n_real = len(batch)
-            pad = _ID_FRAME_CHUNK - n_real
+            pad = frame_chunk - n_real
             if pad > 0 and start > 0:
                 batch = np.concatenate(
                     [batch, np.zeros((pad, *batch.shape[1:]),
@@ -576,13 +605,16 @@ MAX_LOCS = int(1e6)
 
 
 def check_nena(locs, info, callback=None):
-    """NeNA localization precision on (subsampled) locs
-    (picasso/localize.py:2037)."""
+    """NeNA localization precision in px on (subsampled) locs; NaN if
+    the fit fails (picasso/localize.py:2037)."""
     from picasso_tpu import postprocess
 
     locs = locs[:MAX_LOCS]
-    result, best_vals = postprocess.nena(locs, info)
-    return float(best_vals[3])
+    try:
+        _, nena_px = postprocess.nena(locs, info, callback=callback)
+    except Exception:
+        nena_px = float("nan")
+    return float(nena_px)
 
 
 def check_kinetics(locs, info):
@@ -595,18 +627,19 @@ def check_kinetics(locs, info):
 
 
 def check_drift(locs, info, callback=None):
-    """RCC drift magnitude (x, y) per 1000 frames
-    (picasso/localize.py:2096)."""
+    """Mean RCC drift (x, y) on locs subsampled to MAX_LOCS — the
+    same metric the reference stores in the summary DB
+    (picasso/localize.py:2096/2135-2137)."""
     from picasso_tpu import postprocess
 
+    steps = max(1, len(locs) // MAX_LOCS)
+    locs = locs[::steps]
     n_frames = lib.get_from_metadata(info, "Frames")
     segmentation = max(1, n_frames // 10)
     drift, _ = postprocess.undrift(
         locs, info, segmentation, display=False
     )
-    dx = float(np.ptp(drift["x"]) * 1000 / n_frames)
-    dy = float(np.ptp(drift["y"]) * 1000 / n_frames)
-    return dx, dy
+    return float(drift["x"].mean()), float(drift["y"].mean())
 
 
 # ---------------------------------------------------------------------------

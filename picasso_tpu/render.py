@@ -198,14 +198,36 @@ def _render_gaussian_iso(
     locs, oversampling, y_min, x_min, y_max, x_max, min_blur_width,
     ang=None,
 ):
-    """Isotropic per-loc Gaussian blur: mean of lpx/lpy
-    (picasso/render.py:1148)."""
+    """Isotropic per-loc Gaussian blur: min_blur clamps each axis
+    BEFORE averaging, and the rotated view keeps the (larger) z blur
+    via the rotated-covariance splat (picasso/render.py:1148-1214)."""
     ny, nx, x, y, in_view, _ = _coords(
         locs, oversampling, y_min, x_min, y_max, x_max, ang
     )
-    lp = (locs["lpx"].to_numpy() + locs["lpy"].to_numpy()) / 2
-    blur = oversampling * np.maximum(lp, min_blur_width)
-    s = blur[in_view]
+    blur_width = oversampling * np.maximum(
+        locs["lpx"].to_numpy(), min_blur_width
+    )
+    blur_height = oversampling * np.maximum(
+        locs["lpy"].to_numpy(), min_blur_width
+    )
+    s = (blur_width[in_view] + blur_height[in_view]) / 2
+    if ang is not None:
+        if "lpz" in locs.columns:
+            lpz = locs["lpz"].to_numpy()
+        else:
+            lpz = 2 * locs[["lpx", "lpy"]].to_numpy().mean(axis=1)
+        sz = (oversampling * np.maximum(lpz, min_blur_width))[in_view]
+        R = to_rotation(ang).as_matrix()
+        n = len(x)
+        covs3 = np.zeros((n, 3, 3))
+        covs3[:, 0, 0] = s**2
+        covs3[:, 1, 1] = s**2
+        covs3[:, 2, 2] = sz**2
+        rotated = np.einsum("ab,nbc,dc->nad", R, covs3, R)
+        image = render_ops.gaussian_splat_cov(
+            x, y, rotated[:, :2, :2], ny, nx
+        )
+        return len(x), image
     image = render_ops.gaussian_splat(x, y, s, s, ny, nx)
     return len(x), image
 
