@@ -205,7 +205,13 @@ def average3(
                 locs, group_index, axis, angles, oversampling,
                 t_min, t_max, pixelsize,
             )
-            locs = _com_align3(locs)
+            # GLOBAL recentring only: per-group COM alignment here
+            # would exactly cancel the translation each group just
+            # received from its correlation peak
+            locs = locs.copy()
+            locs["x"] -= locs["x"].mean()
+            locs["y"] -= locs["y"].mean()
+            locs["z"] -= locs["z"].mean()
             done += 1
             if callable(progress_callback):
                 progress_callback(done, total)

@@ -122,9 +122,11 @@ def paintgen(
             photonsinframe[1 + tempFrame:tempFrame + 1 + onFrames]
         )
         if total > photonbudget:
-            photonsinframe[onFrames + tempFrame] = int(
-                photonsinframe[onFrames + tempFrame]
-                - (total - photonbudget)
+            # clamp to the last WRITTEN frame: the write loop breaks
+            # at the array end, so onFrames+tempFrame can be past it
+            last = min(onFrames + tempFrame, len(photonsinframe) - 1)
+            photonsinframe[last] = int(
+                photonsinframe[last] - (total - photonbudget)
             )
     photonsinframe = photonsinframe[:frames]
     timetrace = events[:maxloc]
@@ -371,8 +373,11 @@ def simulate_movie(
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Convenience end-to-end simulation (not in the reference API):
     random sites -> kinetics -> photon binning -> Poisson background.
-    Returns (movie uint16 (frames, Y, X), site positions (n, 2),
-    info dict). Used for closed-loop simulate->localize tests."""
+    Returns (movie uint16 (frames, Y, X), site positions (n, 2) in
+    MOVIE coordinates — convertMovie flips frames vertically, so the
+    returned y is already mirrored to match what localizing the movie
+    recovers — and the info dict). Used for closed-loop
+    simulate->localize tests."""
     if seed is not None:
         np.random.seed(seed)
     sites = generatePositions(n_sites, imagesize, 5, 0)
@@ -397,6 +402,8 @@ def simulate_movie(
         )
     movie = noisy_p(movie, background)
     movie = check_type(movie)
+    # ground truth in movie coordinates (frames are flipud'ed)
+    sites = np.column_stack([sites[:, 0], imagesize - sites[:, 1]])
     info = {
         "Frames": frames,
         "Height": imagesize,

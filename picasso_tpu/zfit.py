@@ -50,21 +50,17 @@ def calibrate_z(
     calibration stack; re-center so the curves cross at z=0
     (picasso/zfit.py:46)."""
     n_frames = lib.get_from_metadata(info, "Frames")
+    frame_range = np.arange(n_frames)
+    # negated so the first frames of a bottom-to-up scan get positive
+    # z (zfit.py:92-94); frame_bounds slice the FULL-stack axis, with
+    # inclusive bounds like picasso.localize (zfit.py:95-104)
+    z_range = -(frame_range * d - (n_frames - 1) * d / 2)
     if frame_bounds is not None:
-        lo = frame_bounds[0] if frame_bounds[0] is not None else 0
-        hi = (
-            frame_bounds[1]
-            if frame_bounds[1] is not None
-            else n_frames
-        )
-        locs = locs[(locs["frame"] >= lo) & (locs["frame"] < hi)]
-        frame_range = np.arange(lo, hi)
-    else:
-        frame_range = np.arange(n_frames)
-    z_range = (
-        (frame_range - frame_range[0])
-        - (len(frame_range) - 1) / 2
-    ) * d
+        lo = frame_bounds[0] or 0
+        hi = frame_bounds[1] or (n_frames - 1)
+        frame_range = frame_range[lo:hi + 1]
+        z_range = z_range[lo:hi + 1]
+        locs = locs[(locs["frame"] >= lo) & (locs["frame"] <= hi)]
 
     def frame_means(col):
         s = locs.groupby("frame")[col].mean()
@@ -72,21 +68,19 @@ def calibrate_z(
             [s.get(f, np.nan) for f in frame_range]
         )
 
-    mean_sx = _interpolate_nan(frame_means("sx"))
-    mean_sy = _interpolate_nan(frame_means("sy"))
-    var_sx = _interpolate_nan(
-        np.array(
-            [locs.groupby("frame")["sx"].var().get(f, np.nan)
-             for f in frame_range]
-        )
+    # raw per-frame stats for outlier rejection: single-loc frames
+    # have NaN variance, so their locs are dropped (as the reference's
+    # un-interpolated comparison does, zfit.py:112-125)
+    mean_sx = frame_means("sx")
+    mean_sy = frame_means("sy")
+    var_sx = np.array(
+        [locs.groupby("frame")["sx"].var().get(f, np.nan)
+         for f in frame_range]
     )
-    var_sy = _interpolate_nan(
-        np.array(
-            [locs.groupby("frame")["sy"].var().get(f, np.nan)
-             for f in frame_range]
-        )
+    var_sy = np.array(
+        [locs.groupby("frame")["sy"].var().get(f, np.nan)
+         for f in frame_range]
     )
-    # outlier rejection (zfit.py:119-125)
     frame_idx = locs["frame"].to_numpy() - frame_range[0]
     keep = (
         (locs["sx"].to_numpy() - mean_sx[frame_idx]) ** 2

@@ -93,13 +93,8 @@ class TestClosedLoop:
             return_info=False,
         )
         assert len(locs) > 50
-        # the simulator's movie is vertically flipped relative to site
-        # coordinates (reference simulate.py:189 flipud); recovered
-        # y ~ H - y_site
-        flipped_sites = np.column_stack(
-            [sites[:, 0], 32 - sites[:, 1]]
-        )
-        tree = cKDTree(flipped_sites)
+        # simulate_movie returns sites already in movie coordinates
+        tree = cKDTree(sites)
         d, _ = tree.query(np.column_stack([locs["x"], locs["y"]]))
         # majority of locs within 1 px of a site
         assert np.median(d) < 1.0
