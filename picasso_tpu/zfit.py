@@ -356,11 +356,20 @@ def fit_z_parallel(locs, info, calibration, magnification_factor,
                    pixelsize, fitting_method="gausslq", filter=2,
                    asynch=False):
     """Deprecated alias — the batched fit covers all locs at once
-    (picasso/zfit.py:416)."""
-    return _fit_z(
+    (picasso/zfit.py:416). With asynch=True the reference returns
+    futures for locs_from_futures; we honor that contract with one
+    already-completed future wrapping the batched result."""
+    result = _fit_z(
         locs, info, calibration, magnification_factor, pixelsize,
         fitting_method, filter,
     )
+    if asynch:
+        from concurrent.futures import Future
+
+        future = Future()
+        future.set_result(result)
+        return [future]
+    return result
 
 
 def locs_from_futures(futures, filter=2):
