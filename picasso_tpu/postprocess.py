@@ -17,6 +17,7 @@ pandas groupby instead of per-group python loops.
 from __future__ import annotations
 
 import itertools
+import os
 from collections import OrderedDict
 from typing import Callable, Literal
 
@@ -27,6 +28,25 @@ from scipy.optimize import curve_fit
 from scipy.spatial import cKDTree as KDTree
 
 from picasso_tpu import __version__, imageprocess, lib, masking, render
+
+
+def _device_neighbors() -> bool:
+    """Route pairwise-distance work to the blocked device kernels
+    (ops.neighbors) or the host KDTree.
+
+    ``PICASSO_TPU_NEIGHBORS`` = device|host forces a path; the default
+    (auto) uses the device kernels on TPU — where brute-force distance
+    tiles beat a pointer-chasing KDTree by orders of magnitude — and
+    the KDTree on CPU backends, where it is the stronger algorithm.
+    """
+    mode = os.environ.get("PICASSO_TPU_NEIGHBORS", "auto")
+    if mode == "host":
+        return False
+    if mode == "device":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -520,14 +540,23 @@ def distance_histogram(
     Intentional divergence: the reference's block scan only visits the
     2x2 forward window (postprocess.py:984-989) and structurally misses
     pairs whose blocks are diagonal down-left of each other, so it
-    undercounts; this KDTree implementation counts ALL pairs, making
-    results here >= the reference's on real data."""
+    undercounts; this implementation counts ALL pairs, making results
+    here >= the reference's on real data (quantified in
+    tests/test_neighbors.py::test_divergence_vs_reference_block_scan).
+    On TPU the pairs are streamed through the blocked device kernel
+    (ops.neighbors.pairwise_distance_histogram); on CPU a KDTree
+    count_neighbors sweep computes the same histogram."""
     locs = lib.ensure_sanity(locs, info)
     pts = np.column_stack(
         [locs["x"].to_numpy(), locs["y"].to_numpy()]
     )
-    tree = KDTree(pts)
     n_bins = int(np.uint32(r_max / bin_size))
+    if _device_neighbors():
+        from picasso_tpu.ops import neighbors as _nb
+
+        dh = _nb.pairwise_distance_histogram(pts, bin_size, n_bins)
+        return dh.astype(np.uint32)
+    tree = KDTree(pts)
     edges = np.linspace(0, n_bins * bin_size, n_bins + 1)
     # Reference bins are left-closed [k*bs, (k+1)*bs)
     # (postprocess.py:996); count_neighbors uses d <= r, so query just
@@ -570,10 +599,17 @@ def compute_local_density(
     pts = np.column_stack(
         [locs["x"].to_numpy(), locs["y"].to_numpy()]
     )
-    tree = KDTree(pts)
-    counts = tree.query_ball_point(
-        pts, radius, return_length=True
-    ) - 1  # exclude self
+    if _device_neighbors():
+        from picasso_tpu.ops import neighbors as _nb
+
+        counts = _nb.radius_count(
+            pts, pts, radius, exclude_self=True
+        )
+    else:
+        tree = KDTree(pts)
+        counts = tree.query_ball_point(
+            pts, radius, return_length=True
+        ) - 1  # exclude self
     locs = locs.copy()
     locs["density"] = counts.astype(np.uint32)
     return locs
@@ -1577,8 +1613,13 @@ def nn_analysis(
         raise ValueError(
             "X1 and X2 must have the same number of dimensions."
         )
+    same = np.array_equal(X1, X2)
+    if _device_neighbors():
+        from picasso_tpu.ops import neighbors as _nb
+
+        return _nb.knn(X1, X2, nn_count, exclude_self=same)
     tree = KDTree(X2)
-    if np.array_equal(X1, X2):
+    if same:
         distances, _ = tree.query(X1, k=nn_count + 1)
         nn = distances[:, 1:]
     else:

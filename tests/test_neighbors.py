@@ -1,0 +1,266 @@
+"""Blocked device pairwise-distance kernels vs scipy ground truth."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree as KDTree
+from scipy.stats import ks_2samp
+
+import jax.numpy as jnp
+
+from picasso_tpu.ops import neighbors
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 3000, (613, 2)).astype(np.float32)
+    b = rng.uniform(0, 3000, (457, 2)).astype(np.float32)
+    return a, b
+
+
+def test_knn_matches_kdtree_cross(clouds):
+    a, b = clouds
+    d_ref, _ = KDTree(b).query(a, k=3)
+    d = neighbors.knn(a, b, 3, a_chunk=256, b_block=128)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-3)
+
+
+def test_knn_matches_kdtree_self(clouds):
+    a, _ = clouds
+    d_ref, _ = KDTree(a).query(a, k=4)
+    d = neighbors.knn(
+        a, a, 3, exclude_self=True, a_chunk=256, b_block=200
+    )
+    np.testing.assert_allclose(d, d_ref[:, 1:], rtol=1e-5, atol=1e-3)
+
+
+def test_knn_3d(clouds):
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 100, (201, 3)).astype(np.float32)
+    b = rng.normal(0, 100, (77, 3)).astype(np.float32)
+    d_ref, _ = KDTree(b).query(a, k=2)
+    d = neighbors.knn(a, b, 2, b_block=64)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-5, atol=1e-3)
+
+
+def test_knn_k_exceeds_points():
+    a = np.array([[0.0, 0.0], [1.0, 0.0]], np.float32)
+    b = np.array([[0.0, 1.0]], np.float32)
+    d = neighbors.knn(a, b, 3)
+    assert np.isfinite(d[:, 0]).all()
+    assert np.isinf(d[:, 1:]).all()
+
+
+def test_knn_empty_b():
+    a = np.zeros((4, 2), np.float32)
+    d = neighbors.knn(a, np.zeros((0, 2), np.float32), 2)
+    assert d.shape == (4, 2) and np.isinf(d).all()
+
+
+def test_knn_masked_matches_unmasked(clouds):
+    a, b = clouds
+    a_mask = np.ones(len(a), bool)
+    a_mask[500:] = False
+    b_mask = np.ones(len(b), bool)
+    b_mask[400:] = False
+    d = np.asarray(
+        neighbors.knn_masked(
+            jnp.asarray(a), jnp.asarray(b),
+            jnp.asarray(a_mask), jnp.asarray(b_mask), 2,
+        )
+    )
+    d_ref, _ = KDTree(b[:400]).query(a[:500], k=2)
+    np.testing.assert_allclose(
+        d[:500], d_ref, rtol=1e-5, atol=1e-3
+    )
+    assert np.isinf(d[500:]).all()
+
+
+def test_ks_2samp_matches_scipy():
+    rng = np.random.default_rng(3)
+    s = rng.exponential(10, 400).astype(np.float32)
+    gt = rng.exponential(12, 333).astype(np.float32)
+    ref = ks_2samp(s, gt).statistic
+    got = float(
+        neighbors.ks_2samp_masked(
+            jnp.asarray(s),
+            jnp.ones(len(s), bool),
+            jnp.sort(jnp.asarray(gt)),
+        )
+    )
+    assert got == pytest.approx(ref, abs=1e-6)
+
+
+def test_ks_2samp_masked_padding():
+    rng = np.random.default_rng(4)
+    s = rng.normal(5, 1, 200).astype(np.float32)
+    gt = np.sort(rng.normal(5.5, 1, 150).astype(np.float32))
+    mask = np.zeros(300, bool)
+    mask[:200] = True
+    padded = np.concatenate([s, np.full(100, 1e9, np.float32)])
+    ref = ks_2samp(s, gt).statistic
+    got = float(
+        neighbors.ks_2samp_masked(
+            jnp.asarray(padded), jnp.asarray(mask), jnp.asarray(gt)
+        )
+    )
+    assert got == pytest.approx(ref, abs=1e-6)
+
+
+def test_ks_2samp_empty_sample_scores_one():
+    gt = np.sort(np.random.default_rng(0).normal(0, 1, 50))
+    got = float(
+        neighbors.ks_2samp_masked(
+            jnp.zeros(10, jnp.float32),
+            jnp.zeros(10, bool),
+            jnp.asarray(gt, jnp.float32),
+        )
+    )
+    assert got == 1.0
+
+
+def test_distance_histogram_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 40, (301, 2)).astype(np.float32)
+    bin_size, n_bins = 0.5, 20
+    diff = pts[:, None, :] - pts[None, :, :]
+    d = np.sqrt((diff**2).sum(-1))
+    iu = np.triu_indices(len(pts), k=1)
+    bins = np.floor(d[iu] / bin_size).astype(int)
+    ref = np.bincount(
+        bins[bins < n_bins], minlength=n_bins
+    ).astype(np.uint64)
+    got = neighbors.pairwise_distance_histogram(
+        pts, bin_size, n_bins, block=64
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_distance_histogram_tiny():
+    pts = np.array([[0.0, 0.0], [3.0, 4.0]], np.float32)
+    got = neighbors.pairwise_distance_histogram(pts, 1.0, 10)
+    ref = np.zeros(10, np.uint64)
+    ref[5] = 1
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_radius_count_matches_kdtree(clouds):
+    a, _ = clouds
+    tree = KDTree(a)
+    ref = tree.query_ball_point(a, 120.0, return_length=True) - 1
+    got = neighbors.radius_count(
+        a, a, 120.0, exclude_self=True, b_block=100
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# postprocess wiring: device path == host path; divergence vs the
+# reference's undercounting block scan is quantified, not just claimed
+# ---------------------------------------------------------------------------
+
+
+def _locs_frame(n=400, seed=9, width=32, height=32):
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    locs = pd.DataFrame(
+        {
+            "frame": rng.integers(0, 50, n).astype(np.uint32),
+            "x": rng.uniform(0, width, n).astype(np.float32),
+            "y": rng.uniform(0, height, n).astype(np.float32),
+            "photons": np.full(n, 1000, np.float32),
+            "sx": np.full(n, 1.0, np.float32),
+            "sy": np.full(n, 1.0, np.float32),
+            "bg": np.full(n, 10, np.float32),
+            "lpx": np.full(n, 0.05, np.float32),
+            "lpy": np.full(n, 0.05, np.float32),
+        }
+    )
+    info = [{"Width": width, "Height": height, "Frames": 50}]
+    return locs, info
+
+
+def test_postprocess_device_matches_host(monkeypatch):
+    from picasso_tpu import postprocess
+
+    locs, info = _locs_frame()
+    monkeypatch.setenv("PICASSO_TPU_NEIGHBORS", "host")
+    dh_h = postprocess.distance_histogram(locs, info, 0.1, 4.0)
+    nn_h = postprocess.nn_analysis(
+        locs[["x", "y"]].to_numpy(), locs[["x", "y"]].to_numpy(), 2
+    )
+    dens_h = postprocess.compute_local_density(locs, info, 1.5)
+    monkeypatch.setenv("PICASSO_TPU_NEIGHBORS", "device")
+    dh_d = postprocess.distance_histogram(locs, info, 0.1, 4.0)
+    nn_d = postprocess.nn_analysis(
+        locs[["x", "y"]].to_numpy(), locs[["x", "y"]].to_numpy(), 2
+    )
+    dens_d = postprocess.compute_local_density(locs, info, 1.5)
+    np.testing.assert_array_equal(dh_d, dh_h)
+    np.testing.assert_allclose(nn_d, nn_h, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        dens_d["density"].to_numpy(), dens_h["density"].to_numpy()
+    )
+
+
+def _reference_block_scan(locs, info, bin_size, r_max):
+    """Faithful numpy replica of the reference's forward 2x2-window
+    block scan (reference picasso/postprocess.py:961-999), including
+    its structural undercount, used as the divergence yardstick."""
+    from picasso_tpu import postprocess
+
+    locs_s, size, x_index, y_index, b_starts, b_ends, K, L = (
+        postprocess.get_index_blocks(locs, info, r_max)
+    )
+    x = locs_s["x"].to_numpy()
+    y = locs_s["y"].to_numpy()
+    n_bins = int(np.uint32(r_max / bin_size))
+    dh = np.zeros(n_bins, np.uint64)
+    for i in range(len(x)):
+        ki, li = int(y_index[i]), int(x_index[i])
+        for k in range(ki, min(ki + 2, K)):
+            for ll in range(li, min(li + 2, L)):
+                j0, j1 = int(b_starts[k, ll]), int(b_ends[k, ll])
+                js = np.arange(j0, j1)
+                js = js[js > i]
+                if not len(js):
+                    continue
+                d = np.hypot(x[js] - x[i], y[js] - y[i])
+                bins = (d[d < r_max] / bin_size).astype(np.uint32)
+                bins = bins[bins < n_bins]
+                np.add.at(dh, bins, 1)
+    return dh
+
+
+def test_divergence_vs_reference_block_scan(monkeypatch):
+    """Quantify the documented divergence: the reference's 2x2 forward
+    window misses pairs whose blocks sit diagonally down-left, so our
+    all-pairs histogram must dominate it bin-wise, and the brute-force
+    ground truth must equal ours (the reference undercounts)."""
+    from picasso_tpu import postprocess
+
+    locs, info = _locs_frame(n=500, seed=21)
+    bin_size, r_max = 0.2, 5.0
+    ref_dh = _reference_block_scan(locs, info, bin_size, r_max)
+    monkeypatch.setenv("PICASSO_TPU_NEIGHBORS", "device")
+    ours = postprocess.distance_histogram(
+        locs, info, bin_size, r_max
+    ).astype(np.uint64)
+    # brute-force ground truth
+    pts = locs[["x", "y"]].to_numpy()
+    iu = np.triu_indices(len(pts), k=1)
+    d = np.hypot(
+        pts[iu[0], 0] - pts[iu[1], 0], pts[iu[0], 1] - pts[iu[1], 1]
+    )
+    n_bins = int(np.uint32(r_max / bin_size))
+    bins = (d[d < r_max] / bin_size).astype(int)
+    truth = np.bincount(
+        bins[bins < n_bins], minlength=n_bins
+    ).astype(np.uint64)
+    np.testing.assert_array_equal(ours, truth)
+    assert (ours >= ref_dh).all()
+    missed = int(truth.sum() - ref_dh.sum())
+    assert missed > 0, "expected the reference scan to undercount"
+    # the undercount is real but bounded (sanity on its magnitude)
+    assert missed / truth.sum() < 0.5
