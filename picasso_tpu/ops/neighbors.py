@@ -136,18 +136,34 @@ def knn(
 
 
 def knn_masked(
-    a, b, a_mask, b_mask, k: int, exclude_self: bool = False
+    a, b, a_mask, b_mask, k: int, exclude_self: bool = False,
+    b_block: int | None = None,
 ):
     """Device-resident masked kNN, jit/vmap-composable.
 
     a: (N, D), b: (M, D) with boolean validity masks. Returns (N, k)
     distances; rows with a_mask False and missing neighbors are +inf.
-    Used inside the SPINNA batched scorer (vmapped over candidates).
+    ``b_block`` (a static divisor of M after padding) bounds the live
+    distance tile at (N, b_block) — vmapping callers (the SPINNA
+    batched scorer) use it to keep batch x N x block inside HBM.
     """
     M, D = b.shape
-    b_blocks = b.reshape(1, M, D)
-    b_valid = b_mask.reshape(1, M)
-    b_base = jnp.zeros((1,), jnp.int32)
+    if b_block is None or b_block >= M:
+        b_block = M
+    nb = -(-M // b_block)
+    pad = nb * b_block - M
+    if pad:
+        b = jnp.concatenate(
+            [b, jnp.zeros((pad, D), b.dtype)], axis=0
+        )
+        b_mask = jnp.concatenate(
+            [b_mask, jnp.zeros((pad,), bool)], axis=0
+        )
+    b_blocks = b.reshape(nb, b_block, D)
+    b_valid = b_mask.reshape(nb, b_block)
+    b_base = (
+        jax.lax.broadcasted_iota(jnp.int32, (nb,), 0) * b_block
+    )
     a_index = jax.lax.broadcasted_iota(jnp.int32, (a.shape[0],), 0)
     d2 = _knn_scan(
         a, a_index, b_blocks, b_valid, b_base, k, exclude_self

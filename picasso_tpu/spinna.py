@@ -114,9 +114,9 @@ def generate_N_structures(
     n_s = len(structures)
     if n_s < n_t:
         raise ValueError(
-            "To generate the search space, the number of unique"
-            " molecular targets must not exceed the number of"
-            " structures that are investigated."
+            "Search-space generation needs at least as many candidate"
+            " structures as unique molecular targets; got"
+            f" {n_s} structure(s) for {n_t} target(s)."
         )
     t_counts = _find_target_counts(targets, structures)
     if n_s == n_t:
@@ -1011,7 +1011,80 @@ class SPINNA:
         )
         return NND_score(dists_sim, self.dists_gt)
 
+    def _get_batched_scorer(self, N_structures):
+        """Build (or reuse) the device BatchedScorer for this mixer.
+
+        Cached per (padded-shape bucket, dists_gt identity): the
+        coarse/fine/bootstrap passes share one compiled program, and a
+        bootstrap's swapped ground-truth distances invalidate it.
+        """
+        from picasso_tpu.ops.spinna_batch import BatchedScorer, _bucket
+
+        N_structures = np.asarray(N_structures)
+        max_counts = np.maximum(np.max(N_structures, axis=0), 1)
+        # true per-target max of total placed points over candidates
+        # (conserved-total search spaces make this ~half the naive
+        # per-structure pad sum, shrinking the distance tiles)
+        t_counts = _find_target_counts(
+            self.mixer.targets, self.mixer.structures
+        )  # (n_targets, n_structures)
+        max_points = np.max(
+            N_structures @ t_counts.T, axis=0
+        ).astype(np.int64)
+        buckets = tuple(_bucket(int(c)) for c in max_counts) + tuple(
+            _bucket(int(max(p, 1))) for p in max_points
+        )
+        cached = getattr(self, "_batched_cache", None)
+        if (
+            cached is not None
+            and cached[0] == buckets
+            and cached[1] is self.dists_gt
+        ):
+            return cached[2]
+        scorer = BatchedScorer(
+            self.mixer, self.dists_gt, self.N_sim, max_counts,
+            max_points=max_points,
+        )
+        self._batched_cache = (buckets, self.dists_gt, scorer)
+        return scorer
+
     def NN_scorer(self, N_structures, callback=None):
+        """Score all candidate rows.
+
+        The default path simulates + scores candidate batches as one
+        jitted device program (ops.spinna_batch) — the TPU-native
+        replacement for the reference's ProcessPool
+        (picasso/spinna.py:3280). ``PICASSO_TPU_SPINNA`` = host forces
+        the serial numpy scorer (used for equivalence tests); = device
+        forces batching even for tiny candidate sets.
+        """
+        import os as _os
+
+        N_structures = np.asarray(N_structures)
+        mode = _os.environ.get("PICASSO_TPU_SPINNA", "auto")
+        use_batched = mode != "host" and (
+            mode == "device" or len(N_structures) >= 4
+        )
+        if use_batched:
+            try:
+                scorer = self._get_batched_scorer(N_structures)
+                rep = lib.progress_reporter(
+                    callback, len(N_structures), self.progress_title
+                )
+                scores = scorer.score(
+                    N_structures, progress=rep.set_value
+                )
+                rep.close()
+                return N_structures, scores
+            except Exception:
+                if mode == "device":
+                    raise
+                import warnings
+
+                warnings.warn(
+                    "batched SPINNA scoring failed; falling back to"
+                    " the serial scorer", RuntimeWarning,
+                )
         rep = lib.progress_reporter(
             callback, len(N_structures), self.progress_title
         )
@@ -1183,9 +1256,14 @@ class SPINNA:
         evaluated = list(
             self._farthest_point_sampling(props, n_initial)
         )
+        # the initial design is scored as one device batch; the GP
+        # loop below is inherently one-candidate-at-a-time
+        _, init_scores = self.NN_scorer(
+            N_structures[np.asarray(evaluated, int)]
+        )
         scores = {
-            int(i): self._evaluate_single(N_structures[i])
-            for i in evaluated
+            int(i): float(s)
+            for i, s in zip(evaluated, init_scores)
         }
         rep = lib.progress_reporter(
             callback, n_initial + n_iterations, self.progress_title
@@ -1248,7 +1326,9 @@ class SPINNA:
         )
 
     def fit_stoichiometry_parallel(self, N_structures):
-        """API-compatible shim: scoring is already batched locally."""
+        """API-compatible analogue of the reference's ProcessPool
+        entry (picasso/spinna.py:3280): candidates are scored by the
+        batched device program via NN_scorer."""
         return [self.NN_scorer(N_structures)]
 
 
