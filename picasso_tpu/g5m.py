@@ -487,16 +487,21 @@ def _convert_results(
     """Extract components as a locs-format DataFrame with p-values,
     per-molecule log-likelihoods, binding-event counts etc.
     (picasso/g5m.py:1830)."""
-    locs_group = locs_group.copy()
     has_z = "z" in locs_group.columns
     means = model.means
     cov = model.covariances
     weights = model.weights
+    x_arr = locs_group["x"].to_numpy(np.float64)
+    y_arr = locs_group["y"].to_numpy(np.float64)
     if has_z:
-        X = locs_group[["x", "y", "z"]].to_numpy().astype(np.float64)
-        X[:, 2] /= pixelsize
+        X = np.column_stack(
+            [
+                x_arr, y_arr,
+                locs_group["z"].to_numpy(np.float64) / pixelsize,
+            ]
+        )
     else:
-        X = locs_group[["x", "y"]].to_numpy().astype(np.float64)
+        X = np.column_stack([x_arr, y_arr])
     log_prob = model.estimate_weighted_log_prob(X)
     sample_scores = _logsumexp(log_prob, axis=1)
     group_ll = np.full(len(model.valid_idx), np.mean(sample_scores))
@@ -530,36 +535,40 @@ def _convert_results(
     lpx = sem[:, 0]
     lpy = sem[:, 1]
 
-    frames_locs = locs_group["frame"].to_numpy().reshape(-1, 1)
+    frames_arr = locs_group["frame"].to_numpy()
+    frames_locs = frames_arr.reshape(-1, 1)
     frame = (resp * frames_locs).sum(0) / rsum
     std_frame = np.sqrt(
         (resp * (frames_locs - frame) ** 2).sum(0)
         / ((resp.shape[0] - 1) * rsum / resp.shape[0])
     )
-    labels = model.predict(X)
-    group_input = locs_group["group"].iloc[0] * np.ones(
-        len(frame), dtype=int
+    # predict/score_samples over the already-computed weighted log
+    # probabilities (model.predict/score_samples would redo them)
+    labels = np.argmax(log_prob, axis=1)
+    g_in = int(locs_group["group"].iloc[0])
+    group_input = g_in * np.ones(len(frame), dtype=int)
+    locs_group = locs_group.assign(
+        group_input=g_in,
+        group=labels,
+        log_likelihood=sample_scores,
     )
-    locs_group["group_input"] = int(locs_group["group"].iloc[0])
-    locs_group["group"] = labels
-    locs_group["log_likelihood"] = model.score_samples(X)
 
     # binding events: split by >3 dark frames, assign each event's COM
-    # to its nearest component
-    split_idx = (
-        np.where(np.diff(locs_group["frame"].to_numpy()) > 3)[0] + 1
+    # to its nearest component (segment means via reduceat — one pass
+    # instead of one np.mean per event)
+    starts = np.concatenate(
+        [[0], np.where(np.diff(frames_arr) > 3)[0] + 1]
     )
-    x_ev = [np.mean(a) for a in np.split(
-        locs_group["x"].to_numpy(), split_idx
-    )]
-    y_ev = [np.mean(a) for a in np.split(
-        locs_group["y"].to_numpy(), split_idx
-    )]
+    counts_ev = np.diff(
+        np.concatenate([starts, [len(frames_arr)]])
+    )
+    x_ev = np.add.reduceat(x_arr, starts) / counts_ev
+    y_ev = np.add.reduceat(y_arr, starts) / counts_ev
     if has_z:
-        z_ev = [
-            np.mean(a) / pixelsize
-            for a in np.split(locs_group["z"].to_numpy(), split_idx)
-        ]
+        z_ev = (
+            np.add.reduceat(locs_group["z"].to_numpy(), starts)
+            / counts_ev / pixelsize
+        )
         X_ev = np.stack((x_ev, y_ev, z_ev)).T
     else:
         X_ev = np.stack((x_ev, y_ev)).T
@@ -599,7 +608,10 @@ def _convert_results(
         ).astype(np.float32)
     else:
         sigma = np.sqrt(cov) * pixelsize
-        lp = locs_group[["lpx", "lpy"]].mean(axis=1).to_numpy()
+        lp = (
+            locs_group["lpx"].to_numpy(np.float64)
+            + locs_group["lpy"].to_numpy(np.float64)
+        ) / 2
         wlp = (resp * lp[:, None]).sum(0) / rsum
         cols["fitted_sigma"] = sigma.astype(np.float32)
         cols["rel_sigma"] = (sigma / wlp / pixelsize).astype(
@@ -633,6 +645,40 @@ def _convert_results(
 # ---------------------------------------------------------------------------
 
 
+def _prep_group(
+    locs_group, *, min_locs, pixelsize, max_locs_per_cluster,
+    loc_prec_handle,
+):
+    """Extract (X, lp, model_cls) for one cluster, or None if the
+    cluster is out of the fit-size window."""
+    n_locs = len(locs_group)
+    if n_locs < min_locs or n_locs > max_locs_per_cluster:
+        return None
+    has_z = "z" in locs_group.columns
+    x = locs_group["x"].to_numpy(np.float64)
+    y = locs_group["y"].to_numpy(np.float64)
+    lpx = locs_group["lpx"].to_numpy(np.float64)
+    lpy = locs_group["lpy"].to_numpy(np.float64)
+    if has_z:
+        X = np.column_stack(
+            [x, y, locs_group["z"].to_numpy(np.float64) / pixelsize]
+        )
+        lp = np.column_stack(
+            [
+                lpx, lpy,
+                locs_group["lpz"].to_numpy(np.float64) / pixelsize,
+            ]
+        )
+        model_cls = G5M_3D
+    else:
+        X = np.column_stack([x, y])
+        lp = (lpx + lpy) / 2
+        model_cls = G5M_2D
+    if loc_prec_handle != "local":
+        lp = np.ones_like(lp)
+    return X, lp, model_cls
+
+
 def _run_g5m_group(
     locs_group,
     *,
@@ -645,24 +691,14 @@ def _run_g5m_group(
     calibration,
     max_locs_per_cluster,
 ):
-    n_locs = len(locs_group)
-    if n_locs < min_locs or n_locs > max_locs_per_cluster:
+    prep = _prep_group(
+        locs_group, min_locs=min_locs, pixelsize=pixelsize,
+        max_locs_per_cluster=max_locs_per_cluster,
+        loc_prec_handle=loc_prec_handle,
+    )
+    if prep is None:
         return None, None
-    has_z = "z" in locs_group.columns
-    if has_z:
-        X = locs_group[["x", "y", "z"]].to_numpy().astype(np.float64)
-        X[:, 2] /= pixelsize
-        lp = locs_group[["lpx", "lpy", "lpz"]].to_numpy().astype(
-            np.float64
-        )
-        lp[:, 2] /= pixelsize
-        model_cls = G5M_3D
-    else:
-        X = locs_group[["x", "y"]].to_numpy().astype(np.float64)
-        lp = locs_group[["lpx", "lpy"]].mean(axis=1).to_numpy()
-        model_cls = G5M_2D
-    if loc_prec_handle != "local":
-        lp = np.ones_like(lp)
+    X, lp, model_cls = prep
     model = _find_optimal_G5M(
         X,
         min_locs=min_locs,
@@ -678,6 +714,154 @@ def _run_g5m_group(
     return _convert_results(
         model, locs_group, pixelsize, bootstrap_check
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched per-cluster fitting (device; replaces the reference's
+# ProcessPool _run_g5m_parallel, picasso/g5m.py:2301-2365)
+# ---------------------------------------------------------------------------
+
+# Clusters whose BIC growth wants more components than this are handed
+# back to the host path (the Sparrow pair scan is O(K^2 * 40) per
+# cluster and such clusters are rare).
+_BATCH_K_CAP = 32
+
+
+def _model_from_params(
+    model_cls, params, n, min_locs, sigma_bounds, calibration
+):
+    w, m, cv, pc, valid, conv = params
+    model = model_cls(
+        n_components=len(w),
+        min_locs=min_locs,
+        sigma_bounds=sigma_bounds,
+        calibration=calibration,
+    )
+    model.weights_ = np.asarray(w, np.float64)
+    model.means_ = np.asarray(m, np.float64)
+    model.covariances_ = np.asarray(cv, np.float64)
+    model.precisions_cholesky_ = np.asarray(pc, np.float64)
+    model.valid_idx = np.nonzero(np.asarray(valid))[0]
+    model.converged = bool(conv)
+    model.n_locs = np.round(model.weights * n).astype(int)
+    return model
+
+
+def _fit_clusters_batched(
+    Xs,
+    lps,
+    *,
+    min_locs,
+    sigma_bounds,
+    loc_prec_handle,
+    max_rounds_without_best_bic,
+    model_cls,
+    calibration,
+    seed=42,
+    progress=None,
+):
+    """Fit all clusters with the batched device EM (ops.gmm).
+
+    Clusters are padded into power-of-two size buckets; each bucket
+    runs the BIC growth loop with per-cluster activity masks — one
+    fused EM program per (bucket, K) instead of one EM per cluster
+    per K per init. Returns a list of fitted model objects (None for
+    clusters where no component count passed the checks).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops import gmm
+
+    isotropic = model_cls.isotropic
+    loc_local = loc_prec_handle == "local"
+    models = [None] * len(Xs)
+    buckets: dict[int, list[int]] = {}
+    for i, x in enumerate(Xs):
+        b = max(32, 1 << int(np.ceil(np.log2(max(len(x), 1)))))
+        buckets.setdefault(b, []).append(i)
+    key = jax.random.PRNGKey(seed)
+    done = 0
+    for bucket in sorted(buckets):
+        idxs = buckets[bucket]
+        X, mask, lp = gmm.pad_clusters(
+            [Xs[i] for i in idxs], [lps[i] for i in idxs], bucket
+        )
+        Xd, maskd, lpd = (
+            jnp.asarray(X), jnp.asarray(mask), jnp.asarray(lp),
+        )
+        n_pts = np.array([len(Xs[i]) for i in idxs])
+        n_max = np.minimum(N_COMPONENTS_MAX, n_pts // min_locs)
+        G = len(idxs)
+        best_bic = np.full(G, np.inf)
+        rounds = np.zeros(G, int)
+        best_params: list = [None] * G
+        K = 1
+        while True:
+            active = (
+                (rounds < max_rounds_without_best_bic)
+                & (K <= n_max)
+                & (K <= _BATCH_K_CAP)
+            )
+            if not active.any():
+                break
+            key, sub = jax.random.split(key)
+            w, m, cv, pc, lb, conv, valid, ok = gmm.fit_g5m_batched(
+                Xd, maskd, lpd, sub,
+                K=K,
+                sigma_bounds=tuple(sigma_bounds),
+                isotropic=isotropic,
+                loc_local=loc_local,
+                n_init=max(K, 3),
+                min_locs=min_locs,
+            )
+            bic = np.asarray(
+                gmm.bic_batched(
+                    Xd, maskd, w, m, pc, valid, isotropic
+                )
+            )
+            w, m, cv, pc, lb, conv, valid, ok = (
+                np.asarray(a)
+                for a in (w, m, cv, pc, lb, conv, valid, ok)
+            )
+            ok = ok & valid.any(axis=1) & np.isfinite(bic)
+            improved = active & ok & (bic < best_bic)
+            for gi in np.nonzero(improved)[0]:
+                best_bic[gi] = bic[gi]
+                best_params[gi] = (
+                    w[gi], m[gi], cv[gi], pc[gi], valid[gi],
+                    conv[gi],
+                )
+            rounds = np.where(
+                improved, 0, rounds + active.astype(int)
+            )
+            K += 1
+        for gi, i in enumerate(idxs):
+            if (
+                rounds[gi] < max_rounds_without_best_bic
+                and n_max[gi] > _BATCH_K_CAP
+            ):
+                models[i] = _find_optimal_G5M(
+                    Xs[i],
+                    min_locs=min_locs,
+                    sigma_bounds=sigma_bounds,
+                    lp=lps[i],
+                    loc_prec_handle=loc_prec_handle,
+                    max_rounds_without_best_bic=(
+                        max_rounds_without_best_bic
+                    ),
+                    model_cls=model_cls,
+                    calibration=calibration,
+                )
+            elif best_params[gi] is not None:
+                models[i] = _model_from_params(
+                    model_cls, best_params[gi], len(Xs[i]),
+                    min_locs, sigma_bounds, calibration,
+                )
+            done += 1
+            if progress is not None:
+                progress(done)
+    return models
 
 
 def g5m(
@@ -715,29 +899,75 @@ def g5m(
         raise ValueError(
             "Calibration dictionary must be provided for 3D data."
         )
+    import os as _os
+
     groups = np.unique(locs["group"])
     rep = lib.progress_reporter(
         "console" if callback_parent == "console" else None,
         len(groups),
         "Running G5M",
     )
+    mode = _os.environ.get("PICASSO_TPU_G5M", "auto")
+    use_batched = mode != "host" and (
+        mode == "device" or len(groups) >= 8
+    )
     centers_list, clustered_list = [], []
-    for i, g in enumerate(groups):
-        c, cl = _run_g5m_group(
-            locs[locs["group"] == g],
-            min_locs=min_locs,
-            loc_prec_handle=loc_prec_handle,
-            sigma_bounds=sigma_bounds,
-            pixelsize=pixelsize,
-            max_rounds_without_best_bic=max_rounds_without_best_bic,
-            bootstrap_check=bootstrap_check,
-            calibration=calibration,
-            max_locs_per_cluster=max_locs_per_cluster,
-        )
-        if c is not None and len(c):
-            centers_list.append(c)
-            clustered_list.append(cl)
-        rep.set_value(i + 1)
+    if use_batched:
+        # batched device EM over all clusters (the TPU-native
+        # replacement for the reference's ProcessPool, g5m.py:2365)
+        group_frames, preps = [], []
+        for g, lg in locs.groupby("group", sort=True):
+            prep = _prep_group(
+                lg, min_locs=min_locs, pixelsize=pixelsize,
+                max_locs_per_cluster=max_locs_per_cluster,
+                loc_prec_handle=loc_prec_handle,
+            )
+            if prep is not None:
+                group_frames.append(lg)
+                preps.append(prep)
+        if preps:
+            model_cls = preps[0][2]
+            models = _fit_clusters_batched(
+                [p[0] for p in preps],
+                [p[1] for p in preps],
+                min_locs=min_locs,
+                sigma_bounds=sigma_bounds,
+                loc_prec_handle=loc_prec_handle,
+                max_rounds_without_best_bic=(
+                    max_rounds_without_best_bic
+                ),
+                model_cls=model_cls,
+                calibration=calibration,
+                progress=rep.set_value,
+            )
+            for lg, model in zip(group_frames, models):
+                if model is None or len(model.valid_idx) == 0:
+                    continue
+                c, cl = _convert_results(
+                    model, lg, pixelsize, bootstrap_check
+                )
+                if c is not None and len(c):
+                    centers_list.append(c)
+                    clustered_list.append(cl)
+    else:
+        for i, g in enumerate(groups):
+            c, cl = _run_g5m_group(
+                locs[locs["group"] == g],
+                min_locs=min_locs,
+                loc_prec_handle=loc_prec_handle,
+                sigma_bounds=sigma_bounds,
+                pixelsize=pixelsize,
+                max_rounds_without_best_bic=(
+                    max_rounds_without_best_bic
+                ),
+                bootstrap_check=bootstrap_check,
+                calibration=calibration,
+                max_locs_per_cluster=max_locs_per_cluster,
+            )
+            if c is not None and len(c):
+                centers_list.append(c)
+                clustered_list.append(cl)
+            rep.set_value(i + 1)
     rep.close()
     if not centers_list:
         return pd.DataFrame(), pd.DataFrame(), info
