@@ -96,6 +96,116 @@ def align_group_core(
     return x_aligned, y_aligned
 
 
+def _align_groups_device(
+    x, y, group_rows, angles, oversampling, t_min, t_max,
+    CF_image_avg, image_half,
+):
+    """Align MANY groups at once on device: rotate every group by
+    every angle, histogram all (group, angle) images with one
+    scatter-add, correlate them against the average image with one
+    batched FFT, and gather each group's best (angle, shift) —
+    the multi-group de-serialization of align_group_core
+    (cf. the reference's process pool, picasso/average.py:121-194).
+
+    Returns updated (x, y) numpy arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    P = CF_image_avg.shape[0]
+    A = len(angles)
+    cos_a = jnp.asarray(np.cos(angles), jnp.float32)
+    sin_a = jnp.asarray(np.sin(angles), jnp.float32)
+    CF = jnp.asarray(CF_image_avg, jnp.complex64)
+
+    sizes = np.array([len(r) for r in group_rows])
+    L = max(1, 1 << int(np.ceil(np.log2(max(sizes.max(), 1)))))
+    # chunk groups so the (Gb, A, P, P) correlation stack stays small
+    budget = 64_000_000  # complex64 elements ~ 512 MB
+    Gb = int(np.clip(budget // max(A * P * P, 1), 1, 256))
+
+    @jax.jit
+    def align_chunk(xs, ys, mask):
+        G = xs.shape[0]
+        xr = (
+            cos_a[None, :, None] * xs[:, None, :]
+            - sin_a[None, :, None] * ys[:, None, :]
+        )  # (G, A, L)
+        yr = (
+            sin_a[None, :, None] * xs[:, None, :]
+            + cos_a[None, :, None] * ys[:, None, :]
+        )
+        ok = (
+            (xr > t_min) & (yr > t_min)
+            & (xr < t_max) & (yr < t_max)
+            & mask[:, None, :]
+        )
+        xi = jnp.clip(
+            (oversampling * (xr - t_min)).astype(jnp.int32), 0, P - 1
+        )
+        yi = jnp.clip(
+            (oversampling * (yr - t_min)).astype(jnp.int32), 0, P - 1
+        )
+        g_idx = jax.lax.broadcasted_iota(jnp.int32, (G, A, 1), 0)
+        a_idx = jax.lax.broadcasted_iota(jnp.int32, (G, A, 1), 1)
+        flat = ((g_idx * A + a_idx) * P + yi) * P + xi
+        flat = jnp.where(ok, flat, G * A * P * P)
+        images = (
+            jnp.zeros(G * A * P * P + 1, jnp.float32)
+            .at[flat.reshape(-1)]
+            .add(1.0)[:-1]
+            .reshape(G, A, P, P)
+        )
+        F = jnp.fft.fft2(images)
+        xcorr = jnp.fft.fftshift(
+            jnp.real(jnp.fft.ifft2(F * CF[None, None])), axes=(2, 3)
+        )
+        flat2 = xcorr.reshape(G, A * P * P)
+        best = jnp.argmax(flat2, axis=1)
+        val = jnp.take_along_axis(flat2, best[:, None], 1)[:, 0]
+        a_best = best // (P * P)
+        rem = best % (P * P)
+        y_max = rem // P
+        x_max = rem % P
+        dy = jnp.ceil(
+            y_max.astype(jnp.float32) - image_half
+        ) / oversampling
+        dx = jnp.ceil(
+            x_max.astype(jnp.float32) - image_half
+        ) / oversampling
+        c = cos_a[a_best][:, None]
+        s = sin_a[a_best][:, None]
+        x_al = c * xs - s * ys - dx[:, None]
+        y_al = s * xs + c * ys - dy[:, None]
+        keep = (val > 0.0)[:, None]
+        return (
+            jnp.where(keep, x_al, xs), jnp.where(keep, y_al, ys),
+        )
+
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    n_groups = len(group_rows)
+    for start in range(0, n_groups, Gb):
+        rows = group_rows[start : start + Gb]
+        G = len(rows)
+        xs = np.zeros((Gb, L), np.float32)
+        ys = np.zeros((Gb, L), np.float32)
+        mask = np.zeros((Gb, L), bool)
+        for gi, r in enumerate(rows):
+            xs[gi, : len(r)] = x[r]
+            ys[gi, : len(r)] = y[r]
+            mask[gi, : len(r)] = True
+        xa, ya = align_chunk(
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(mask)
+        )
+        xa = np.asarray(xa)
+        ya = np.asarray(ya)
+        for gi, r in enumerate(rows):
+            x[r] = xa[gi, : len(r)]
+            y[r] = ya[gi, : len(r)]
+    return x, y
+
+
 def build_group_index(locs: pd.DataFrame) -> scipy.sparse.lil_matrix:
     """Sparse (n_groups, n_locs) boolean membership matrix
     (picasso/average.py:196)."""
@@ -177,6 +287,12 @@ def average(
     rep = lib.progress_reporter(
         progress_callback, iterations * n_groups, "Averaging"
     )
+    import os as _os
+
+    mode = _os.environ.get("PICASSO_TPU_AVERAGE", "auto")
+    use_device = mode != "host" and (
+        mode == "device" or n_groups >= 64
+    )
     aborted = False
     for it in range(iterations):
         if callable(abort_callback) and abort_callback():
@@ -188,14 +304,24 @@ def average(
         n_pixel = image_avg.shape[0]
         image_half = n_pixel / 2
         CF_image_avg = np.conj(np.fft.fft2(image_avg))
-        for gi, index in enumerate(group_rows):
-            xa, ya = align_group_core(
-                index, x, y, angles, oversampling, t_min, t_max,
-                CF_image_avg, image_half,
+        if use_device:
+            # batched over ALL groups: one scatter-add + one FFT
+            # stack per chunk (the groups are independent within an
+            # iteration — the average image is fixed)
+            x, y = _align_groups_device(
+                x, y, group_rows, angles, oversampling, t_min,
+                t_max, CF_image_avg, image_half,
             )
-            x[index] = xa
-            y[index] = ya
-            rep.set_value(it * n_groups + gi + 1)
+            rep.set_value((it + 1) * n_groups)
+        else:
+            for gi, index in enumerate(group_rows):
+                xa, ya = align_group_core(
+                    index, x, y, angles, oversampling, t_min, t_max,
+                    CF_image_avg, image_half,
+                )
+                x[index] = xa
+                y[index] = ya
+                rep.set_value(it * n_groups + gi + 1)
         # global recentring each iteration so the ensemble cannot
         # drift out of the fixed histogram window
         # (picasso/average.py:500-503)

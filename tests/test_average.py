@@ -164,3 +164,48 @@ def test_average_progress_callback_invoked():
         progress_callback=lambda *a: calls.append(a),
     )
     assert calls
+
+
+class TestDeviceAveraging:
+    """Batched device group alignment vs the host per-group path."""
+
+    def test_device_matches_host_alignment(self, monkeypatch):
+        locs = _l_shape_locs(n_groups=12, seed=3)
+        monkeypatch.setenv("PICASSO_TPU_AVERAGE", "host")
+        out_h = average.average(
+            locs, INFO, display_pixel_size=10.0, iterations=2
+        )
+        monkeypatch.setenv("PICASSO_TPU_AVERAGE", "device")
+        out_d = average.average(
+            locs, INFO, display_pixel_size=10.0, iterations=2
+        )
+        # identical deterministic pipeline (same average image, same
+        # angle grid, same argmax rule) up to FFT rounding
+        np.testing.assert_allclose(
+            out_d["x"].to_numpy(), out_h["x"].to_numpy(), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            out_d["y"].to_numpy(), out_h["y"].to_numpy(), atol=1e-3
+        )
+
+    def test_device_average_converges(self, monkeypatch):
+        """Quality gate on the device path: after averaging, the
+        ensemble image is sharper than before (alignment worked)."""
+        monkeypatch.setenv("PICASSO_TPU_AVERAGE", "device")
+        locs = _l_shape_locs(n_groups=20, seed=4)
+        out = average.average(
+            locs, INFO, display_pixel_size=10.0, iterations=3
+        )
+        r_before = np.hypot(
+            locs["x"] - locs["x"].mean(), locs["y"] - locs["y"].mean()
+        )
+
+        def sharpness(df):
+            _, img = average._render_hist_square(
+                df["x"].to_numpy() - df["x"].mean(),
+                df["y"].to_numpy() - df["y"].mean(),
+                13.0, -2 * r_before.mean(), 2 * r_before.mean(),
+            )
+            return (img**2).sum() / max(img.sum(), 1) ** 2
+
+        assert sharpness(out) > 1.5 * sharpness(locs)
