@@ -41,6 +41,21 @@ def _toraw(args):
     io.to_raw(args.files)
 
 
+def _toims(args):
+    """Convert a movie to Bitplane Imaris .ims (portable writer)."""
+    import glob as _glob
+
+    from picasso_tpu import io
+
+    for path in sorted(_glob.glob(args.files)):
+        movie, info = io.load_movie(path)
+        out = os.path.splitext(path)[0] + ".ims"
+        io.write_ims(
+            out, movie[:], info, stacked=args.stacked
+        )
+        print(f"Wrote {out}")
+
+
 def _localize(args):
     from picasso_tpu import io, lib, localize
 
@@ -655,6 +670,15 @@ def main():
     p.add_argument("files", help="path pattern of movie files")
 
     p = subparsers.add_parser(
+        "toims", help="convert movies into Bitplane Imaris .ims"
+    )
+    p.add_argument("files", help="path pattern of movie files")
+    p.add_argument(
+        "--stacked", action="store_true",
+        help="write all frames as one z-stack TimePoint",
+    )
+
+    p = subparsers.add_parser(
         "localize", help="identify and fit single molecule spots"
     )
     p.add_argument("files", nargs="?", help="movie file or pattern")
@@ -862,6 +886,7 @@ def main():
     args = parser.parse_args()
     handlers = {
         "toraw": _toraw,
+        "toims": _toims,
         "localize": _localize,
         "render": _render,
         "undrift": _undrift,
