@@ -127,33 +127,54 @@ def main():
     spots = jnp.asarray(make_spots(n))
     CHAIN = 8
 
-    # ---- selftest: Pallas and XLA paths must agree bit-for-bit on
-    # the actual device before anything is timed (a wrong Mosaic
-    # lowering must fail the artifact, not silently mis-time) ----
+    # ---- selftest: the Pallas and XLA paths must be numerically
+    # equivalent on the actual device before anything is timed (a
+    # wrong Mosaic lowering must fail the artifact, not silently
+    # mis-time). Bitwise equality is NOT the right gate: both are the
+    # same fixed-point iteration, and single-ULP fp reordering can
+    # flip a convergence test one iteration early/late — bounded by
+    # the eps=1e-3 stopping rule itself. Measured deviations on this
+    # workload: xy max 7.5e-5 px, photons max 1e-3 rel, ll max 0.014
+    # (vs CRLB lpx ~4e-3 px); the gates below give ~10x headroom
+    # while catching any real lowering bug by orders of magnitude. --
     selftest = "skipped-no-pallas"
+    max_dxy = None
     if mle_pallas.pallas_supported() and lq_pallas.pallas_supported():
         st_spots = spots[:8192]
-        t_p, c_p, ll_p, it_p = mle_pallas.fit_pallas(
-            st_spots, 0.001, 100
+        t_p, c_p, ll_p, _ = map(
+            np.asarray, mle_pallas.fit_pallas(st_spots, 0.001, 100)
         )
-        t_x, c_x, ll_x, it_x = mle_fit_chunk(
-            st_spots, 0.001, 100, method="sigmaxy"
+        t_x, c_x, ll_x, _ = map(
+            np.asarray,
+            mle_fit_chunk(st_spots, 0.001, 100, method="sigmaxy"),
         )
-        mle_same = bool(
-            jnp.all(t_p == t_x) & jnp.all(ll_p == ll_x)
+        l_p = np.asarray(lq_pallas.fit_pallas(st_spots))
+        l_x = np.asarray(lq_fit_chunk(st_spots))
+
+        def dev(a, b, rel=False):
+            d = np.abs(a - b)
+            if rel:
+                d = d / np.maximum(np.abs(b), 1e-12)
+            return float(np.nanmax(d))
+
+        checks = {
+            "mle_xy": (dev(t_p[:, :2], t_x[:, :2]), 2e-3),
+            "mle_photons": (dev(t_p[:, 2], t_x[:, 2], True), 5e-3),
+            "mle_sigma": (dev(t_p[:, 4:], t_x[:, 4:]), 5e-3),
+            "mle_ll": (dev(ll_p, ll_x), 0.05),
+            "mle_crlb": (dev(c_p, c_x, True), 2e-2),
+            "lq_xy": (dev(l_p[:, :2], l_x[:, :2]), 2e-3),
+            "lq_photons": (dev(l_p[:, 2], l_x[:, 2], True), 5e-3),
+        }
+        failed = {
+            k: f"{got:.2e}>{lim:.0e}"
+            for k, (got, lim) in checks.items()
+            if not got <= lim
+        }
+        max_dxy = max(
+            checks["mle_xy"][0], checks["lq_xy"][0]
         )
-        lq_same = bool(
-            jnp.all(
-                lq_pallas.fit_pallas(st_spots)
-                == lq_fit_chunk(st_spots)
-            )
-        )
-        if mle_same and lq_same:
-            selftest = "ok"
-        else:
-            selftest = (
-                f"FAIL(mle_bitwise={mle_same}, lq_bitwise={lq_same})"
-            )
+        selftest = "ok" if not failed else f"FAIL({failed})"
 
     use_pallas = selftest == "ok"
     mle_fit = (
@@ -381,10 +402,13 @@ def main():
 
     # ---- headline last (drivers that keep only the tail still get
     # the north-star metric + selftest) ----
+    extra = {"selftest": selftest}
+    if max_dxy is not None:
+        extra["selftest_max_dxy_px"] = float(f"{max_dxy:.2e}")
     emit(
         "mle_fit_throughput", round(mle_throughput), "spots/s",
         mle_throughput / 1e6,
-        selftest=selftest,
+        **extra,
     )
 
 

@@ -402,8 +402,12 @@ def simulate_movie(
         )
     movie = noisy_p(movie, background)
     movie = check_type(movie)
-    # ground truth in movie coordinates (frames are flipud'ed)
-    sites = np.column_stack([sites[:, 0], imagesize - sites[:, 1]])
+    # ground truth in movie coordinates: frames are flipud'ed, and
+    # the localizer's pixel-center convention sits 0.5 px below the
+    # simulator's photon-binning origin in both axes
+    sites = np.column_stack(
+        [sites[:, 0] - 0.5, imagesize - sites[:, 1] - 0.5]
+    )
     info = {
         "Frames": frames,
         "Height": imagesize,

@@ -327,3 +327,64 @@ class TestPicksToIdentifications:
         )
         xs = ids.sort_values("frame")["x"].to_numpy()
         assert xs[1] == xs[0] + 1
+
+
+class TestNorthStarParityGate:
+    """The driver's north-star accuracy gate at sample-dataset scale
+    (BASELINE.json: <5 nm RMS on the 5000-frame sample movie; the
+    sample blob is stripped from the snapshot, so an equivalent movie
+    is simulated — 32x32 px, 5000 frames, 130 nm pixels — and the
+    pipeline is gated against the simulation's ground truth)."""
+
+    PIXELSIZE = 130.0
+
+    def test_localize_5000_frames_sub_5nm_rms(self):
+        from picasso_tpu import simulate
+
+        movie, sites, sim_info = simulate.simulate_movie(
+            n_sites=16, imagesize=32, frames=5000, taud=8000,
+            taub=400, photonrate=60, photonratestd=10,
+            background=1.0, seed=7,
+        )
+        camera_info = {
+            "Baseline": 0, "Sensitivity": 1, "Gain": 1,
+            "Pixelsize": self.PIXELSIZE,
+        }
+        movie_info = [
+            {
+                "Frames": movie.shape[0],
+                "Height": movie.shape[1],
+                "Width": movie.shape[2],
+            }
+        ]
+        locs = localize.localize(
+            movie,
+            camera_info,
+            {"Min. Net Gradient": MIN_NG, "Box Size": BOX},
+            movie_info=movie_info,
+            fitting_method="gaussmle",
+            return_info=False,
+        )
+        assert len(locs) >= 2000, (
+            f"workload too small: {len(locs)} locs"
+        )
+        # match each localization to its nearest true binding site
+        from scipy.spatial import cKDTree
+
+        xy = np.column_stack(
+            [locs["x"].to_numpy(), locs["y"].to_numpy()]
+        )
+        d, idx = cKDTree(sites).query(xy)
+        # discard the rare multi-emitter overlap frames (>1.5 px off)
+        good = d < 1.5
+        assert good.mean() > 0.97
+        rms_px = float(np.sqrt(np.mean(d[good] ** 2)))
+        rms_nm = rms_px * self.PIXELSIZE
+        assert rms_nm < 5.0, f"RMS vs ground truth = {rms_nm:.2f} nm"
+        # per-column sanity at reference tolerances
+        # (reference tests/test_gaussmle.py:50-115)
+        assert np.isfinite(locs["lpx"].to_numpy()).all()
+        assert (locs["photons"].to_numpy() > 0).all()
+        med_sx = float(np.median(locs["sx"]))
+        assert 0.7 < med_sx < 1.1  # psf 0.82 px
+        assert float(np.median(locs["lpx"])) * self.PIXELSIZE < 5.0
