@@ -1234,6 +1234,9 @@ def _undrift_from_picked_coordinate(
     drift_mean = np.nanmean(drift, 0)
     sd = (drift - drift_mean) ** 2
     msd = np.nanmean(sd, 1)
+    # a pick that tracks the mean drift exactly (e.g. a single pick)
+    # has msd 0; floor it so the 1/msd weights stay finite
+    msd = np.maximum(msd, 1e-12)
     nan_mask = np.isnan(drift)
     drift_ma = np.ma.MaskedArray(drift, mask=nan_mask)
     drift_mean = np.ma.average(drift_ma, axis=0, weights=1 / msd)

@@ -1,0 +1,421 @@
+"""Scripted Agg sessions driving the full-workflow RenderApp.
+
+The headline test drives pick -> undrift -> cluster -> RESI entirely
+through the app, mirroring an interactive session in the reference
+flagship viewer (picasso/gui/render.py)."""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import gui, io
+
+INFO = [
+    {"Frames": 200, "Height": 32, "Width": 32, "Pixelsize": 130}
+]
+N_FRAMES = 200
+TRUE_DRIFT_X = 0.004  # px / frame
+TRUE_DRIFT_Y = -0.003
+
+SITES = np.array(
+    [(y, x) for y in (10, 16, 22) for x in (10, 16, 22)], float
+)
+
+
+def _make_channel(seed, fiducial=(6.0, 6.0), site_shift=0.0):
+    """Synthetic drifting channel: 9 binding sites + 1 fiducial."""
+    rng = np.random.default_rng(seed)
+    frames, xs, ys = [], [], []
+    # fiducial: one loc every frame
+    frames.append(np.arange(N_FRAMES))
+    xs.append(np.full(N_FRAMES, fiducial[0]))
+    ys.append(np.full(N_FRAMES, fiducial[1]))
+    # sites: 40 locs each, sigma 0.03 px
+    for sy, sx in SITES:
+        f = rng.integers(0, N_FRAMES, 40)
+        frames.append(f)
+        xs.append(sx + site_shift + rng.normal(0, 0.03, 40))
+        ys.append(sy + site_shift + rng.normal(0, 0.03, 40))
+    frame = np.concatenate(frames).astype(np.uint32)
+    x = np.concatenate(xs).astype(np.float32)
+    y = np.concatenate(ys).astype(np.float32)
+    # linear stage drift
+    x = x + TRUE_DRIFT_X * frame
+    y = y + TRUE_DRIFT_Y * frame
+    n = len(frame)
+    locs = pd.DataFrame(
+        {
+            "frame": frame,
+            "x": x.astype(np.float32),
+            "y": y.astype(np.float32),
+            "photons": rng.uniform(500, 3000, n).astype(np.float32),
+            "sx": np.full(n, 0.9, np.float32),
+            "sy": np.full(n, 0.9, np.float32),
+            "bg": np.full(n, 50, np.float32),
+            "lpx": np.full(n, 0.03, np.float32),
+            "lpy": np.full(n, 0.03, np.float32),
+        }
+    )
+    return locs.sort_values("frame").reset_index(drop=True)
+
+
+def _locs3d(n=3000, seed=1):
+    rng = np.random.default_rng(seed)
+    locs = _make_channel(seed)
+    locs = locs.iloc[: min(n, len(locs))].copy()
+    locs["z"] = rng.uniform(-400, 400, len(locs)).astype(np.float32)
+    return locs
+
+
+class TestWorkflowSession:
+    """pick -> undrift -> cluster -> RESI, scripted end to end."""
+
+    def test_pick_undrift_cluster_resi(self, tmp_path):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.add_channel(_make_channel(1, site_shift=0.15), INFO)
+
+        # -- pick the fiducial (Tools > pick) --
+        app.set_pick_shape("Circle")
+        app.pick_diameter = 3.0
+        app.add_pick((6.0, 6.0))
+        assert len(app.picks) == 1
+
+        # -- undrift both channels from the picked fiducial --
+        for ch in range(2):
+            app.current_channel = ch
+            drift = app.undrift_from_picked()
+            # recovered drift must match the simulated linear drift
+            t = np.arange(N_FRAMES)
+            true_x = TRUE_DRIFT_X * t - np.mean(TRUE_DRIFT_X * t)
+            got_x = drift["x"].to_numpy()
+            got_x = got_x - got_x.mean()
+            assert np.max(np.abs(got_x - true_x)) < 0.02
+            assert app.channel.drift is not None
+
+        # -- site spread must collapse after undrifting --
+        app.current_channel = 0
+        locs = app.locs
+        near = (
+            np.hypot(
+                locs["x"] - SITES[0][1], locs["y"] - SITES[0][0]
+            ) < 0.5
+        )
+        assert locs["x"][near].std() < 0.08
+
+        # -- cluster the first channel in place (SMLM clusterer) --
+        app.picks = []
+        n_groups = app.smlm_clusterer(radius_xy=0.25, min_locs=15)
+        assert n_groups == len(SITES) + 1  # 9 sites + fiducial
+        app.undo()  # restore unclustered locs for RESI
+        assert "group" not in app.locs.columns
+
+        # -- RESI across the two channels --
+        idx, centers = app.resi(radius_xy=0.25, min_locs=15)
+        assert idx == 2  # appended as a new channel
+        assert set(centers["resi_channel_id"]) == {0, 1}
+        # each channel contributes its 9 sites + fiducial cluster
+        assert len(centers) == 2 * (len(SITES) + 1)
+
+        # center positions recover the true sites to < 0.03 px
+        # (undrifting zero-means the drift, so the mean drift offset
+        # remains on every position)
+        offx = TRUE_DRIFT_X * np.mean(np.arange(N_FRAMES))
+        offy = TRUE_DRIFT_Y * np.mean(np.arange(N_FRAMES))
+        ch0 = centers[centers["resi_channel_id"] == 0]
+        for sy, sx in SITES:
+            d = np.hypot(
+                ch0["x"] - (sx + offx), ch0["y"] - (sy + offy)
+            )
+            assert d.min() < 0.03
+
+        # -- save the RESI channel through the app --
+        out = tmp_path / "resi.hdf5"
+        app.current_channel = idx
+        app.save_locs(str(out))
+        saved, info = io.load_locs(str(out))
+        assert len(saved) == len(centers)
+
+
+class TestPickShapes:
+    def test_rectangle_polygon_square_roundtrip(self, tmp_path):
+        app = gui.RenderApp(_make_channel(0), INFO)
+
+        app.set_pick_shape("Rectangle")
+        app.pick_width = 2.0
+        app.add_pick(((9.0, 8.0), (11.0, 12.0)))
+        n_rect = sum(len(p) for p in app.picked_locs())
+        assert n_rect > 0
+        path = tmp_path / "rect.yaml"
+        app.save_picks(str(path))
+        app2 = gui.RenderApp(_make_channel(0), INFO)
+        app2.load_picks(str(path))
+        assert app2.pick_shape == "Rectangle"
+        assert app2.pick_width == pytest.approx(2.0)
+        assert sum(len(p) for p in app2.picked_locs()) == n_rect
+
+        app.set_pick_shape("Polygon")
+        assert app.picks == []  # shape change clears picks
+        app.add_pick([(8, 8), (12, 8), (12, 12), (8, 12)])
+        picked = app.picked_locs()
+        assert len(picked) == 1 and len(picked[0]) > 0
+        path = tmp_path / "poly.yaml"
+        app.save_picks(str(path))
+        app2.load_picks(str(path))
+        assert app2.pick_shape == "Polygon"
+        assert len(app2.picked_locs()[0]) == len(picked[0])
+
+        app.set_pick_shape("Square")
+        app.pick_side = 2.0
+        app.add_pick((10.0, 10.0))
+        assert len(app.picked_locs()[0]) > 0
+
+    def test_polygon_incremental_click_close(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.set_pick_shape("Polygon")
+        assert not app.add_polygon_point(8, 8)
+        assert not app.add_polygon_point(12, 8)
+        assert not app.add_polygon_point(12, 12)
+        # clicking near the first vertex closes the polygon
+        assert app.add_polygon_point(8.05, 8.05)
+        assert len(app.picks) == 1
+        assert app.picks[0][0] == app.picks[0][-1]  # closed
+
+    def test_pick_editing(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.pick_diameter = 2.0
+        app.add_pick((10, 10))
+        app.add_pick((20, 20))
+        app.remove_closest_pick(19, 19)
+        assert app.picks == [(10.0, 10.0)]
+        app.clear_picks()
+        assert app.picks == []
+
+    def test_filter_picks_by_count(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.pick_diameter = 1.0
+        app.add_pick((10, 10))  # dense site
+        app.add_pick((28, 28))  # empty corner
+        kept = app.filter_picks(min_locs=5)
+        assert kept == 1
+        assert app.picks == [(10.0, 10.0)]
+
+    def test_subtract_pick_regions(self, tmp_path):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.pick_diameter = 2.0
+        app.add_pick((10, 10))
+        app.add_pick((22, 22))
+        other = tmp_path / "other.yaml"
+        io.save_picks(
+            str(other), [[10.0, 10.0]], "Circle", size=4.0,
+            pixelsize=130,
+        )
+        removed = app.subtract_pick_regions(str(other))
+        assert removed == 1
+        assert app.picks == [(22.0, 22.0)]
+
+    def test_pick_fiducials_and_move_to_pick(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        n = app.pick_fiducials()
+        assert n >= 1
+        centers = [app._pick_center(p) for p in app.picks]
+        # drifted fiducial traj is centered near (6 + drift/2)
+        assert any(
+            abs(cx - 6.4) < 1.0 and abs(cy - 5.7) < 1.0
+            for cx, cy in centers
+        )
+        app.move_to_pick(0)
+        (y0, x0), (y1, x1) = app.viewport
+        cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+        assert abs(cx - centers[0][0]) < 1e-6
+        assert abs(cy - centers[0][1]) < 1e-6
+
+
+class TestDisplayAndChannels:
+    def test_multichannel_rgb_composite(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.add_channel(_make_channel(1), INFO)
+        app.set_channel_color(0, (1.0, 0.0, 0.0))
+        app.set_channel_color(1, (0.0, 1.0, 0.0))
+        app.redraw()
+        assert app.last_image.ndim == 3
+        # red and green channels both populated
+        assert app.last_image[..., 0].max() > 0
+        assert app.last_image[..., 1].max() > 0
+        app.set_channel_visible(1, False)
+        app.redraw()
+
+    def test_contrast_and_blur_controls(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.set_blur("gaussian")
+        app.set_contrast(0.0, 10.0)
+        assert app.contrast == (0.0, 10.0)
+        app.set_contrast(None, None)
+        assert app.contrast is None
+        app.set_min_blur_width(0.01)
+        app.set_invert_colors(True)
+        app.redraw()
+        app.set_invert_colors(False)
+
+    def test_fast_render_subsamples(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        n_full = app.redraw()
+        app.set_fast_render(0.25, seed=1)
+        n_fast = app.redraw()
+        assert n_fast < n_full * 0.5
+        app.set_fast_render(1.0)
+        assert app.redraw() == n_full
+
+    def test_pan_zoom_fit(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        vp0 = app.viewport
+        app.zoom_in()
+        assert (
+            app.viewport[1][0] - app.viewport[0][0]
+            < vp0[1][0] - vp0[0][0]
+        )
+        app.pan_right()
+        assert app.viewport[0][1] > 0
+        app.fit_in_view()
+        assert app.viewport == vp0
+
+    def test_export_view_and_complete(self, tmp_path):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        view_png = tmp_path / "view.png"
+        app.export_view(str(view_png))
+        assert view_png.exists()
+        assert (tmp_path / "view.yaml").exists()
+        full_png = tmp_path / "full.png"
+        app.zoom_in()
+        app.export_complete(str(full_png))
+        assert full_png.exists()
+
+    def test_show_info(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        info = app.show_info()
+        assert info["Locs in view"] == len(app.locs)
+        assert info["Channels"] == 1
+        assert "Median lpx (px)" in info
+
+
+class TestSlicer:
+    def test_slices_partition_z(self, tmp_path):
+        app = gui.RenderApp(_locs3d(), INFO)
+        app.start_slicer(thickness_nm=200.0)
+        assert app.n_slices() == 4
+        counts = []
+        for i in range(app.n_slices()):
+            app.set_slice(i)
+            counts.append(app.redraw())
+        assert sum(counts) == len(app.locs)
+        app.stop_slicer()
+        assert app.redraw() == len(app.locs)
+
+    def test_requires_z(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        with pytest.raises(ValueError):
+            app.start_slicer()
+
+
+class TestMaskAndTraces:
+    def test_mask_image_split(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        mask, locs_in, locs_out = app.mask_image(
+            "otsu", disp_px_size=260.0, blur=520.0
+        )
+        assert mask.dtype == bool
+        assert len(locs_in) + len(locs_out) == len(app.locs)
+        assert len(locs_in) > 0
+
+    def test_apply_mask_undo(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        n0 = len(app.locs)
+        # every loc sits on a bright site, so keeping the OUTSIDE of
+        # the otsu mask must drop most of them
+        app.apply_mask("otsu", keep="out", disp_px_size=260.0,
+                       blur=520.0)
+        assert len(app.locs) < n0
+        app.undo()
+        assert len(app.locs) == n0
+
+    def test_show_trace_and_kmeans(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.pick_diameter = 3.0
+        app.add_pick((6.0, 6.0))  # fiducial: present every frame
+        trace = app.show_trace(0)
+        assert (trace["photons"] > 0).mean() > 0.9
+        fig = app.plot_trace(0)
+        assert fig is not None
+        scatter = app.pick_scatter(0)
+        assert scatter.shape[1] == 2
+        labeled = app.cluster_in_pick_kmeans(0, n_clusters=2)
+        assert set(labeled["group"]) == {0, 1}
+
+
+class TestPostprocessActions:
+    def test_link_reduces_locs(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        n0 = len(app.locs)
+        app.link(r_max=0.2, max_dark_time=2)
+        assert len(app.locs) < n0
+        assert "len" in app.locs.columns
+        app.undo()
+        assert len(app.locs) == n0
+
+    def test_dbscan_and_remove_columns(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        n_clusters = app.dbscan(radius=0.3, min_density=10)
+        assert n_clusters >= len(SITES)
+        app.remove_columns(["bg"])
+        assert "bg" not in app.locs.columns
+
+    def test_save_pick_properties(self, tmp_path):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.pick_diameter = 1.5
+        for sy, sx in SITES[:3]:
+            app.add_pick((sx, sy), redraw=False)
+        path = tmp_path / "props.hdf5"
+        props = app.save_pick_properties(str(path))
+        assert len(props) == 3
+        assert "n_units" in props.columns
+        assert path.exists()
+
+    def test_nearest_neighbor(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        app.add_channel(_make_channel(1), INFO)
+        nn = app.nearest_neighbor(0, 1, nn_count=2)
+        assert nn.shape == (len(app.channels[0].locs), 2)
+        assert np.all(nn >= 0)
+
+    def test_apply_drift_file(self, tmp_path):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        drift = pd.DataFrame({
+            "x": np.linspace(0, 1, N_FRAMES),
+            "y": np.zeros(N_FRAMES),
+        })
+        path = tmp_path / "drift.txt"
+        io.save_drift(str(path), drift)
+        x0 = app.locs["x"].to_numpy().copy()
+        app.apply_drift_file(str(path))
+        assert not np.allclose(app.locs["x"].to_numpy(), x0)
+        assert app.channel.drift is not None
+        app.save_drift(str(tmp_path / "drift_out.txt"))
+        fig = app.show_drift()
+        assert fig is not None
+
+
+class TestStatusAndPlugins:
+    def test_status_log_records(self):
+        messages = []
+        app = gui.RenderApp(
+            _make_channel(0), INFO, status_callback=messages.append
+        )
+        app.pick_diameter = 3.0
+        app.add_pick((6.0, 6.0))
+        app.pick_similar()
+        assert any("picks" in m for m in messages)
