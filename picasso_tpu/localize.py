@@ -357,10 +357,17 @@ def fit2D(
         Callable[[int], None] | Literal["console"] | None
     ) = None,
     abort_callback: Callable[[], bool] | None = None,
+    spots: np.ndarray | None = None,
 ) -> tuple[pd.DataFrame | None, dict]:
     """Fit 2D localizations given identified spot positions
     (picasso/localize.py:1344). ``multiprocess`` is accepted for API
-    compatibility; all methods run batched on device."""
+    compatibility; all methods run batched on device.
+
+    ``spots`` optionally supplies pre-cut RAW (native-dtype) ROIs —
+    e.g. from the streamed single-pass pipeline
+    (picasso_tpu.stream.identify_and_cut) — so the movie is not read
+    a second time; photon conversion still runs here (on device when
+    eligible)."""
     assert isinstance(movie_info, list), "movie_info must be a list"
     assert isinstance(camera_info, dict), "camera_info must be a dict"
     assert isinstance(
@@ -380,11 +387,29 @@ def fit2D(
     # Device-side photon conversion path: raw u16 ROIs upload at half
     # the bytes; (raw - baseline) * sensitivity / gain runs in HBM.
     conversion = None
-    if (
-        fitting_method in ("gausslq", "gausslq-gpu", "gaussmle")
-        and np.isscalar(camera_info.get("Baseline", 0))
+    scalar_camera = (
+        np.isscalar(camera_info.get("Baseline", 0))
         and np.isscalar(camera_info.get("Sensitivity", 1))
         and np.isscalar(camera_info.get("Gain", 1))
+    )
+    if spots is not None:
+        # pre-cut raw ROIs (streamed pipeline): photon-convert on
+        # device when eligible, else on host
+        if (
+            fitting_method in ("gausslq", "gausslq-gpu", "gaussmle")
+            and scalar_camera
+            and spots.dtype == np.uint16
+        ):
+            conversion = (
+                float(camera_info["Baseline"]),
+                float(camera_info["Sensitivity"])
+                / float(camera_info["Gain"]),
+            )
+        else:
+            spots = _identify_ops.to_photons(spots, camera_info)
+    elif (
+        fitting_method in ("gausslq", "gausslq-gpu", "gaussmle")
+        and scalar_camera
         and getattr(
             np.asarray(movie[0]) if not isinstance(movie, np.ndarray)
             else movie, "dtype", None
@@ -504,19 +529,49 @@ def localize(
     fit_progress_callback=None,
     return_info: bool = False,
 ):
-    """Identify + fit spots in 2D (picasso/localize.py:1682)."""
+    """Identify + fit spots in 2D (picasso/localize.py:1682).
+
+    Lazy (file-backed) movies stream through the single-pass
+    identify+cut pipeline (picasso_tpu.stream): the next chunk decodes
+    in a background thread while the device identifies the current
+    one, and ROIs are cut from the in-RAM chunk — one decode pass
+    instead of two, fixed host-memory footprint at any movie size."""
     if movie_info is None:
         movie_info = []
-    identifications, identify_info = identify(
-        movie,
-        parameters["Min. Net Gradient"],
-        parameters["Box Size"],
-        roi=roi,
-        frame_bounds=frame_bounds,
-        threaded=threaded,
-        progress_callback=identification_progress_callback,
-        return_info=True,
+    spots = None
+    lazy = not (
+        isinstance(movie, (np.ndarray, np.memmap))
+        or hasattr(movie, "__array__")
     )
+    if lazy:
+        from picasso_tpu import stream
+
+        identifications, spots = stream.identify_and_cut(
+            movie,
+            parameters["Min. Net Gradient"],
+            parameters["Box Size"],
+            roi=roi,
+            frame_bounds=frame_bounds,
+            progress_callback=identification_progress_callback,
+        )
+        identify_info = {
+            "Generated by": f"Picasso: v{__version__} Identify",
+            "Min. Net Gradient": parameters["Min. Net Gradient"],
+            "Box Size": parameters["Box Size"],
+            "ROI": roi,
+            "Frame Bounds": frame_bounds,
+        }
+    else:
+        identifications, identify_info = identify(
+            movie,
+            parameters["Min. Net Gradient"],
+            parameters["Box Size"],
+            roi=roi,
+            frame_bounds=frame_bounds,
+            threaded=threaded,
+            progress_callback=identification_progress_callback,
+            return_info=True,
+        )
     locs, fit_info = fit2D(
         movie=movie,
         movie_info=movie_info,
@@ -529,6 +584,7 @@ def localize(
         mle_method=mle_method,
         multiprocess=threaded,
         progress_callback=fit_progress_callback,
+        spots=spots,
     )
     info = movie_info + [identify_info] + [fit_info]
     if return_info:

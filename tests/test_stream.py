@@ -1,0 +1,185 @@
+"""Streamed single-pass identify+cut pipeline (picasso_tpu.stream):
+bit-parity with the two-pass path, single decode pass, bounded
+prefetch, and localize() routing for lazy movies."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import io, localize, stream
+
+from conftest import BOX, CAMERA_INFO, DATA_DIR, MIN_NG
+
+import os
+
+RAW = os.path.join(DATA_DIR, "testdata.raw")
+needs_data = pytest.mark.skipif(
+    not os.path.exists(RAW), reason="bundled reference data not found"
+)
+
+
+class CountingLazyMovie:
+    """Lazy frame-indexable movie that counts how often each frame is
+    decoded (no __array__, so localize treats it as out-of-core)."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr)
+        self.dtype = self._arr.dtype
+        self.reads = np.zeros(len(self._arr), dtype=int)
+
+    def __len__(self):
+        return len(self._arr)
+
+    def get_frame(self, i):
+        self.reads[i] += 1
+        return self._arr[i]
+
+    def __getitem__(self, it):
+        if isinstance(it, slice):
+            idx = range(*it.indices(len(self)))
+            return np.stack([self.get_frame(i) for i in idx])
+        if isinstance(it, (tuple, list, np.ndarray)):
+            return np.stack([self.get_frame(int(i)) for i in it])
+        return self.get_frame(int(it))
+
+
+def _synthetic_movie(n_frames=60, size=48, seed=3):
+    """uint16 movie with a grid of bright spots + noise."""
+    rng = np.random.default_rng(seed)
+    movie = rng.poisson(40, (n_frames, size, size)).astype(np.uint16)
+    yy, xx = np.mgrid[-3:4, -3:4]
+    psf = np.exp(-(yy**2 + xx**2) / (2 * 1.1**2))
+    for f in range(n_frames):
+        for cy in (10, 24, 38):
+            for cx in (10, 24, 38):
+                jy = cy + rng.integers(-1, 2)
+                jx = cx + rng.integers(-1, 2)
+                movie[f, jy - 3:jy + 4, jx - 3:jx + 4] += (
+                    rng.poisson(psf * 800).astype(np.uint16)
+                )
+    return movie
+
+
+class TestStreamParity:
+    def test_matches_two_pass_path_synthetic(self):
+        movie = _synthetic_movie()
+        ids_ref = localize.identify(
+            movie, 2000, BOX, return_info=False
+        )
+        spots_ref = localize.get_spots_raw(movie, ids_ref, BOX)
+
+        lazy = CountingLazyMovie(movie)
+        ids, spots = stream.identify_and_cut(
+            lazy, 2000, BOX, frame_chunk=16
+        )
+        pd.testing.assert_frame_equal(
+            ids.reset_index(drop=True), ids_ref.reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(spots, spots_ref)
+        assert spots.dtype == np.uint16
+
+    def test_single_decode_pass(self):
+        movie = _synthetic_movie(n_frames=40)
+        lazy = CountingLazyMovie(movie)
+        stream.identify_and_cut(lazy, 2000, BOX, frame_chunk=8)
+        # every frame decoded exactly once (frame 0 is peeked once
+        # more for shape/dtype)
+        assert np.all(lazy.reads[1:] == 1)
+        assert lazy.reads[0] <= 2
+
+    def test_frame_bounds_inclusive(self):
+        movie = _synthetic_movie(n_frames=30)
+        ids_ref = localize.identify(
+            movie, 2000, BOX, frame_bounds=(5, 20), return_info=False
+        )
+        ids, spots = stream.identify_and_cut(
+            CountingLazyMovie(movie), 2000, BOX,
+            frame_bounds=(5, 20), frame_chunk=7,
+        )
+        pd.testing.assert_frame_equal(
+            ids.reset_index(drop=True), ids_ref.reset_index(drop=True)
+        )
+        assert ids["frame"].min() >= 5
+        assert ids["frame"].max() <= 20
+        assert len(spots) == len(ids)
+
+    def test_abort_returns_none(self):
+        movie = _synthetic_movie(n_frames=30)
+        ids, spots = stream.identify_and_cut(
+            CountingLazyMovie(movie), 2000, BOX,
+            frame_chunk=8, abort_callback=lambda: True,
+        )
+        assert ids is None and spots is None
+
+    def test_decode_error_propagates(self):
+        class BrokenMovie(CountingLazyMovie):
+            def get_frame(self, i):
+                if i == 9:
+                    raise IOError("simulated decode failure")
+                return super().get_frame(i)
+
+        movie = BrokenMovie(_synthetic_movie(n_frames=20))
+        with pytest.raises(IOError, match="decode failure"):
+            stream.identify_and_cut(movie, 2000, BOX, frame_chunk=4)
+
+    @needs_data
+    def test_matches_on_bundled_movie(self):
+        movie, _ = io.load_movie(RAW)
+        arr = np.asarray(movie[:])
+        ids_ref = localize.identify(
+            arr, MIN_NG, BOX, return_info=False
+        )
+        spots_ref = localize.get_spots_raw(arr, ids_ref, BOX)
+        ids, spots = stream.identify_and_cut(
+            CountingLazyMovie(arr), MIN_NG, BOX, frame_chunk=32
+        )
+        pd.testing.assert_frame_equal(
+            ids.reset_index(drop=True), ids_ref.reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(spots, spots_ref)
+
+
+class TestLocalizeRouting:
+    def test_lazy_movie_localize_matches_array(self):
+        movie = _synthetic_movie(n_frames=40)
+        params = {"Min. Net Gradient": 2000, "Box Size": BOX}
+        info = [{
+            "Frames": len(movie), "Height": movie.shape[1],
+            "Width": movie.shape[2], "Pixelsize": 130,
+        }]
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        locs_arr = localize.localize(
+            movie, cam, params, movie_info=info,
+            fitting_method="gausslq",
+        )
+        lazy = CountingLazyMovie(movie)
+        locs_lazy = localize.localize(
+            lazy, cam, params, movie_info=info,
+            fitting_method="gausslq",
+        )
+        # single pass: each frame decoded once
+        assert np.all(lazy.reads[1:] == 1)
+        pd.testing.assert_frame_equal(
+            locs_lazy.reset_index(drop=True),
+            locs_arr.reset_index(drop=True),
+        )
+
+    def test_fit2d_accepts_precut_spots(self):
+        movie = _synthetic_movie(n_frames=20)
+        info = [{
+            "Frames": len(movie), "Height": movie.shape[1],
+            "Width": movie.shape[2], "Pixelsize": 130,
+        }]
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        ids = localize.identify(movie, 2000, BOX, return_info=False)
+        spots = localize.get_spots_raw(movie, ids, BOX)
+        locs_pre, _ = localize.fit2D(
+            movie, info, cam, ids, BOX,
+            fitting_method="gausslq", spots=spots,
+        )
+        locs_std, _ = localize.fit2D(
+            movie, info, cam, ids, BOX, fitting_method="gausslq",
+        )
+        pd.testing.assert_frame_equal(locs_pre, locs_std)
