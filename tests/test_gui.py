@@ -200,3 +200,93 @@ class TestRenderAppPickedLocs:
         assert block["Pick Areas (um^2)"][0] == pytest.approx(
             expected / 2
         )
+
+
+class TestFilterApp2D:
+    def test_apply_filter_2d_and_lasso(self):
+        app = gui.FilterApp(_locs(), INFO)
+        n0 = len(app.locs)
+        n = app.apply_filter_2d("x", "y", 5, 25, 5, 25)
+        assert 0 < n < n0
+        v = app.locs
+        assert (v["x"] >= 5).all() and (v["x"] <= 25).all()
+        assert (v["y"] >= 5).all() and (v["y"] <= 25).all()
+        # triangle lasso inside the rectangle
+        n2 = app.apply_lasso("x", "y", [(5, 5), (25, 5), (5, 25)])
+        assert 0 < n2 < n
+        # inside the triangle: x + y <= 30
+        v = app.locs
+        assert ((v["x"] + v["y"]) <= 30 + 1e-6).all()
+
+    def test_undo_single_step(self):
+        app = gui.FilterApp(_locs(), INFO)
+        app.apply_filter("photons", 1000, 4000)
+        n1 = app.n_filtered
+        app.apply_filter_2d("x", "y", 10, 20, 10, 20)
+        assert app.n_filtered < n1
+        assert app.undo() == n1
+        assert len(app.history) == 1
+        app.undo()
+        assert app.n_filtered == 2000
+
+    def test_table_paging_and_get_column(self):
+        app = gui.FilterApp(_locs(), INFO)
+        page = app.table(0, 10)
+        assert len(page) == 10
+        app.apply_filter("x", 10, 20)
+        col = app.get_column("x")
+        assert len(col) == app.n_filtered
+        assert (col >= 10).all()
+
+    def test_hist2d_figure(self):
+        app = gui.FilterApp(_locs(), INFO)
+        fig = app.plot_hist2d("x", "photons")
+        assert fig is not None
+
+    def test_save_records_2d_provenance(self, tmp_path):
+        from picasso_tpu import io
+
+        app = gui.FilterApp(_locs(), INFO)
+        app.apply_filter("photons", 1000, 4000)
+        app.apply_filter_2d("lpx", "lpy", 0.0, 1.0, 0.0, 1.0)
+        path = str(tmp_path / "f2d_locs.hdf5")
+        app.save(path)
+        _, info = io.load_locs(path)
+        assert info[-1]["Filters"][0]["Column"] == "photons"
+        assert info[-1]["Filters 2D"][0]["Column X"] == "lpx"
+
+
+class TestLocalizeAppWorkflow:
+    def test_camera_parameters_and_roi(self, movie, movie_info):
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        app.set_camera_parameters(Baseline=100, Sensitivity=0.5)
+        assert app.camera_info["Baseline"] == 100
+        with __import__("pytest").raises(KeyError):
+            app.set_camera_parameters(Bogus=1)
+        params = app.load_camera_config(config={})
+        assert "Sensitivity" in params
+        n_full = app.redraw()
+        app.set_roi(0, 0, 16, 16)
+        n_roi = app.redraw()
+        assert n_roi <= n_full
+        app.clear_roi()
+        assert app.redraw() == n_full
+
+    def test_localize_movie_saves_locs(self, movie, movie_info,
+                                       tmp_path):
+        from picasso_tpu import io
+
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        out = str(tmp_path / "app_locs.hdf5")
+        locs, new_info = app.localize_movie(out)
+        assert len(locs) > 0
+        back, chain = io.load_locs(out)
+        assert len(back) == len(locs)
+        assert any(
+            "Fit method" in blk for blk in chain
+        )
+        assert app.status.last.startswith("Saved")
