@@ -42,6 +42,9 @@ class RotationApp(_PluginHost):
         self.blur_method = blur_method
         self.oversampling = oversampling
         self.angles = [0.0, 0.0, 0.0]  # rotation around x, y, z
+        self.show_axes = True
+        self.last_image = None
+        self.keyframes: list[tuple[list[float], float]] = []
         height = lib.get_from_metadata(info, "Height")
         width = lib.get_from_metadata(info, "Width")
         self.viewport = ((0.0, 0.0), (float(height), float(width)))
@@ -51,18 +54,36 @@ class RotationApp(_PluginHost):
         self._init_plugins("rotation")
         self.redraw()
 
-    def redraw(self):
+    def render_frame(
+        self, angles=None, oversampling=None
+    ) -> tuple[np.ndarray, int]:
+        """One rotated view as RGB with the axis tripod + angle text
+        painted in (reference rotation.py view painting;
+        render.draw_rotation :2604, draw_rotation_angles :2693)."""
+        ang = tuple(self.angles if angles is None else angles)
         n, image = render.render(
             self.locs,
             self.info,
-            oversampling=self.oversampling,
+            oversampling=(
+                self.oversampling if oversampling is None
+                else oversampling
+            ),
             viewport=self.viewport,
             blur_method=self.blur_method,
-            ang=tuple(self.angles),
+            ang=ang,
         )
         image = render.scale_contrast(image, autoscale=True)
+        rgb = render.apply_colormap(render.to_8bit(image), "hot")
+        if self.show_axes:
+            rgb = render.draw_rotation(rgb, ang)
+            rgb = render.draw_rotation_angles(rgb, ang)
+        return rgb, n
+
+    def redraw(self):
+        rgb, n = self.render_frame()
+        self.last_image = rgb
         self.ax.clear()
-        self.ax.imshow(image, cmap="hot", interpolation="nearest")
+        self.ax.imshow(rgb, interpolation="nearest")
         self.ax.set_title(
             "rot x/y/z = "
             + "/".join(f"{np.degrees(a):.0f}°" for a in self.angles)
@@ -75,6 +96,51 @@ class RotationApp(_PluginHost):
         self.angles[1] += dy
         self.angles[2] += dz
         self.redraw()
+
+    def export_view(self, path: str):
+        """Export the current rotated view (reference rotation.py
+        'Export current view')."""
+        if self.last_image is None:
+            self.redraw()
+        render._export_image(self.last_image, path)
+
+    # -- keyframe animations (reference rotation.py AnimationDialog:
+    # add positions, then build a movie between them) --
+    def add_keyframe(self):
+        self.keyframes.append(
+            (list(self.angles), float(self.oversampling))
+        )
+        return len(self.keyframes)
+
+    def clear_keyframes(self):
+        self.keyframes = []
+
+    def build_animation(
+        self, path: str, n_frames_between: int = 15, fps: int = 15
+    ) -> int:
+        """Render frames interpolating angles/zoom between keyframes
+        and write a gif/mp4 (reference rotation.py build_animation;
+        render.build_animation :3411). Returns the frame count."""
+        if len(self.keyframes) < 2:
+            raise ValueError("Add at least 2 keyframes first.")
+        frames = []
+        for (a0, o0), (a1, o1) in zip(
+            self.keyframes[:-1], self.keyframes[1:]
+        ):
+            for t in np.linspace(0, 1, n_frames_between,
+                                 endpoint=False):
+                ang = [
+                    (1 - t) * u + t * v for u, v in zip(a0, a1)
+                ]
+                ovs = (1 - t) * o0 + t * o1
+                rgb, _ = self.render_frame(ang, ovs)
+                frames.append(rgb)
+        rgb, _ = self.render_frame(
+            self.keyframes[-1][0], self.keyframes[-1][1]
+        )
+        frames.append(rgb)
+        render.build_animation(path, frames, fps=fps)
+        return len(frames)
 
     def _on_key(self, event):
         step = np.radians(10)

@@ -184,3 +184,54 @@ class TestAverage3App:
         assert "z" in back.columns
         # no locs silently dropped by the save-time sanity filter
         assert len(back) == len(out)
+
+
+class TestRotationAppAnimation:
+    def _locs3d(self, n=500, seed=0):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "frame": rng.integers(0, 50, n).astype(np.uint32),
+            "x": rng.uniform(4, 28, n).astype(np.float32),
+            "y": rng.uniform(4, 28, n).astype(np.float32),
+            "z": rng.uniform(-300, 300, n).astype(np.float32),
+            "photons": rng.uniform(500, 2000, n).astype(np.float32),
+            "lpx": np.full(n, 0.05, np.float32),
+            "lpy": np.full(n, 0.05, np.float32),
+        })
+
+    def test_rotated_rgb_with_axes_overlay(self, tmp_path):
+        import numpy as np
+
+        from picasso_tpu import gui
+
+        info = [{"Frames": 50, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        app = gui.RotationApp(self._locs3d(), info)
+        rgb, n = app.render_frame()
+        assert rgb.ndim == 3 and rgb.shape[2] == 3
+        assert n == 500
+        app.rotate(dy=np.radians(30))
+        path = tmp_path / "rot.png"
+        app.export_view(str(path))
+        assert path.exists()
+
+    def test_keyframe_animation_gif(self, tmp_path):
+        import numpy as np
+
+        from picasso_tpu import gui
+
+        info = [{"Frames": 50, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        app = gui.RotationApp(self._locs3d(200), info,
+                              oversampling=4.0)
+        app.add_keyframe()
+        app.rotate(dy=np.radians(90))
+        app.add_keyframe()
+        gif = tmp_path / "anim.gif"
+        n_frames = app.build_animation(str(gif), n_frames_between=4,
+                                       fps=5)
+        assert n_frames == 5
+        assert gif.exists() and gif.stat().st_size > 0
