@@ -30,6 +30,7 @@ report honest wall-clock.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -98,6 +99,17 @@ def make_drifted_locs(
     return locs, info
 
 
+_T0 = time.monotonic()
+
+
+def stage(name):
+    """Wall-clock stamp on stderr (stdout stays pure JSON lines)."""
+    print(
+        f"[bench +{time.monotonic() - _T0:7.1f}s] {name}",
+        file=sys.stderr, flush=True,
+    )
+
+
 def emit(metric, value, unit, vs_baseline, **extra):
     line = {
         "metric": metric,
@@ -107,6 +119,7 @@ def emit(metric, value, unit, vs_baseline, **extra):
     }
     line.update(extra)
     print(json.dumps(line), flush=True)
+    stage(f"emitted {metric}")
 
 
 def main():

@@ -87,6 +87,33 @@ def _find_target_counts(targets, structures) -> np.ndarray:
     return t_counts
 
 
+def targets_from_structures(structures) -> list[str]:
+    """Deprecated public shim (picasso/spinna.py:184)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _targets_from_structures instead."
+    )
+    return _targets_from_structures(structures)
+
+
+def find_target_counts(targets, structures) -> np.ndarray:
+    """Deprecated public shim (picasso/spinna.py:95)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _find_target_counts instead."
+    )
+    return _find_target_counts(targets, structures)
+
+
+def get_structures_permutation(t_counts: np.ndarray) -> np.ndarray:
+    """Deprecated public shim (picasso/spinna.py:134)."""
+    lib.deprecation_warning(
+        "Deprecation warning: This function will become private in "
+        "v0.11.0. Use _get_structures_permutation instead."
+    )
+    return _get_structures_permutation(t_counts)
+
+
 def _get_structures_permutation(t_counts: np.ndarray) -> np.ndarray:
     """Order structures so that the free parameters of the linear
     system sit on the right (picasso/spinna.py:143)."""
