@@ -243,175 +243,211 @@ def main():
     dt = (timed(mle_chain, spots) - latency) / CHAIN
     mle_throughput = n / dt
 
-    # ---- 3. RCC + AIM undrift wall-clock ----
-    from picasso_tpu import aim as aim_mod
-    from picasso_tpu import postprocess
 
-    locs, info = make_drifted_locs()
-    # warm all device programs at the benchmark shapes (compile time
-    # must not contaminate the steady-state wall-clock)
-    postprocess.undrift(locs, info, 500, display=False)
-    aim_mod.aim(locs, info, segmentation=500)
-    t0 = time.perf_counter()
-    drift, _ = postprocess.undrift(locs, info, 500, display=False)
-    locs_aim, _, _ = aim_mod.aim(locs, info, segmentation=500)
-    undrift_s = time.perf_counter() - t0
-    assert np.isfinite(drift.to_numpy()).all()
-    assert len(locs_aim) == len(locs)
-    emit(
-        "undrift_rcc_aim_s", round(undrift_s, 3), "s",
-        60.0 / undrift_s,
-        n_locs=len(locs), n_frames=info[0]["Frames"],
+    import os as _os
+
+    _budget = float(
+        _os.environ.get("PICASSO_BENCH_BUDGET_S", "1500")
     )
+
+    def run_stage(name, fn):
+        """Optional stages must never cost the headline metric: skip
+        when over budget (the driver may time the whole run out),
+        swallow backend hiccups (the tunnel's server-side compile
+        latency is unpredictable — see CLAUDE.md)."""
+        if time.monotonic() - _T0 > _budget:
+            stage(f"SKIP {name}: bench budget exceeded")
+            return
+        try:
+            fn()
+        except Exception as exc:
+            stage(f"{name} FAILED: {exc!r}")
+
+    # ---- 3. RCC + AIM undrift wall-clock ----
+    def _stage_undrift():
+        from picasso_tpu import aim as aim_mod
+        from picasso_tpu import postprocess
+
+        locs, info = make_drifted_locs()
+        # warm all device programs at the benchmark shapes (compile time
+        # must not contaminate the steady-state wall-clock)
+        postprocess.undrift(locs, info, 500, display=False)
+        aim_mod.aim(locs, info, segmentation=500)
+        t0 = time.perf_counter()
+        drift, _ = postprocess.undrift(locs, info, 500, display=False)
+        locs_aim, _, _ = aim_mod.aim(locs, info, segmentation=500)
+        undrift_s = time.perf_counter() - t0
+        assert np.isfinite(drift.to_numpy()).all()
+        assert len(locs_aim) == len(locs)
+        emit(
+            "undrift_rcc_aim_s", round(undrift_s, 3), "s",
+            60.0 / undrift_s,
+            n_locs=len(locs), n_frames=info[0]["Frames"],
+        )
+
+    run_stage('undrift', _stage_undrift)
 
     # ---- 4. render at 10x oversampling (hist + gaussian splat) ----
-    n_r = 1_000_000
-    rng = np.random.default_rng(3)
-    fov, oversampling = 256, 10
-    size = fov * oversampling
-    xr = jnp.asarray(
-        rng.uniform(0, size, n_r).astype(np.float32)
-    )
-    yr = jnp.asarray(
-        rng.uniform(0, size, n_r).astype(np.float32)
-    )
-    s_r = jnp.asarray(
-        rng.uniform(0.6, 0.9, n_r).astype(np.float32)
-    )  # blur sigma in display px (oversampling * lp)
+    def _stage_render():
+        n_r = 1_000_000
+        rng = np.random.default_rng(3)
+        fov, oversampling = 256, 10
+        size = fov * oversampling
+        xr = jnp.asarray(
+            rng.uniform(0, size, n_r).astype(np.float32)
+        )
+        yr = jnp.asarray(
+            rng.uniform(0, size, n_r).astype(np.float32)
+        )
+        s_r = jnp.asarray(
+            rng.uniform(0.6, 0.9, n_r).astype(np.float32)
+        )  # blur sigma in display px (oversampling * lp)
 
-    @jax.jit
-    def render_chain(x):
-        def body(i, acc):
-            xx = x + acc * 1e-30
-            hist = render_ops._hist2d_device(xx, yr, size, size)
-            img = render_ops._splat_bucket_device(
-                xx, yr, s_r, s_r, 8, size, size
-            )
-            return jnp.sum(hist) + jnp.sum(img) + 0.0 * acc
+        @jax.jit
+        def render_chain(x):
+            def body(i, acc):
+                xx = x + acc * 1e-30
+                hist = render_ops._hist2d_device(xx, yr, size, size)
+                img = render_ops._splat_bucket_device(
+                    xx, yr, s_r, s_r, 8, size, size
+                )
+                return jnp.sum(hist) + jnp.sum(img) + 0.0 * acc
 
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
-    dt = (timed(render_chain, xr) - latency) / CHAIN
-    emit(
-        "render_gaussian_10x", round(n_r / dt), "locs/s",
-        (n_r / dt) / 1e6,
-        image_px=size,
-    )
+        dt = (timed(render_chain, xr) - latency) / CHAIN
+        emit(
+            "render_gaussian_10x", round(n_r / dt), "locs/s",
+            (n_r / dt) / 1e6,
+            image_px=size,
+        )
+
+    run_stage('render', _stage_render)
 
     # ---- 5. zfit z-scan + SMLM clustering ----
-    from picasso_tpu import zfit as zfit_mod
+    def _stage_zfit_cluster():
+        from picasso_tpu import zfit as zfit_mod
 
-    n_z = 1_000_000
-    z_true = rng.uniform(-400, 400, n_z)
-    cx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_true)
-    cy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_true)
-    sx = jnp.asarray(
-        (cx + rng.normal(0, 0.02, n_z)).astype(np.float32)
-    )
-    sy = jnp.asarray(
-        (cy + rng.normal(0, 0.02, n_z)).astype(np.float32)
-    )
-    z_grid = np.linspace(-1000.0, 1000.0, 2001)
-    wx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_grid)
-    wy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_grid)
-    u = jnp.asarray(np.sqrt(np.maximum(wx, 0)).astype(np.float32))
-    v = jnp.asarray(np.sqrt(np.maximum(wy, 0)).astype(np.float32))
-    c = jnp.asarray((wx + wy).astype(np.float32))
-    zg = jnp.asarray(z_grid.astype(np.float32))
+        rng = np.random.default_rng(5)
+        n_z = 1_000_000
+        z_true = rng.uniform(-400, 400, n_z)
+        cx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_true)
+        cy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_true)
+        sx = jnp.asarray(
+            (cx + rng.normal(0, 0.02, n_z)).astype(np.float32)
+        )
+        sy = jnp.asarray(
+            (cy + rng.normal(0, 0.02, n_z)).astype(np.float32)
+        )
+        z_grid = np.linspace(-1000.0, 1000.0, 2001)
+        wx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_grid)
+        wy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_grid)
+        u = jnp.asarray(np.sqrt(np.maximum(wx, 0)).astype(np.float32))
+        v = jnp.asarray(np.sqrt(np.maximum(wy, 0)).astype(np.float32))
+        c = jnp.asarray((wx + wy).astype(np.float32))
+        zg = jnp.asarray(z_grid.astype(np.float32))
 
-    @jax.jit
-    def zfit_chain(sx_in):
-        def body(i, acc):
-            z, tgt = zfit_mod._fit_z_batched(
-                sx_in + acc * 1e-30, sy, u, v, c, zg
-            )
-            return jnp.sum(z) * 1e-6 + 0.0 * acc
+        @jax.jit
+        def zfit_chain(sx_in):
+            def body(i, acc):
+                z, tgt = zfit_mod._fit_z_batched(
+                    sx_in + acc * 1e-30, sy, u, v, c, zg
+                )
+                return jnp.sum(z) * 1e-6 + 0.0 * acc
 
-        return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
 
-    dt_z = (timed(zfit_chain, sx) - latency) / CHAIN
+        dt_z = (timed(zfit_chain, sx) - latency) / CHAIN
 
-    from picasso_tpu import clusterer
-    import pandas as pd
+        from picasso_tpu import clusterer
+        import pandas as pd
 
-    n_c = 100_000
-    centers = rng.uniform(5, 59, (2000, 2))
-    which = rng.integers(0, 2000, n_c)
-    clocs = pd.DataFrame(
-        {
-            "frame": rng.integers(0, 5000, n_c).astype(np.uint32),
-            "x": (
-                centers[which, 0] + rng.normal(0, 0.03, n_c)
-            ).astype(np.float32),
-            "y": (
-                centers[which, 1] + rng.normal(0, 0.03, n_c)
-            ).astype(np.float32),
-        }
-    )
-    clusterer.cluster(
-        clocs.iloc[:10000], radius_xy=0.15, min_locs=10,
-        frame_analysis=False,
-    )  # warm
-    t0 = time.perf_counter()
-    clusterer.cluster(
-        clocs, radius_xy=0.15, min_locs=10, frame_analysis=False
-    )
-    dt_c = time.perf_counter() - t0
-    total = (n_z + n_c) / (dt_z + dt_c)
-    emit(
-        "zfit_cluster_throughput", round(total), "locs/s",
-        total / 1e6,
-        zfit_locs_per_s=round(n_z / dt_z),
-        cluster_locs_per_s=round(n_c / dt_c),
-    )
+        n_c = 100_000
+        centers = rng.uniform(5, 59, (2000, 2))
+        which = rng.integers(0, 2000, n_c)
+        clocs = pd.DataFrame(
+            {
+                "frame": rng.integers(0, 5000, n_c).astype(np.uint32),
+                "x": (
+                    centers[which, 0] + rng.normal(0, 0.03, n_c)
+                ).astype(np.float32),
+                "y": (
+                    centers[which, 1] + rng.normal(0, 0.03, n_c)
+                ).astype(np.float32),
+            }
+        )
+        clusterer.cluster(
+            clocs.iloc[:10000], radius_xy=0.15, min_locs=10,
+            frame_analysis=False,
+        )  # warm
+        t0 = time.perf_counter()
+        clusterer.cluster(
+            clocs, radius_xy=0.15, min_locs=10, frame_analysis=False
+        )
+        dt_c = time.perf_counter() - t0
+        total = (n_z + n_c) / (dt_z + dt_c)
+        emit(
+            "zfit_cluster_throughput", round(total), "locs/s",
+            total / 1e6,
+            zfit_locs_per_s=round(n_z / dt_z),
+            cluster_locs_per_s=round(n_c / dt_c),
+        )
+
+    run_stage('zfit_cluster', _stage_zfit_cluster)
 
     # ---- 6. particle averaging over 5k groups (device batched FFT) --
-    from picasso_tpu import average as avg_mod
+    def _stage_average():
+        import pandas as pd
 
-    template = np.array(
-        [[0.0, 0.0], [0.4, 0.0], [0.8, 0.0], [0.0, 0.4], [0.0, 0.8]]
-    )
-    template -= template.mean(0)
-    parts = []
-    for g in range(5000):
-        ang = rng.uniform(0, 2 * np.pi)
-        R = np.array(
-            [
-                [np.cos(ang), -np.sin(ang)],
-                [np.sin(ang), np.cos(ang)],
-            ]
+        from picasso_tpu import average as avg_mod
+
+        rng = np.random.default_rng(7)
+        template = np.array(
+            [[0.0, 0.0], [0.4, 0.0], [0.8, 0.0], [0.0, 0.4], [0.0, 0.8]]
         )
-        pts = template @ R.T + rng.uniform(-0.2, 0.2, 2)
-        pp = np.repeat(pts, 10, axis=0) + rng.normal(
-            0, 0.02, (len(pts) * 10, 2)
+        template -= template.mean(0)
+        parts = []
+        for g in range(5000):
+            ang = rng.uniform(0, 2 * np.pi)
+            R = np.array(
+                [
+                    [np.cos(ang), -np.sin(ang)],
+                    [np.sin(ang), np.cos(ang)],
+                ]
+            )
+            pts = template @ R.T + rng.uniform(-0.2, 0.2, 2)
+            pp = np.repeat(pts, 10, axis=0) + rng.normal(
+                0, 0.02, (len(pts) * 10, 2)
+            )
+            parts.append(
+                np.column_stack([np.full(len(pp), g), pp])
+            )
+        arr = np.vstack(parts)
+        alocs = pd.DataFrame(
+            {
+                "frame": np.arange(len(arr), dtype=np.uint32) % 100,
+                "x": (arr[:, 1] + 32).astype(np.float32),
+                "y": (arr[:, 2] + 32).astype(np.float32),
+                "group": arr[:, 0].astype(np.int32),
+            }
         )
-        parts.append(
-            np.column_stack([np.full(len(pp), g), pp])
+        ainfo = [
+            {"Frames": 100, "Height": 64, "Width": 64, "Pixelsize": 130}
+        ]
+        avg_mod.average(
+            alocs, ainfo, display_pixel_size=10.0, iterations=1
+        )  # warm
+        t0 = time.perf_counter()
+        avg_mod.average(
+            alocs, ainfo, display_pixel_size=10.0, iterations=1
         )
-    arr = np.vstack(parts)
-    alocs = pd.DataFrame(
-        {
-            "frame": np.arange(len(arr), dtype=np.uint32) % 100,
-            "x": (arr[:, 1] + 32).astype(np.float32),
-            "y": (arr[:, 2] + 32).astype(np.float32),
-            "group": arr[:, 0].astype(np.int32),
-        }
-    )
-    ainfo = [
-        {"Frames": 100, "Height": 64, "Width": 64, "Pixelsize": 130}
-    ]
-    avg_mod.average(
-        alocs, ainfo, display_pixel_size=10.0, iterations=1
-    )  # warm
-    t0 = time.perf_counter()
-    avg_mod.average(
-        alocs, ainfo, display_pixel_size=10.0, iterations=1
-    )
-    avg_s = time.perf_counter() - t0
-    emit(
-        "average_5k_groups_s", round(avg_s, 3), "s", 60.0 / avg_s,
-        n_groups=5000,
-    )
+        avg_s = time.perf_counter() - t0
+        emit(
+            "average_5k_groups_s", round(avg_s, 3), "s", 60.0 / avg_s,
+            n_groups=5000,
+        )
+
+    run_stage('average', _stage_average)
 
     # ---- headline last (drivers that keep only the tail still get
     # the north-star metric + selftest) ----

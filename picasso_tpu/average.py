@@ -98,7 +98,7 @@ def align_group_core(
 
 def _align_groups_device(
     x, y, group_rows, angles, oversampling, t_min, t_max,
-    CF_image_avg, image_half,
+    image_avg, image_half,
 ):
     """Align MANY groups at once on device: rotate every group by
     every angle, histogram all (group, angle) images with one
@@ -112,11 +112,16 @@ def _align_groups_device(
     import jax
     import jax.numpy as jnp
 
-    P = CF_image_avg.shape[0]
+    P = image_avg.shape[0]
     A = len(angles)
+    # passed as jit ARGUMENTS, not closure captures (captured device
+    # arrays embed as MLIR constants via a device->host readback).
+    # The REAL average image uploads and is conj-FFT'd on device:
+    # complex64 host->device transfers are UNIMPLEMENTED on the
+    # tunneled TPU backend.
     cos_a = jnp.asarray(np.cos(angles), jnp.float32)
     sin_a = jnp.asarray(np.sin(angles), jnp.float32)
-    CF = jnp.asarray(CF_image_avg, jnp.complex64)
+    avg_dev = jnp.asarray(np.asarray(image_avg, np.float32))
 
     sizes = np.array([len(r) for r in group_rows])
     L = max(1, 1 << int(np.ceil(np.log2(max(sizes.max(), 1)))))
@@ -125,7 +130,8 @@ def _align_groups_device(
     Gb = int(np.clip(budget // max(A * P * P, 1), 1, 256))
 
     @jax.jit
-    def align_chunk(xs, ys, mask):
+    def align_chunk(xs, ys, mask, cos_a, sin_a, avg_img):
+        CF = jnp.conj(jnp.fft.fft2(avg_img))
         G = xs.shape[0]
         xr = (
             cos_a[None, :, None] * xs[:, None, :]
@@ -138,7 +144,7 @@ def _align_groups_device(
         ok = (
             (xr > t_min) & (yr > t_min)
             & (xr < t_max) & (yr < t_max)
-            & mask[:, None, :]
+            & (mask[:, None, :] != 0)  # mask arrives as u8
         )
         xi = jnp.clip(
             (oversampling * (xr - t_min)).astype(jnp.int32), 0, P - 1
@@ -195,8 +201,12 @@ def _align_groups_device(
             xs[gi, : len(r)] = x[r]
             ys[gi, : len(r)] = y[r]
             mask[gi, : len(r)] = True
+        # upload the mask as u8: the tunneled TPU backend rejects
+        # bool-array device_put (UNIMPLEMENTED)
         xa, ya = align_chunk(
-            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(mask)
+            jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(mask.astype(np.uint8)),
+            cos_a, sin_a, avg_dev,
         )
         xa = np.asarray(xa)
         ya = np.asarray(ya)
@@ -270,11 +280,20 @@ def average(
     locs = com_align(locs, group_index)
     n_groups = group_index.shape[0]
     r = 2 * np.sqrt((locs["x"] ** 2 + locs["y"] ** 2).mean())
-    t_min, t_max = -r, r
     camera_pixelsize = lib.get_from_metadata(
         info, "Pixelsize", raise_error=True
     )
     oversampling = camera_pixelsize / display_pixel_size
+    # Round the correlation workspace up to a power-of-two pixel count
+    # (symmetric zero margin). TPU FFT compilation of non-pow2 sizes
+    # goes through Bluestein and takes MINUTES (measured: 534 s for
+    # 24x24 vs 4.7 s for 32x32); the extra empty border does not
+    # change the xcorr peak for centered particles. Host and device
+    # paths share the workspace, so their parity is unaffected.
+    n_raw = int(np.ceil(oversampling * 2 * r))
+    n_pow2 = 1 << max(int(np.ceil(np.log2(max(n_raw, 2)))), 1)
+    pad = (n_pow2 / oversampling - 2 * r) / 2
+    t_min, t_max = -r - pad, r + pad
     a_step = np.arcsin(1 / (oversampling * r))
     angles = np.arange(0, 2 * np.pi, a_step)
 
@@ -310,7 +329,7 @@ def average(
             # iteration — the average image is fixed)
             x, y = _align_groups_device(
                 x, y, group_rows, angles, oversampling, t_min,
-                t_max, CF_image_avg, image_half,
+                t_max, image_avg, image_half,
             )
             rep.set_value((it + 1) * n_groups)
         else:

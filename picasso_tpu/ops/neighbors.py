@@ -361,3 +361,77 @@ def radius_count(
         )
         out[start:stop] = np.asarray(counts)[: stop - start]
     return out
+
+
+def use_device() -> bool:
+    """Route pairwise-distance work to these blocked device kernels or
+    a host KDTree. ``PICASSO_TPU_NEIGHBORS`` = device|host forces a
+    path; the default (auto) uses the device kernels on TPU — where
+    brute-force distance tiles beat a pointer-chasing KDTree by orders
+    of magnitude — and the KDTree on CPU backends, where it is the
+    stronger algorithm."""
+    import os
+
+    mode = os.environ.get("PICASSO_TPU_NEIGHBORS", "auto")
+    if mode == "host":
+        return False
+    if mode == "device":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _radius_max_scan(a, b_blocks, b_valid, b_vals, r2):
+    def body(cur, xs):
+        b_blk, valid, vals = xs
+        d2 = _block_d2(a, b_blk)
+        ok = valid[None, :] & (d2 <= r2)
+        contrib = jnp.where(ok, vals[None, :], -jnp.inf)
+        return jnp.maximum(cur, jnp.max(contrib, axis=1)), None
+
+    out, _ = jax.lax.scan(
+        body,
+        jnp.full((a.shape[0],), -jnp.inf, jnp.float32),
+        (b_blocks, b_valid, b_vals),
+    )
+    return out
+
+
+def radius_max(
+    a: np.ndarray,
+    b: np.ndarray,
+    r: float,
+    values: np.ndarray,
+    *,
+    a_chunk: int = A_CHUNK,
+    b_block: int = B_BLOCK,
+) -> np.ndarray:
+    """Max of ``values[j]`` over all b[j] within distance r (inclusive)
+    of each row of a — the neighborhood max-reduce used by the SMLM
+    local-maxima clusterer (picasso/clusterer.py:114 assign_to_cluster
+    prelude). Rows with no neighbor in range return -inf."""
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    values = np.ascontiguousarray(values, np.float32)
+    N, D = a.shape
+    M = b.shape[0]
+    if N == 0 or M == 0:
+        return np.full(N, -np.inf, np.float32)
+    nb = -(-M // b_block)
+    b_pad = _pad_rows(b, nb * b_block)
+    b_blocks = b_pad.reshape(nb, b_block, D)
+    b_valid = np.arange(nb * b_block).reshape(nb, b_block) < M
+    b_vals = _pad_rows(values, nb * b_block).reshape(nb, b_block)
+    r2 = np.float32(r) ** 2
+    out = np.empty(N, np.float32)
+    chunk = min(a_chunk, max(256, N))
+    for start in range(0, N, chunk):
+        stop = min(start + chunk, N)
+        a_part = _pad_rows(a[start:stop], chunk)
+        res = _radius_max_scan(
+            a_part, b_blocks, b_valid, b_vals, r2
+        )
+        out[start:stop] = np.asarray(res)[: stop - start]
+    return out
