@@ -10,6 +10,7 @@ scatter-max instead of per-point python list scans.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Literal
 
 import numpy as np
@@ -78,15 +79,35 @@ def _cluster(
     picasso/clusterer.py:114). Neighbor counts and the
     neighborhood-max test run vectorized over all pairs; the label
     pass iterates only over local maxima."""
+    from picasso_tpu.ops import neighbors as _nb
+
     n = X.shape[0]
     tree = KDTree(X)
-    counts = tree.query_ball_point(X, radius, return_length=True)
-    # max neighbor count within each point's neighborhood (incl. self)
-    max_nb = counts.astype(np.int64).copy()
-    pairs = tree.query_pairs(radius, output_type="ndarray")
-    if len(pairs):
-        np.maximum.at(max_nb, pairs[:, 0], counts[pairs[:, 1]])
-        np.maximum.at(max_nb, pairs[:, 1], counts[pairs[:, 0]])
+    if (
+        _nb.use_device()
+        and os.environ.get("PICASSO_TPU_NEIGHBORS") == "device"
+    ):
+        # neighbor counts + neighborhood count-max as blocked device
+        # distance tiles. Opt-in ONLY: measured on a TPU v5e at 100k
+        # locs / r=0.15 px the O(N^2) tiles run 4x SLOWER than the
+        # host KDTree (17k vs 76k locs/s) — short-radius neighbor
+        # counting is the KDTree's home turf. The kernels stay the
+        # default for all-pairs work (distance histograms, NND).
+        counts = _nb.radius_count(X, X, radius).astype(np.int64)
+        max_nb = _nb.radius_max(
+            X, X, radius, counts.astype(np.float32)
+        ).astype(np.int64)
+    else:
+        counts = tree.query_ball_point(
+            X, radius, return_length=True
+        )
+        # max neighbor count within each point's neighborhood
+        # (incl. self)
+        max_nb = counts.astype(np.int64).copy()
+        pairs = tree.query_pairs(radius, output_type="ndarray")
+        if len(pairs):
+            np.maximum.at(max_nb, pairs[:, 0], counts[pairs[:, 1]])
+            np.maximum.at(max_nb, pairs[:, 1], counts[pairs[:, 0]])
     lm = (counts > min_locs) & (counts == max_nb)
 
     labels = -np.ones(n, np.int32)

@@ -606,6 +606,140 @@ class SpinnaApp(_PluginHost):
             self.ax.set_title(f"KS score {float(score):.4f}")
         self.fig.canvas.draw_idle()
 
+    # -- Structures tab (reference gui/spinna.py:1325 StructuresTab:
+    # build/edit structures interactively, preview, save) --
+    def new_structure(self, title: str):
+        from picasso_tpu import spinna as _spinna
+
+        s = _spinna.Structure(title)
+        self.structures.append(s)
+        return s
+
+    def set_structure_coordinates(
+        self, index: int, target: str, x, y, z=None
+    ):
+        self.structures[index].define_coordinates(target, x, y, z)
+        return self.structures[index]
+
+    def delete_structure_target(self, index: int, target: str):
+        self.structures[index].delete_target(target)
+
+    def save_structures(self, path: str):
+        """All structures into one yaml (reference save_structures,
+        gui/spinna.py:1582; loadable by spinna.load_structures)."""
+        from picasso_tpu import io as _io
+
+        _io.save_info(
+            path, [s.get_info() for s in self.structures]
+        )
+
+    def plot_structure(self, index: int, fig=None):
+        """Scatter preview of one structure's targets (reference
+        structure preview / save_preview, gui/spinna.py:1791)."""
+        import matplotlib.pyplot as plt
+
+        s = self.structures[index]
+        fig = fig or plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(111)
+        for t in s.targets:
+            ax.scatter(s.x[t], s.y[t], label=t, s=60)
+        ax.set_aspect("equal")
+        ax.legend()
+        ax.set_title(s.title)
+        return fig
+
+    # -- mask generation (MaskGeneratorTab, gui/spinna.py:361) --
+    def generate_mask(
+        self, locs, info, binsize: float = 200.0,
+        sigma: float = 200.0, mode: str = "2D",
+        thresholded: bool = True,
+    ):
+        """Build a density mask from locs for masked simulations."""
+        from picasso_tpu import spinna as _spinna
+
+        self.mask_generator = _spinna.MaskGenerator(
+            locs, info, binsize=binsize, sigma=sigma, mode=mode
+        )
+        return self.mask_generator.generate_mask(
+            thresholded=thresholded
+        )
+
+    def save_mask(self, path: str):
+        if getattr(self, "mask_generator", None) is None:
+            raise RuntimeError("generate_mask() first")
+        self.mask_generator.save_mask(path)
+
+    # -- Simulations tab (gui/spinna.py:2773) --
+    def generate_search_space(
+        self, N_total: dict, granularity: int = 10, save: str = ""
+    ) -> dict:
+        """All candidate stoichiometries consistent with the target
+        totals (reference generate_search_space, gui/spinna.py:3622)."""
+        from picasso_tpu import spinna as _spinna
+
+        self.search_space = _spinna.generate_N_structures(
+            self.structures, N_total, granularity, save=save
+        )
+        return self.search_space
+
+    def fit_le(
+        self, target_a: str, target_b: str, granularity: int,
+        label_unc: dict, distances: list, **kwargs,
+    ):
+        """Fit labeling efficiency for a dimer model (reference
+        fit_le, gui/spinna.py:4131; spinna.fit_le)."""
+        from picasso_tpu import spinna as _spinna
+
+        return _spinna.fit_le(
+            target_a, target_b, self.exp_data, granularity,
+            label_unc, distances, **kwargs,
+        )
+
+    def run_single_simulation(self, N_str, N_sim: int = 1):
+        """One simulation at fixed counts; stores exp + simulated NNDs
+        for plotting (reference run_single_sim, gui/spinna.py:4356)."""
+        from picasso_tpu import spinna as _spinna
+
+        if self.mixer is None:
+            raise RuntimeError("build_mixer() first")
+        self.dists_exp = _spinna.get_NN_dist_experimental(
+            self.exp_data, self.mixer
+        )
+        self.dists_sim = _spinna.get_NN_dist_simulated(
+            np.asarray(N_str), N_sim, self.mixer
+        )
+        return self.dists_exp, self.dists_sim
+
+    def plot_nnd(self, bin_size: float = 4.0, fig=None):
+        """Experimental vs simulated NND histogram overlay (reference
+        NND plots, gui/spinna.py:4857; spinna.plot_NN)."""
+        from picasso_tpu import spinna as _spinna
+
+        if getattr(self, "dists_sim", None) is None:
+            raise RuntimeError("run_single_simulation() first")
+        return _spinna.plot_NN(
+            self.dists_exp, self.dists_sim, self.mixer,
+            bin_size=bin_size, fig=fig,
+        )
+
+    def save_nnd_values(self, basepath: str) -> list[str]:
+        """Dump the NND arrays as csv, one file per target pair
+        (reference save_nnd_values, gui/spinna.py:4928)."""
+        if getattr(self, "dists_sim", None) is None:
+            raise RuntimeError("run_single_simulation() first")
+        pairs = [
+            t for t in self.mixer.get_neighbor_idx() if t[2]
+        ]
+        paths = []
+        for (t1, t2, nn), de, ds in zip(
+            pairs, self.dists_exp, self.dists_sim
+        ):
+            for tag, arr in (("exp", de), ("sim", ds)):
+                p = f"{basepath}_{t1}-{t2}_{tag}.csv"
+                np.savetxt(p, np.asarray(arr), delimiter=",")
+                paths.append(p)
+        return paths
+
 
 class NanotronApp(_PluginHost):
     """Structure classification front-end (reference gui/nanotron.py):

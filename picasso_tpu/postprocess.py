@@ -39,14 +39,9 @@ def _device_neighbors() -> bool:
     tiles beat a pointer-chasing KDTree by orders of magnitude — and
     the KDTree on CPU backends, where it is the stronger algorithm.
     """
-    mode = os.environ.get("PICASSO_TPU_NEIGHBORS", "auto")
-    if mode == "host":
-        return False
-    if mode == "device":
-        return True
-    import jax
+    from picasso_tpu.ops import neighbors as _nb
 
-    return jax.default_backend() == "tpu"
+    return _nb.use_device()
 
 
 # ---------------------------------------------------------------------------

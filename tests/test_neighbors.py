@@ -264,3 +264,52 @@ def test_divergence_vs_reference_block_scan(monkeypatch):
     assert missed > 0, "expected the reference scan to undercount"
     # the undercount is real but bounded (sanity on its magnitude)
     assert missed / truth.sum() < 0.5
+
+
+class TestRadiusMax:
+    def test_matches_kdtree_neighborhood_max(self):
+        from scipy.spatial import cKDTree
+
+        from picasso_tpu.ops import neighbors as nb
+
+        rng = np.random.default_rng(4)
+        X = rng.uniform(0, 20, (800, 2)).astype(np.float32)
+        vals = rng.uniform(0, 50, 800).astype(np.float32)
+        r = 0.7
+        got = nb.radius_max(X, X, r, vals, a_chunk=256, b_block=128)
+        tree = cKDTree(X)
+        exp = np.array([
+            vals[tree.query_ball_point(p, r)].max() for p in X
+        ])
+        np.testing.assert_allclose(got, exp)
+
+    def test_empty_neighborhood_is_minus_inf(self):
+        from picasso_tpu.ops import neighbors as nb
+
+        a = np.array([[0.0, 0.0]], np.float32)
+        b = np.array([[10.0, 10.0]], np.float32)
+        out = nb.radius_max(a, b, 1.0, np.array([5.0], np.float32))
+        assert np.isneginf(out[0])
+
+
+class TestClustererDevicePath:
+    def test_smlm_cluster_device_matches_host(self, monkeypatch):
+        import pandas as pd
+
+        from picasso_tpu import clusterer
+
+        rng = np.random.default_rng(11)
+        centers = rng.uniform(2, 30, (25, 2))
+        which = rng.integers(0, 25, 4000)
+        locs = pd.DataFrame({
+            "frame": rng.integers(0, 500, 4000).astype(np.uint32),
+            "x": (centers[which, 0]
+                  + rng.normal(0, 0.02, 4000)).astype(np.float32),
+            "y": (centers[which, 1]
+                  + rng.normal(0, 0.02, 4000)).astype(np.float32),
+        })
+        monkeypatch.setenv("PICASSO_TPU_NEIGHBORS", "host")
+        host = clusterer.cluster_2D(locs, 0.15, 10, False)
+        monkeypatch.setenv("PICASSO_TPU_NEIGHBORS", "device")
+        dev = clusterer.cluster_2D(locs, 0.15, 10, False)
+        np.testing.assert_array_equal(host, dev)
