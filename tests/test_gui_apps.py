@@ -235,3 +235,75 @@ class TestRotationAppAnimation:
                                        fps=5)
         assert n_frames == 5
         assert gif.exists() and gif.stat().st_size > 0
+
+
+class TestSpinnaAppWorkflow:
+    def _app(self):
+        import numpy as np
+
+        from picasso_tpu import gui
+
+        app = gui.SpinnaApp()
+        mono = app.new_structure("monomer")
+        app.set_structure_coordinates(0, "T", [0.0], [0.0])
+        dim = app.new_structure("dimer")
+        app.set_structure_coordinates(1, "T", [0.0, 20.0], [0.0, 0.0])
+        return app
+
+    def test_structure_editor_and_save(self, tmp_path):
+        from picasso_tpu import spinna
+
+        app = self._app()
+        fig = app.plot_structure(1)
+        assert fig is not None
+        path = tmp_path / "structs.yaml"
+        app.save_structures(str(path))
+        loaded, targets = spinna.load_structures(str(path))
+        assert [s.title for s in loaded] == ["monomer", "dimer"]
+        assert targets == ["T"]
+        app.delete_structure_target(0, "T")
+        assert app.structures[0].targets == []
+
+    def test_search_space_sim_and_nnd(self, tmp_path):
+        import numpy as np
+
+        app = self._app()
+        space = app.generate_search_space({"T": 100}, granularity=5)
+        assert set(space) == {"monomer", "dimer"}
+        lengths = {len(v) for v in space.values()}
+        assert len(lengths) == 1 and lengths.pop() > 1
+
+        np.random.seed(3)
+        app.build_mixer(
+            label_unc={"ALL": 3.0}, le={"ALL": 1.0},
+            width=5000.0, height=5000.0,
+        )
+        gt = app.mixer.run_simulation([30, 35])
+        app.set_experimental_data("T", gt["T"])
+        de, ds = app.run_single_simulation([30, 35], N_sim=1)
+        assert len(de) == len(ds) >= 1
+        fig = app.plot_nnd()
+        assert fig is not None
+        paths = app.save_nnd_values(str(tmp_path / "nnd"))
+        assert paths and all(
+            __import__("os").path.exists(p) for p in paths
+        )
+
+    def test_mask_generation(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        app = self._app()
+        rng = np.random.default_rng(0)
+        locs = pd.DataFrame({
+            "frame": rng.integers(0, 100, 2000).astype(np.uint32),
+            "x": rng.uniform(2, 14, 2000).astype(np.float32),
+            "y": rng.uniform(2, 14, 2000).astype(np.float32),
+        })
+        info = [{"Frames": 100, "Height": 16, "Width": 16,
+                 "Pixelsize": 130}]
+        mask = app.generate_mask(locs, info, binsize=260.0,
+                                 sigma=260.0)
+        assert mask.ndim == 2 and mask.max() > 0
+        app.save_mask(str(tmp_path / "mask.npy"))
+        assert (tmp_path / "mask.npy").exists()
