@@ -82,22 +82,24 @@ def _cluster(
     from picasso_tpu.ops import neighbors as _nb
 
     n = X.shape[0]
-    tree = KDTree(X)
-    if (
+    device = (
         _nb.use_device()
         and os.environ.get("PICASSO_TPU_NEIGHBORS") == "device"
-    ):
-        # neighbor counts + neighborhood count-max as blocked device
+    )
+    if device:
+        # neighbor counts + neighborhood reduces as blocked device
         # distance tiles. Opt-in ONLY: measured on a TPU v5e at 100k
-        # locs / r=0.15 px the O(N^2) tiles run 4x SLOWER than the
-        # host KDTree (17k vs 76k locs/s) — short-radius neighbor
-        # counting is the KDTree's home turf. The kernels stay the
-        # default for all-pairs work (distance histograms, NND).
+        # locs / r=0.15 px the O(N^2) tiles run slower than the host
+        # KDTree — short-radius neighbor counting is the KDTree's
+        # home turf. The kernels stay the default for all-pairs work
+        # (distance histograms, NND).
+        pairs = None
         counts = _nb.radius_count(X, X, radius).astype(np.int64)
         max_nb = _nb.radius_max(
             X, X, radius, counts.astype(np.float32)
         ).astype(np.int64)
     else:
+        tree = KDTree(X)
         counts = tree.query_ball_point(
             X, radius, return_length=True
         )
@@ -110,15 +112,41 @@ def _cluster(
             np.maximum.at(max_nb, pairs[:, 1], counts[pairs[:, 0]])
     lm = (counts > min_locs) & (counts == max_nb)
 
+    # Label assignment: the reference's sequential sweep over local
+    # maxima (picasso/clusterer.py:176-187 — an unassigned maximum
+    # OVERWRITES its whole neighborhood with its own index; an
+    # already-assigned one only fills unassigned neighbors), with the
+    # per-maximum neighbor lists built from the pairs array as CSR
+    # instead of a second KDTree ball query (the query was the single
+    # hottest step at bench scale: 0.8 s of a 1.6 s total).
     labels = -np.ones(n, np.int32)
     lm_idx = np.nonzero(lm)[0]
     if len(lm_idx):
-        lm_neighbors = tree.query_ball_point(X[lm_idx], radius)
-        for count, (i, nbrs) in enumerate(zip(lm_idx, lm_neighbors)):
+        if pairs is None:
+            tree = KDTree(X)
+            pairs = tree.query_pairs(radius, output_type="ndarray")
+        if len(pairs):
+            rows = np.concatenate([pairs[:, 0], pairs[:, 1]])
+            cols = np.concatenate([pairs[:, 1], pairs[:, 0]])
+            sel = lm[rows]
+            rows = rows[sel]
+            cols = cols[sel]
+            srt = np.argsort(rows, kind="stable")
+            rows = rows[srt]
+            cols = cols[srt]
+            starts = np.searchsorted(rows, lm_idx, side="left")
+            stops = np.searchsorted(rows, lm_idx, side="right")
+        else:
+            cols = np.empty(0, np.int64)
+            starts = stops = np.zeros(len(lm_idx), np.int64)
+        for count, (i, lo, hi) in enumerate(
+            zip(lm_idx, starts, stops)
+        ):
+            nbrs = cols[lo:hi]
             label = labels[i]
-            nbrs = np.asarray(nbrs)
             if label == -1:
                 labels[nbrs] = count
+                labels[i] = count
             else:
                 unassigned = nbrs[labels[nbrs] == -1]
                 if len(unassigned):

@@ -326,3 +326,59 @@ class TestClusterCentersMinimalColumns:
         assert centers["z"].iloc[0] == pytest.approx(
             locs["z"].mean(), abs=1.0
         )
+
+
+class TestLabelSweepEquivalence:
+    """The vectorized chain-root label pass must match the reference's
+    sequential local-maxima sweep exactly."""
+
+    @staticmethod
+    def _sequential_labels(X, radius, min_locs):
+        from scipy.spatial import cKDTree as KDTree
+
+        n = len(X)
+        tree = KDTree(X)
+        counts = tree.query_ball_point(X, radius, return_length=True)
+        max_nb = counts.astype(np.int64).copy()
+        pairs = tree.query_pairs(radius, output_type="ndarray")
+        if len(pairs):
+            np.maximum.at(max_nb, pairs[:, 0], counts[pairs[:, 1]])
+            np.maximum.at(max_nb, pairs[:, 1], counts[pairs[:, 0]])
+        lm = (counts > min_locs) & (counts == max_nb)
+        labels = -np.ones(n, np.int32)
+        lm_idx = np.nonzero(lm)[0]
+        if len(lm_idx):
+            lm_neighbors = tree.query_ball_point(X[lm_idx], radius)
+            for count, (i, nbrs) in enumerate(
+                zip(lm_idx, lm_neighbors)
+            ):
+                label = labels[i]
+                nbrs = np.asarray(nbrs)
+                if label == -1:
+                    labels[nbrs] = count
+                else:
+                    unassigned = nbrs[labels[nbrs] == -1]
+                    if len(unassigned):
+                        labels[unassigned] = label
+        # post-filter like _cluster
+        values, cluster_counts = np.unique(
+            labels, return_counts=True
+        )
+        to_discard = values[cluster_counts < min_locs]
+        labels[np.isin(labels, to_discard)] = -1
+        return labels
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_sequential_sweep(self, seed):
+        rng = np.random.default_rng(seed)
+        # overlapping clusters + background so chains actually occur
+        centers = rng.uniform(1, 19, (30, 2))
+        pts = [
+            centers[rng.integers(0, 30, 1500)]
+            + rng.normal(0, 0.12, (1500, 2)),
+            rng.uniform(0, 20, (300, 2)),  # sparse background
+        ]
+        X = np.vstack(pts).astype(np.float64)
+        got = clusterer._cluster(X, 0.3, 8, None)
+        exp = self._sequential_labels(X, 0.3, 8)
+        np.testing.assert_array_equal(got, exp)
