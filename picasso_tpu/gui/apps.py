@@ -387,6 +387,110 @@ class SimulateApp(_PluginHost):
             raise RuntimeError("run() the simulation first")
         io.save_raw(path, self.movie, [self.info])
 
+    # -- structure designer (reference structure types GRID / CIRCLE /
+    # CUSTOM, gui/simulate.py:1101 changeStructureType) --
+    def grid_structure(
+        self, columns: int = 3, rows: int = 4,
+        spacing_x: float = 20.0, spacing_y: float = 20.0,
+        exchange: int = 1, pixelsize: float = 130.0,
+    ):
+        from picasso_tpu import simulate as _simulate
+
+        xx, yy = np.meshgrid(
+            np.arange(columns) * spacing_x,
+            np.arange(rows) * spacing_y,
+        )
+        n = columns * rows
+        self.structure = _simulate.defineStructure(
+            xx.ravel(), yy.ravel(), np.full(n, exchange, int),
+            np.zeros(n), pixelsize,
+        )
+        return self.structure
+
+    def circle_structure(
+        self, n_labels: int = 12, diameter: float = 100.0,
+        exchange: int = 1, pixelsize: float = 130.0,
+    ):
+        from picasso_tpu import simulate as _simulate
+
+        ang = 2 * np.pi * np.arange(n_labels) / n_labels
+        self.structure = _simulate.defineStructure(
+            diameter / 2 * np.cos(ang), diameter / 2 * np.sin(ang),
+            np.full(n_labels, exchange, int), np.zeros(n_labels),
+            pixelsize,
+        )
+        return self.structure
+
+    def custom_structure(
+        self, xx_nm, yy_nm, exchange=None, structure3d=None,
+        pixelsize: float = 130.0,
+    ):
+        from picasso_tpu import simulate as _simulate
+
+        xx_nm = np.asarray(xx_nm, float)
+        if exchange is None:
+            exchange = np.ones(len(xx_nm), int)
+        if structure3d is None:
+            structure3d = np.zeros(len(xx_nm))
+        self.structure = _simulate.defineStructure(
+            xx_nm, yy_nm, exchange, structure3d, pixelsize
+        )
+        return self.structure
+
+    def plot_structure(self, fig=None):
+        """Scatter preview colored by exchange round (reference
+        plotStructure, gui/simulate.py:1921)."""
+        import matplotlib.pyplot as plt
+
+        if getattr(self, "structure", None) is None:
+            raise RuntimeError("define a structure first")
+        fig = fig or plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(111)
+        xx, yy, ex = (
+            self.structure[0], self.structure[1], self.structure[2]
+        )
+        for e in np.unique(ex):
+            sel = ex == e
+            ax.scatter(xx[sel], yy[sel], label=f"exchange {int(e)}")
+        ax.set_aspect("equal")
+        ax.legend()
+        return fig
+
+    def generate_positions(
+        self, number: int = 50, frame: int = 3,
+        arrangement: int = 1,
+    ):
+        """Structure origin positions over the FOV (reference
+        generatePositions, gui/simulate.py:1944)."""
+        from picasso_tpu import simulate as _simulate
+
+        self.positions = _simulate.generatePositions(
+            number, self.params["imagesize"], frame, arrangement
+        )
+        return self.positions
+
+    def plot_positions(self, fig=None):
+        import matplotlib.pyplot as plt
+
+        if getattr(self, "positions", None) is None:
+            raise RuntimeError("generate_positions() first")
+        fig = fig or plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(111)
+        ax.scatter(self.positions[:, 0], self.positions[:, 1], s=8)
+        ax.set_xlim(0, self.params["imagesize"])
+        ax.set_ylim(0, self.params["imagesize"])
+        ax.set_aspect("equal")
+        return fig
+
+    def calibrate_noise(self, bg, bgstd, laser, itime, conc):
+        """Fit the noise-model coefficients from measured statistics
+        (reference calibrateNoise, gui/simulate.py:2123)."""
+        from picasso_tpu import simulate as _simulate
+
+        return _simulate.calibrate_noise_model(
+            bg, bgstd, laser, itime, conc
+        )
+
 
 # Rectangular-origami staple canvas: 16 structure rows (A..P) by 12
 # columns, matching the base staple table (design_sequences) and the

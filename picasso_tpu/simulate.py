@@ -432,3 +432,54 @@ def test_calculate_zpsf():
     ]
     assert np.sum((wx - expected) ** 2) < 0.001
     return wx
+
+
+def fitFuncBg(x, a: float, b: float):
+    """Noise-calibration background model: (a + b*conc) * laser * time
+    (picasso/gui/simulate.py:34)."""
+    return (a + b * x[0]) * x[1] * x[2]
+
+
+def fitFuncStd(x, a: float, b: float, c: float):
+    """Noise-calibration std model: a*laser*time + b*bg + c
+    (picasso/gui/simulate.py:39)."""
+    return a * x[0] * x[1] + b * x[2] + c
+
+
+def calibrate_noise_model(bg, bgstd, laser, itime, conc):
+    """Fit the background/std noise-model coefficients from measured
+    per-file statistics (reference advanced-mode noise calibration,
+    picasso/gui/simulate.py:2123 calibrateNoise).
+
+    Returns ``{"lasercEdit": a, "imagercEdit": b, "EquationA": .,
+    "EquationB": ., "EquationC": .}`` plus the model evaluations for
+    diagnostic plotting."""
+    from scipy.optimize import curve_fit
+
+    x_bg = np.array([conc, laser, itime], float)
+    params_bg, _ = curve_fit(
+        fitFuncBg, x_bg, np.asarray(bg, float), [1, 1]
+    )
+    x_std = np.array([laser, itime, bg], float)
+    params_std, _ = curve_fit(
+        fitFuncStd, x_std, np.asarray(bgstd, float), [1, 1, 1]
+    )
+    return {
+        "laserc": float(params_bg[0]),
+        "imagerc": float(params_bg[1]),
+        "equation_a": float(params_std[0]),
+        "equation_b": float(params_std[1]),
+        "equation_c": float(params_std[2]),
+        "bg_model": fitFuncBg(x_bg, *params_bg),
+        "std_model": fitFuncStd(x_std, *params_std),
+    }
+
+
+def sigmafilter(data, sigmas: float):
+    """Keep data within +- sigmas standard deviations
+    (picasso/gui/simulate.py:2181)."""
+    data = np.asarray(data)
+    sigma = np.std(data)
+    mean = np.mean(data)
+    out = data[data < (mean + sigmas * sigma)]
+    return out[out > (mean - sigmas * sigma)]

@@ -307,3 +307,57 @@ class TestSpinnaAppWorkflow:
         assert mask.ndim == 2 and mask.max() > 0
         app.save_mask(str(tmp_path / "mask.npy"))
         assert (tmp_path / "mask.npy").exists()
+
+
+class TestSimulateAppDesigner:
+    def test_structure_builders_and_positions(self):
+        import numpy as np
+
+        from picasso_tpu import gui
+
+        app = gui.SimulateApp(imagesize=32)
+        s = app.grid_structure(3, 4, 20, 20)
+        assert s.shape == (4, 12)
+        # centered in px: mean ~ 0
+        assert abs(s[0].mean()) < 1e-9
+        s2 = app.circle_structure(8, 100.0)
+        assert s2.shape == (4, 8)
+        r = np.hypot(s2[0], s2[1]) * 130.0
+        np.testing.assert_allclose(r, 50.0, atol=1e-6)
+        fig = app.plot_structure()
+        assert fig is not None
+        pos = app.generate_positions(25, frame=3, arrangement=0)
+        assert pos.shape == (25, 2)
+        assert pos.min() >= 3 and pos.max() <= 29
+        assert app.plot_positions() is not None
+
+    def test_noise_calibration_recovers_model(self):
+        import numpy as np
+
+        from picasso_tpu import gui, simulate
+
+        rng = np.random.default_rng(0)
+        conc = rng.uniform(1, 10, 30)
+        laser = rng.uniform(10, 80, 30)
+        itime = rng.uniform(50, 300, 30)
+        bg = simulate.fitFuncBg(
+            np.array([conc, laser, itime]), 0.02, 0.005
+        ) * rng.normal(1, 0.01, 30)
+        bgstd = simulate.fitFuncStd(
+            np.array([laser, itime, bg]), 1e-4, 0.1, 2.0
+        ) * rng.normal(1, 0.01, 30)
+        out = gui.SimulateApp().calibrate_noise(
+            bg, bgstd, laser, itime, conc
+        )
+        assert abs(out["laserc"] - 0.02) < 0.005
+        assert abs(out["imagerc"] - 0.005) < 0.002
+        assert abs(out["equation_b"] - 0.1) < 0.05
+
+    def test_sigmafilter(self):
+        import numpy as np
+
+        from picasso_tpu import simulate
+
+        data = np.concatenate([np.zeros(100), [100.0]])
+        out = simulate.sigmafilter(data, 2)
+        assert 100.0 not in out
