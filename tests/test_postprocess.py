@@ -602,3 +602,410 @@ class TestPickSimilarDedup:
             for j in range(i + 1, len(arr)):
                 dist2 = np.sum((arr[i] - arr[j]) ** 2)
                 assert dist2 > d**2
+
+
+class TestPickedLocsContract:
+    """Behavioral contract of picked_locs mirrored from the reference
+    test suite (reference tests/test_postprocess.py pick classes)."""
+
+    def test_sorted_by_frame_and_unique_groups(self):
+        locs = _make_locs().sample(frac=1.0, random_state=1)
+        picks = [(10.0, 10.0), (40.0, 40.0), (20.0, 50.0)]
+        picked = postprocess.picked_locs(
+            locs, INFO, picks, "Circle", pick_size=4.0
+        )
+        gids = set()
+        for p in picked:
+            assert (np.diff(p["frame"].to_numpy()) >= 0).all()
+            assert p["group"].nunique() <= 1
+            gids.update(p["group"].unique().tolist())
+        assert gids == {0, 1, 2}
+
+    def test_add_group_false_omits_column(self):
+        picked = postprocess.picked_locs(
+            _make_locs(), INFO, [(10.0, 10.0)], "Circle",
+            pick_size=4.0, add_group=False,
+        )
+        assert "group" not in picked[0].columns
+
+    def test_empty_picks_returns_empty_list(self):
+        assert postprocess.picked_locs(
+            _make_locs(), INFO, [], "Circle", pick_size=4.0
+        ) == []
+
+    def test_invalid_shape_raises(self):
+        with pytest.raises(AssertionError):
+            postprocess.picked_locs(
+                _make_locs(), INFO, [(1, 1)], "Hexagon", pick_size=1
+            )
+
+    def test_precomputed_index_blocks_match_internal(self):
+        locs = _make_locs()
+        blocks = postprocess.get_index_blocks(locs, INFO, 3.0)
+        a = postprocess.picked_locs(
+            locs, INFO, [(10.0, 10.0)], "Circle", pick_size=3.0,
+            index_blocks=blocks,
+        )[0]
+        b = postprocess.picked_locs(
+            locs, INFO, [(10.0, 10.0)], "Circle", pick_size=3.0
+        )[0]
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
+    def test_rectangle_pick_returns_locs(self):
+        locs = _make_locs()
+        picked = postprocess.picked_locs(
+            locs, INFO, [((10.0, 10.0), (20.0, 20.0))],
+            "Rectangle", pick_size=6.0,
+        )[0]
+        assert len(picked) > 0
+
+    def test_polygon_pick_size_ignored(self):
+        locs = _make_locs()
+        poly = [[(8, 8), (16, 8), (16, 16), (8, 16), (8, 8)]]
+        a = postprocess.picked_locs(
+            locs, INFO, poly, "Polygon", pick_size=None
+        )[0]
+        b = postprocess.picked_locs(
+            locs, INFO, poly, "Polygon", pick_size=123.0
+        )[0]
+        assert len(a) == len(b)
+
+    def test_remove_locs_in_picks_removes(self):
+        locs = _make_locs()
+        out = postprocess.remove_locs_in_picks(
+            locs, INFO, picks=[(10.0, 10.0)], pick_shape="Circle",
+            pick_size=6.0,
+        )
+        d2 = (out["x"] - 10) ** 2 + (out["y"] - 10) ** 2
+        assert (d2 >= 9.0).all()
+        assert len(out) < len(locs)
+
+
+class TestRmsdAndHistograms:
+    def test_rmsd_at_com_known_value(self):
+        xy = np.array([[-1.0, 1.0], [0.0, 0.0]])  # x row, y row
+        # two points at (-1, 0) and (1, 0): com (0,0), rmsd = 1
+        assert postprocess.rmsd_at_com(xy) == pytest.approx(1.0)
+
+    def test_rmsd_zero_for_identical_points(self):
+        xy = np.ones((2, 5))
+        assert postprocess.rmsd_at_com(xy) == pytest.approx(0.0)
+
+    def test_distance_histogram_grows_with_r_max(self):
+        locs = _make_locs(1000)
+        h1 = postprocess.distance_histogram(locs, INFO, 0.1, 1.0)
+        h2 = postprocess.distance_histogram(locs, INFO, 0.1, 4.0)
+        assert h2.sum() > h1.sum() > 0
+
+    def test_next_frame_histogram_nonneg_with_neighbors(self):
+        locs = _make_locs(4000, n_frames=50)
+        dh = postprocess.next_frame_neighbor_distance_histogram(locs)
+        assert (np.asarray(dh) >= 0).all()
+        assert np.asarray(dh).sum() > 0
+
+    def test_pair_correlation_normalisation(self):
+        """pair_correlation = distance_histogram normalized by the
+        annulus area x density terms (reference test)."""
+        locs = _make_locs(1500)
+        bin_size, r_max = 0.2, 3.0
+        dh = postprocess.distance_histogram(
+            locs, INFO, bin_size, r_max
+        )
+        bins_lower, pc = postprocess.pair_correlation(
+            locs, INFO, bin_size, r_max
+        )
+        # the reference starts bins_lower at bin_size ("otherwise
+        # area will be 0", picasso/postprocess.py:1527), so
+        # area_k = pi b^2 (2k + 3)
+        area = (
+            np.pi * bin_size**2 * (2 * np.arange(len(pc)) + 3)
+        )
+        ratio = np.where(dh > 0, pc / (dh / area), np.nan)
+        finite = ratio[np.isfinite(ratio)]
+        assert np.allclose(finite, finite[0])
+
+
+class TestLinkAndDarkContract:
+    def test_link_refit_not_implemented(self):
+        with pytest.raises(NotImplementedError):
+            postprocess.link(
+                _make_locs(100), INFO, combine_mode="refit"
+            )
+
+    def test_dark_times_requires_link(self):
+        with pytest.raises(AttributeError, match="link"):
+            postprocess.compute_dark_times(_make_locs(100))
+
+    def test_tight_radius_separates_all(self):
+        locs = _make_locs(200)
+        linked = postprocess.link(
+            locs, INFO, r_max=1e-9, max_dark_time=0
+        )
+        # nothing merges at an infinitesimal radius
+        assert len(linked) == len(locs)
+
+    def test_len_within_movie_span(self):
+        locs = _make_locs(2000, n_frames=100)
+        linked = postprocess.link(
+            locs, INFO, r_max=0.3, max_dark_time=2,
+            remove_ambiguous_lengths=False,
+        )
+        assert (linked["len"] >= 1).all()
+        assert (linked["len"] <= 100).all()
+
+
+class TestKineticsAndProperties:
+    def _picked(self):
+        rng = np.random.default_rng(2)
+        out = []
+        for g, (cx, cy) in enumerate([(10, 10), (30, 30), (50, 20)]):
+            n = 120
+            out.append(pd.DataFrame({
+                "frame": np.sort(
+                    rng.choice(1000, n, replace=False)
+                ).astype(np.uint32),
+                "x": (cx + rng.normal(0, 0.05, n)).astype(np.float32),
+                "y": (cy + rng.normal(0, 0.05, n)).astype(np.float32),
+                "photons": rng.uniform(
+                    500, 3000, n
+                ).astype(np.float32),
+                "sx": np.full(n, 1.1, np.float32),
+                "sy": np.full(n, 1.1, np.float32),
+                "bg": np.full(n, 10, np.float32),
+                "lpx": np.full(n, 0.05, np.float32),
+                "lpy": np.full(n, 0.05, np.float32),
+                "group": np.full(n, g, np.int32),
+            }))
+        return out
+
+    def test_pick_kinetics_per_pick_arrays(self):
+        length, dark, no_locs, out_locs = postprocess.pick_kinetics(
+            self._picked(), INFO
+        )
+        assert len(length) == len(dark) == len(no_locs) == 3
+        assert (np.asarray(no_locs) > 0).all()
+        assert len(out_locs) > 0
+
+    def test_evaluate_picks_arrays(self):
+        N, n_events, rmsd, rmsd_z, length, dark, new_locs = (
+            postprocess.evaluate_picks(self._picked(), INFO)
+        )
+        assert (N == 120).all()
+        assert np.isfinite(rmsd).all() and (rmsd > 0).all()
+        assert np.isnan(rmsd_z).all()  # 2D picks
+
+    def test_pick_properties_qpaint_inverse(self):
+        props = postprocess.pick_properties(
+            self._picked(), INFO, influx_rate=0.03
+        )
+        assert len(props) == 3
+        np.testing.assert_allclose(
+            props["qpaint_idx_cdf"], props["dark_cdf"] ** -1.0
+        )
+
+    def test_combine_locs_in_picks_one_per_pick(self):
+        locs = pd.concat(self._picked(), ignore_index=True)
+        combined = postprocess.combine_locs_in_picks(
+            locs, INFO, picks=[(10, 10), (30, 30), (50, 20)],
+            pick_shape="Circle", pick_size=1.0,
+        )
+        assert len(combined) == 3
+        assert set(combined["group"]) == {0, 1, 2}
+
+
+class TestSegmentationAndFiducials:
+    def test_n_segments_rounds(self):
+        assert postprocess.n_segments(INFO, 300) == 3
+        assert postprocess.n_segments(INFO, 400) == 2
+
+    def test_undrift_from_fiducials_with_user_picks(self):
+        rng = np.random.default_rng(3)
+        n_frames = 200
+        frame = np.arange(n_frames, dtype=np.uint32)
+        drift_x = 0.004 * frame
+        fid = pd.DataFrame({
+            "frame": frame,
+            "x": (8 + drift_x + rng.normal(0, 0.005, n_frames)
+                  ).astype(np.float32),
+            "y": np.full(n_frames, 8, np.float32),
+            "photons": np.full(n_frames, 5000, np.float32),
+            "sx": np.full(n_frames, 1.0, np.float32),
+            "sy": np.full(n_frames, 1.0, np.float32),
+            "bg": np.full(n_frames, 10, np.float32),
+            "lpx": np.full(n_frames, 0.01, np.float32),
+            "lpy": np.full(n_frames, 0.01, np.float32),
+        })
+        info = [{"Frames": n_frames, "Height": 16, "Width": 16,
+                 "Pixelsize": 130}]
+        out, new_info, drift = postprocess.undrift_from_fiducials(
+            fid, info, picks=[(8.5, 8.0)], pick_size=1.5
+        )
+        got = drift["x"].to_numpy()
+        expect = drift_x - drift_x.mean()
+        assert np.abs((got - got.mean()) - expect).max() < 0.02
+
+    def test_fiducial_picks_without_size_raises(self):
+        with pytest.raises(ValueError):
+            postprocess.undrift_from_fiducials(
+                _make_locs(100), INFO, picks=[(8.0, 8.0)]
+            )
+
+
+class TestApplyDriftValidation:
+    def test_wrong_shape_raises(self):
+        with pytest.raises((ValueError, IndexError, KeyError)):
+            postprocess.apply_drift(
+                _make_locs(100), INFO, drift=np.zeros((3, 7))
+            )
+
+    def test_missing_columns_raises(self):
+        bad = pd.DataFrame({"a": np.zeros(1000)})
+        with pytest.raises((ValueError, KeyError)):
+            postprocess.apply_drift(_make_locs(100), INFO, drift=bad)
+
+
+class TestAlignContract:
+    def test_apply_shifts_false_leaves_locs(self):
+        a = _make_locs(2000, seed=5)
+        b = a.copy()
+        b["x"] += 1.0
+        xa, xb = a["x"].to_numpy().copy(), b["x"].to_numpy().copy()
+        out, (sx, sy) = postprocess.align(
+            [a, b], [INFO, INFO], apply_shifts=False,
+            return_shifts=True,
+        )
+        np.testing.assert_array_equal(a["x"].to_numpy(), xa)
+        np.testing.assert_array_equal(b["x"].to_numpy(), xb)
+        # but the shift was detected
+        assert abs(abs(sx[1] - sx[0]) - 1.0) < 0.3
+
+    def test_align_rcc_converges(self):
+        a = _make_locs(3000, seed=6)
+        b = a.copy()
+        b["x"] += 0.8
+        b["y"] -= 0.6
+        aligned = postprocess.align_rcc(
+            [a.copy(), b], [INFO, INFO]
+        )
+        dx = np.mean(
+            aligned[1]["x"].to_numpy() - a["x"].to_numpy()
+        )
+        assert abs(dx) < 0.2
+
+
+class TestClusterCombineDist:
+    def _clustered(self, z=False):
+        """One pick (group 0) with three subclusters at known
+        separations — cluster_combine needs group AND cluster
+        columns."""
+        rng = np.random.default_rng(7)
+        rows = []
+        for c, (cx, cy) in enumerate([(10, 10), (11, 10), (30, 40)]):
+            n = 40
+            d = {
+                "frame": np.sort(
+                    rng.integers(0, 500, n)
+                ).astype(np.uint32),
+                "x": (cx + rng.normal(0, 0.03, n)).astype(np.float32),
+                "y": (cy + rng.normal(0, 0.03, n)).astype(np.float32),
+                "photons": rng.uniform(500, 2000, n).astype(np.float32),
+                "sx": np.full(n, 1.0, np.float32),
+                "sy": np.full(n, 1.0, np.float32),
+                "bg": np.full(n, 5, np.float32),
+                "lpx": np.full(n, 0.04, np.float32),
+                "lpy": np.full(n, 0.04, np.float32),
+                "group": np.zeros(n, np.int32),
+                "cluster": np.full(n, c, np.int32),
+            }
+            if z:
+                d["z"] = (100.0 * c + rng.normal(0, 5, n)).astype(
+                    np.float32
+                )
+            rows.append(pd.DataFrame(d))
+        return pd.concat(rows, ignore_index=True)
+
+    def test_combine_one_row_per_cluster_and_nn_dist(self):
+        out = postprocess.cluster_combine_dist(self._clustered())
+        assert len(out) == 3
+        d = out.sort_values("cluster")["d"].to_numpy()
+        # clusters 0 and 1 are 1 px apart; cluster 2 is far
+        assert d[0] == pytest.approx(1.0, abs=0.1)
+        assert d[1] == pytest.approx(1.0, abs=0.1)
+        assert d[2] > 20
+
+    def test_nn_dist_3d_finite(self):
+        out = postprocess.cluster_combine_dist(
+            self._clustered(z=True)
+        )
+        assert np.isfinite(out["d"]).all()
+        assert "lpz" in out.columns
+
+
+class TestFret:
+    def test_keys_and_disjoint_frames_no_events(self):
+        don = _make_locs(50, seed=8, n_frames=100)
+        don["frame"] = (don["frame"] % 50).astype(np.uint32)
+        acc = _make_locs(50, seed=9, n_frames=100)
+        acc["frame"] = (50 + acc["frame"] % 50).astype(np.uint32)
+        fret_dict, fret_locs = postprocess.calculate_fret(acc, don)
+        assert "fret_events" in fret_dict
+        assert len(fret_locs) == 0
+
+    def test_fret_efficiency_in_range(self):
+        rng = np.random.default_rng(10)
+        frames = np.arange(100, dtype=np.uint32)
+        don = pd.DataFrame({
+            "frame": frames,
+            "x": np.full(100, 5.0, np.float32),
+            "y": np.full(100, 5.0, np.float32),
+            "photons": rng.uniform(1000, 2000, 100).astype(np.float32),
+            "bg": np.full(100, 10, np.float32),
+            "sx": np.full(100, 1.0, np.float32),
+            "sy": np.full(100, 1.0, np.float32),
+            "lpx": np.full(100, 0.05, np.float32),
+            "lpy": np.full(100, 0.05, np.float32),
+        })
+        acc = don.copy()
+        acc["photons"] = rng.uniform(
+            500, 1500, 100
+        ).astype(np.float32)
+        fret_dict, fret_locs = postprocess.calculate_fret(acc, don)
+        eff = np.asarray(fret_dict["fret_events"])
+        assert ((eff >= 0) & (eff <= 1)).all()
+
+
+class TestNNAnalysisContract:
+    def test_inter_set_shape(self):
+        rng = np.random.default_rng(11)
+        X1 = rng.uniform(0, 10, (50, 2))
+        X2 = rng.uniform(0, 10, (80, 2))
+        nn = postprocess.nn_analysis(X1, X2, 3)
+        assert nn.shape == (50, 3)
+
+    def test_self_excludes_zero_distance(self):
+        rng = np.random.default_rng(12)
+        X = rng.uniform(0, 10, (60, 2))
+        nn = postprocess.nn_analysis(X, X, 1)
+        assert (nn > 0).all()
+
+    def test_dimension_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            postprocess.nn_analysis(
+                np.zeros((5, 2)), np.zeros((5, 3)), 1
+            )
+
+
+class TestResiContract:
+    def test_requires_two_channels(self):
+        with pytest.raises(ValueError):
+            postprocess.resi([_make_locs(100)], [INFO], 0.1)
+
+    def test_channel_list_length_validated(self):
+        with pytest.raises(ValueError):
+            postprocess.resi(
+                [_make_locs(100), _make_locs(100, seed=1)],
+                [INFO, INFO],
+                radius_xy=[0.1, 0.1, 0.1],
+            )
