@@ -161,3 +161,207 @@ class TestApplyAndRoundtrip:
         np.testing.assert_allclose(
             np.asarray(back["y"]), drift["y"], atol=1e-5
         )
+
+
+class TestSegmentsContract:
+    @pytest.mark.parametrize(
+        "n_frames,segmentation,expected",
+        [(1000, 100, 10), (1000, 400, 2), (999, 100, 10),
+         (1000, 300, 3)],
+    )
+    def test_n_segments_rounding(self, n_frames, segmentation,
+                                 expected):
+        info = [{"Frames": n_frames, "Height": 8, "Width": 8}]
+        assert postprocess.n_segments(info, segmentation) == expected
+
+    def test_n_segments_uses_latest_info_entry(self):
+        info = [
+            {"Frames": 100, "Height": 8, "Width": 8},
+            {"Frames": 1000},
+        ]
+        assert postprocess.n_segments(info, 100) == 10
+
+    def test_segment_callback_invocations(self):
+        locs, _ = _drifted_dataset(n_sites=40, n_frames=100)
+        info = [{"Frames": 100, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        calls = []
+        postprocess.segment(
+            locs, info, 50, {"blur_method": None}, calls.append
+        )
+        assert calls and calls[-1] == 2
+
+    def test_segment_total_count_matches_locs(self):
+        locs, _ = _drifted_dataset(n_sites=40, n_frames=100)
+        info = [{"Frames": 100, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        bounds, segments = postprocess.segment(
+            locs, info, 50, {"blur_method": None},
+            lambda v: None,
+        )
+        assert segments.shape[0] == 2
+        # histogram mass = number of in-FOV locs per segment
+        assert segments.sum() == pytest.approx(len(locs), rel=0.01)
+
+
+class TestFiducialPaths:
+    def test_recovers_injected_drift_3d(self):
+        rng = np.random.default_rng(8)
+        n_frames = 300
+        frame = np.arange(n_frames)
+        drift_x = 1.2 * frame / n_frames
+        drift_z = 40.0 * frame / n_frames  # nm
+        rows = []
+        for fx, fy in [(10.0, 10.0), (40.0, 50.0)]:
+            rows.append(pd.DataFrame({
+                "frame": frame.astype(np.uint32),
+                "x": (fx + drift_x
+                      + rng.normal(0, 0.01, n_frames)
+                      ).astype(np.float32),
+                "y": np.full(n_frames, fy, np.float32),
+                "z": (drift_z + rng.normal(0, 2, n_frames)
+                      ).astype(np.float32),
+                "photons": np.full(n_frames, 4000, np.float32),
+                "sx": np.full(n_frames, 1.0, np.float32),
+                "sy": np.full(n_frames, 1.0, np.float32),
+                "bg": np.full(n_frames, 10, np.float32),
+                "lpx": np.full(n_frames, 0.01, np.float32),
+                "lpy": np.full(n_frames, 0.01, np.float32),
+            }))
+        locs = pd.concat(rows, ignore_index=True)
+        info = [{"Frames": n_frames, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        out, new_info, drift = postprocess.undrift_from_fiducials(
+            locs, info, picks=[(10.2, 10.0), (40.2, 50.0)],
+            pick_size=1.5,
+        )
+        assert "z" in drift.columns
+        got = drift["x"].to_numpy()
+        exp = drift_x - drift_x.mean()
+        assert np.abs((got - got.mean()) - exp).max() < 0.02
+        gz = drift["z"].to_numpy()
+        ez = drift_z - drift_z.mean()
+        assert np.abs((gz - gz.mean()) - ez).max() < 6.0  # 2 nm/frame z noise, 2 fiducials
+
+    def test_undrift_z_false_drops_z(self):
+        rng = np.random.default_rng(9)
+        n_frames = 100
+        frame = np.arange(n_frames)
+        locs = pd.DataFrame({
+            "frame": frame.astype(np.uint32),
+            "x": (8 + 0.002 * frame
+                  + rng.normal(0, 0.01, n_frames)).astype(np.float32),
+            "y": np.full(n_frames, 8, np.float32),
+            "z": rng.normal(0, 10, n_frames).astype(np.float32),
+            "photons": np.full(n_frames, 4000, np.float32),
+            "sx": np.full(n_frames, 1.0, np.float32),
+            "sy": np.full(n_frames, 1.0, np.float32),
+            "bg": np.full(n_frames, 10, np.float32),
+            "lpx": np.full(n_frames, 0.01, np.float32),
+            "lpy": np.full(n_frames, 0.01, np.float32),
+        })
+        info = [{"Frames": n_frames, "Height": 16, "Width": 16,
+                 "Pixelsize": 130}]
+        z0 = locs["z"].to_numpy().copy()
+        out, _, drift = postprocess.undrift_from_fiducials(
+            locs, info, picks=[(8.1, 8.0)], pick_size=1.0,
+            undrift_z=False,
+        )
+        assert "z" not in drift.columns
+        np.testing.assert_array_equal(out["z"].to_numpy(), z0)
+
+    def test_empty_picks_raises(self):
+        locs, _ = _drifted_dataset(n_sites=20, n_frames=50)
+        info = [{"Frames": 50, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        with pytest.raises(ValueError):
+            postprocess.undrift_from_fiducials(
+                locs, info, picks=[], pick_size=1.0
+            )
+
+    def test_undrift_from_picked_interpolates_missing_frames(self):
+        """Frames where the fiducial is dark get interpolated drift."""
+        rng = np.random.default_rng(10)
+        n_frames = 120
+        frame = np.arange(n_frames)
+        keep = (frame % 3) != 0  # fiducial dark every 3rd frame
+        drift_x = 0.01 * frame
+        fid = pd.DataFrame({
+            "frame": frame[keep].astype(np.uint32),
+            "x": (8 + drift_x[keep]
+                  + rng.normal(0, 0.005, keep.sum())
+                  ).astype(np.float32),
+            "y": np.full(keep.sum(), 8, np.float32),
+        })
+        info = [{"Frames": n_frames, "Height": 16, "Width": 16,
+                 "Pixelsize": 130}]
+        drift = postprocess.undrift_from_picked([fid], info)
+        assert len(drift) == n_frames
+        assert np.isfinite(drift["x"]).all()
+        got = drift["x"].to_numpy()
+        exp = drift_x - drift_x.mean()
+        assert np.abs((got - got.mean()) - exp).max() < 0.05
+
+
+class TestPlotDrift:
+    def test_2d_and_3d_figures(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        drift2 = pd.DataFrame({
+            "x": np.linspace(0, 1, 50), "y": np.zeros(50),
+        })
+        fig = postprocess.plot_drift(drift2, pixelsize=130)
+        assert fig is not None
+        drift3 = drift2.assign(z=np.linspace(0, 40, 50))
+        fig3 = postprocess.plot_drift(drift3, pixelsize=130)
+        assert fig3 is not None
+
+    def test_reuses_passed_figure(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure()
+        drift = pd.DataFrame({
+            "x": np.zeros(10), "y": np.zeros(10),
+        })
+        out = postprocess.plot_drift(drift, fig=fig)
+        assert out is fig
+
+
+class TestApplyDriftMore:
+    def test_ndarray_matches_dataframe(self):
+        locs, _ = _drifted_dataset(n_sites=10, n_frames=50)
+        info = [{"Frames": 50, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        arr = np.column_stack([
+            np.linspace(0, 1, 50), np.linspace(0, -1, 50)
+        ])
+        df = pd.DataFrame({"x": arr[:, 0], "y": arr[:, 1]})
+        a = postprocess.apply_drift(locs, info, drift=arr)
+        b = postprocess.apply_drift(locs, info, drift=df)
+        np.testing.assert_allclose(
+            a["x"].to_numpy(), b["x"].to_numpy()
+        )
+
+    def test_does_not_mutate_drift(self):
+        locs, _ = _drifted_dataset(n_sites=10, n_frames=50)
+        info = [{"Frames": 50, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        drift = pd.DataFrame({
+            "x": np.linspace(0, 1, 50), "y": np.zeros(50),
+        })
+        before = drift.copy()
+        postprocess.apply_drift(locs, info, drift=drift)
+        pd.testing.assert_frame_equal(drift, before)
+
+    def test_wrong_type_raises(self):
+        locs, _ = _drifted_dataset(n_sites=10, n_frames=50)
+        info = [{"Frames": 50, "Height": 64, "Width": 64,
+                 "Pixelsize": 130}]
+        with pytest.raises((TypeError, ValueError)):
+            postprocess.apply_drift(
+                locs, info, drift="not a drift"
+            )
