@@ -649,3 +649,230 @@ class TestDeviceRotatedSplat:
         )
         assert img.sum() > 0
         assert np.isfinite(img).all()
+
+
+def _locs3d(n=1500, seed=2):
+    locs = _locs(n, seed)
+    rng = np.random.default_rng(seed + 100)
+    locs["z"] = rng.uniform(-400, 400, n).astype(np.float32)
+    locs["lpz"] = np.full(n, 20.0, np.float32)
+    return locs
+
+
+class TestHist3D:
+    def test_basic_counts(self):
+        locs = _locs3d()
+        n, vol = render.render_hist3d(
+            locs["x"].to_numpy(), locs["y"].to_numpy(),
+            locs["z"].to_numpy(), 1.0,
+            0, 0, 32, 32, -500.0, 500.0, 130.0,
+        )
+        assert vol.ndim == 3
+        assert vol.sum() == n == len(locs)
+
+    def test_z_filtering(self):
+        locs = _locs3d()
+        n, vol = render.render_hist3d(
+            locs["x"].to_numpy(), locs["y"].to_numpy(),
+            locs["z"].to_numpy(), 1.0,
+            0, 0, 32, 32, -100.0, 100.0, 130.0,
+        )
+        expected = (
+            (locs["z"] > -100) & (locs["z"] < 100)
+        ).sum()
+        assert n == expected
+
+    def test_anisotropic_axes(self):
+        locs = _locs3d()
+        n, vol = render.render_hist3d_anisotropic(
+            locs["x"].to_numpy(), locs["y"].to_numpy(),
+            locs["z"].to_numpy(), 2.0, 0.5,
+            0, 0, 32, 32, -500.0, 500.0, 130.0,
+        )
+        ny, nx, nz = vol.shape
+        assert (ny, nx) == (64, 64)
+        assert vol.sum() == n
+
+    def test_hist_anisotropic_2d(self):
+        locs = _locs()
+        n, img = render.render_hist_anisotropic(
+            locs["x"].to_numpy(), locs["y"].to_numpy(),
+            2.0, 1.0, 0, 0, 32, 32,
+        )
+        assert img.shape == (32, 64)
+        assert img.sum() == n
+
+
+class TestConvolveBlur:
+    def test_convolve_preserves_mass(self):
+        locs = _locs()
+        n, img = render.render(
+            locs, INFO, oversampling=4, blur_method="convolve"
+        )
+        assert img.sum() == pytest.approx(n, rel=1e-3)
+
+    def test_fftconvolve_mass_and_spread(self):
+        img = np.zeros((64, 64), np.float32)
+        img[32, 32] = 1.0
+        out = render._fftconvolve(img, 2.0, 3.0)
+        assert out.sum() == pytest.approx(1.0, rel=1e-3)
+        # anisotropic: more spread along rows (blur_height=3 rows)
+        row_var = np.sum(
+            out * (np.arange(64)[:, None] - 32) ** 2
+        )
+        col_var = np.sum(
+            out * (np.arange(64)[None, :] - 32) ** 2
+        )
+        assert row_var > col_var
+
+
+class TestRenderSceneContract:
+    def test_returns_contrast_limits_and_raw(self):
+        locs = _locs()
+        rgb, n, limits, raw = render.render_scene(
+            locs, INFO, disp_px_size=32.5,
+            return_contrast_limits=True, return_raw_image=True,
+        )
+        assert rgb.dtype == np.uint8 and rgb.shape[2] == 3
+        assert len(limits) == 2 and limits[0] < limits[1]
+        assert raw.shape == rgb.shape[:2]
+
+    def test_raw_image_cache_skips_rerender(self):
+        locs = _locs()
+        rgb1, n1, raw = render.render_scene(
+            locs, INFO, disp_px_size=32.5, return_raw_image=True
+        )
+        rgb2, n2 = render.render_scene(
+            locs.iloc[:0], INFO, disp_px_size=32.5,
+            raw_image_cache=raw,
+        )
+        np.testing.assert_array_equal(rgb1, rgb2)
+        assert n2 == 0  # cache path renders nothing
+
+    def test_multi_channel_green_isolation(self):
+        a = _locs(500, seed=3)
+        b = _locs(500, seed=4)
+        rgb, n = render.render_scene(
+            [a, b], [INFO, INFO], disp_px_size=32.5,
+            colors=[(0.0, 1.0, 0.0), (0.0, 0.0, 0.0)],
+        )
+        assert rgb[..., 1].max() > 0
+        assert rgb[..., 0].max() == 0 and rgb[..., 2].max() == 0
+
+    def test_empty_locs_list(self):
+        rgb, n = render.render_scene(
+            [_locs(0)], [INFO], disp_px_size=32.5
+        )
+        assert n == 0
+
+
+class TestSplitByGroupArray:
+    def test_explicit_array(self):
+        locs = _locs(100)
+        group_color = np.repeat([0, 1], 50)
+        parts = render.split_locs_by_group(
+            locs, n_colors=2, group_color=group_color
+        )
+        assert len(parts) == 2
+        assert sum(len(p) for p in parts) == 100
+        assert len(parts[0]) == 50
+
+
+class TestColormapHelpers:
+    def test_get_colors_count_and_range(self):
+        for n in (1, 2, 5, 9):
+            colors = render.get_colors_from_colormap(n)
+            assert len(colors) == n
+            arr = np.asarray(colors)
+            assert arr.min() >= 0 and arr.max() <= 1
+
+
+class TestPainters:
+    @pytest.fixture
+    def scene(self):
+        locs = _locs()
+        rgb, _ = render.render_scene(locs, INFO, disp_px_size=32.5)
+        return rgb
+
+    def test_draw_points(self, scene):
+        vp = ((0.0, 0.0), (32.0, 32.0))
+        out = render.draw_points(scene, [(16.0, 16.0)], vp)
+        assert out.shape == scene.shape
+        assert not np.array_equal(out, scene)
+
+    def test_draw_picks_circle(self, scene):
+        vp = ((0.0, 0.0), (32.0, 32.0))
+        out = render.draw_picks(scene, [(16.0, 16.0)], 4.0, vp)
+        assert not np.array_equal(out, scene)
+
+    def test_draw_scalebar_marks_pixels(self, scene):
+        out = render.draw_scalebar(scene, 130.0, 32.5)
+        # bottom-right region contains a solid white bar
+        assert (out[-20:, -200:] == 255).any()
+        assert not np.array_equal(out, scene)
+
+    def test_painters_do_not_mutate_input(self, scene):
+        before = scene.copy()
+        vp = ((0.0, 0.0), (32.0, 32.0))
+        render.draw_points(scene, [(16.0, 16.0)], vp)
+        render.draw_picks(scene, [(16.0, 16.0)], 4.0, vp)
+        render.draw_scalebar(scene, 130.0, 32.5)
+        np.testing.assert_array_equal(scene, before)
+
+
+class TestRotationExtras:
+    def test_locs_rotation_in_view_consistency(self):
+        locs = _locs3d()
+        vp = ((8.0, 8.0), (24.0, 24.0))
+        ang = (0.3, -0.2, 0.5)
+        rotated = render.locs_rotation(
+            locs, *render.viewport_center(vp)[::-1], vp, ang
+        ) if False else None
+        # rotating by zero must keep every in-view loc in view
+        n0, img0 = render.render(
+            locs, INFO, oversampling=4, viewport=vp
+        )
+        n1, img1 = render.render(
+            locs, INFO, oversampling=4, viewport=vp, ang=(0, 0, 0)
+        )
+        assert n0 == n1
+
+    def test_legacy_euler_equivalence(self):
+        from scipy.spatial.transform import Rotation
+
+        ang = (0.4, -0.1, 0.9)
+        r1 = render.to_rotation(ang)
+        r2 = render.to_rotation(render.rotation_matrix(*ang))
+        v = np.array([[1.0, 2.0, 3.0]])
+        np.testing.assert_allclose(
+            r1.apply(v), r2.apply(v), atol=1e-12
+        )
+
+    def test_empty_locs_gaussian_rot(self):
+        locs = _locs3d(0)
+        n, img = render.render(
+            locs, INFO, oversampling=4, blur_method="gaussian",
+            ang=(0.2, 0.1, 0.3),
+        )
+        assert n == 0
+        assert img.sum() == 0
+
+
+class TestExports:
+    def test_pdf_and_svg(self, tmp_path):
+        rgb = np.zeros((32, 32, 3), np.uint8)
+        rgb[8:24, 8:24] = 200
+        pdf = tmp_path / "scene.pdf"
+        svg = tmp_path / "scene.svg"
+        render.export_qimage_to_pdf(rgb, str(pdf))
+        render.export_qimage_to_svg(rgb, str(svg))
+        assert pdf.stat().st_size > 0
+        assert svg.stat().st_size > 0
+
+    def test_build_animation_gif(self, tmp_path):
+        frames = [
+            np.full((16, 16, 3), c, np.uint8) for c in (0, 128, 255)
+        ]
+        path = tmp_path / "anim.gif"
+        render.build_animation(str(path), frames, fps=5)
+        assert path.stat().st_size > 0
