@@ -388,3 +388,184 @@ class TestNorthStarParityGate:
         med_sx = float(np.median(locs["sx"]))
         assert 0.7 < med_sx < 1.1  # psf 0.82 px
         assert float(np.median(locs["lpx"])) * self.PIXELSIZE < 5.0
+
+
+class TestIdentificationsIO:
+    def test_roundtrip_with_yaml_sidecar(self, movie, movie_info,
+                                         tmp_path):
+        from picasso_tpu import io
+
+        ids = localize.identify(
+            movie, MIN_NG, BOX, return_info=False
+        )
+        path = str(tmp_path / "ids.hdf5")
+        io.save_identifications(
+            path, ids, list(movie_info) + [{"Box Size": BOX}]
+        )
+        assert (tmp_path / "ids.yaml").exists()
+        back, info = io.load_identifications(path)
+        pd.testing.assert_frame_equal(
+            back.reset_index(drop=True), ids.reset_index(drop=True),
+            check_dtype=False,
+        )
+        assert info[-1]["Box Size"] == BOX
+
+    def test_missing_dataset_raises(self, tmp_path):
+        import h5py
+
+        from picasso_tpu import io
+
+        path = str(tmp_path / "empty.hdf5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("other", data=np.zeros(3))
+        with open(str(tmp_path / "empty.yaml"), "w") as f:
+            f.write("Frames: 1\n")
+        with pytest.raises(KeyError):
+            io.load_identifications(path)
+
+
+class TestAsyncShims:
+    def test_identify_async_matches_serial(self, movie):
+        serial = localize.identify(
+            movie, MIN_NG, BOX, return_info=False
+        )
+        current, futures = localize.identify_async(
+            movie, MIN_NG, BOX
+        )
+        assert int(np.asarray(current).reshape(-1)[0]) == len(movie)
+        collected = localize.identifications_from_futures(futures)
+        pd.testing.assert_frame_equal(
+            collected.reset_index(drop=True),
+            serial.reset_index(drop=True),
+        )
+
+
+class TestFit2DValidation:
+    def test_invalid_method_raises(self, movie, movie_info,
+                                   real_identifications):
+        with pytest.raises(AssertionError):
+            localize.fit2D(
+                movie, movie_info, dict(CAMERA_INFO, Pixelsize=130),
+                real_identifications, BOX,
+                fitting_method="bogus",
+            )
+
+    def test_negative_eps_rejected(self, movie, movie_info,
+                                   real_identifications):
+        with pytest.raises(AssertionError):
+            localize.fit2D(
+                movie, movie_info, dict(CAMERA_INFO, Pixelsize=130),
+                real_identifications, BOX, eps=-1.0,
+            )
+
+    def test_missing_pixelsize_warns(self, movie, movie_info,
+                                     real_identifications):
+        with pytest.warns(UserWarning, match="Pixelsize"):
+            localize.fit2D(
+                movie, movie_info, dict(CAMERA_INFO),
+                real_identifications.iloc[:5], BOX,
+                fitting_method="avg",
+            )
+
+    def test_avg_method_returns_locs(self, movie, movie_info,
+                                     real_identifications):
+        locs, info = localize.fit2D(
+            movie, movie_info, dict(CAMERA_INFO, Pixelsize=130),
+            real_identifications, BOX, fitting_method="avg",
+        )
+        assert len(locs) == len(real_identifications)
+        assert info["Fit method"] == "avg"
+
+
+class TestLocalizePipelineContract:
+    def test_localize_matches_identify_plus_fit2d(
+        self, movie, movie_info
+    ):
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        params = {"Min. Net Gradient": MIN_NG, "Box Size": BOX}
+        via_localize = localize.localize(
+            np.asarray(movie[:]), cam, params,
+            movie_info=list(movie_info), fitting_method="gausslq",
+        )
+        ids = localize.identify(
+            movie, MIN_NG, BOX, return_info=False
+        )
+        direct, _ = localize.fit2D(
+            movie, movie_info, cam, ids, BOX,
+            fitting_method="gausslq",
+        )
+        pd.testing.assert_frame_equal(
+            via_localize.reset_index(drop=True),
+            direct.reset_index(drop=True),
+        )
+
+    def test_return_info_full_chain(self, movie, movie_info):
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        params = {"Min. Net Gradient": MIN_NG, "Box Size": BOX}
+        locs, info = localize.localize(
+            movie, cam, params, movie_info=list(movie_info),
+            fitting_method="gausslq", return_info=True,
+        )
+        assert info[-1]["Fit method"] == "gausslq"
+        assert any(
+            "Min. Net Gradient" in blk for blk in info
+        )
+
+    def test_roi_applied_at_identification(self, movie, movie_info):
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        params = {"Min. Net Gradient": MIN_NG, "Box Size": BOX}
+        locs = localize.localize(
+            movie, cam, params, movie_info=list(movie_info),
+            roi=((0, 0), (16, 16)), fitting_method="gausslq",
+        )
+        if len(locs):
+            assert (locs["x"] < 16 + BOX).all()
+            assert (locs["y"] < 16 + BOX).all()
+
+
+class TestQCChecks:
+    def test_check_nena_kinetics_drift(self, movie, movie_info):
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        params = {"Min. Net Gradient": MIN_NG, "Box Size": BOX}
+        locs, info = localize.localize(
+            movie, cam, params, movie_info=list(movie_info),
+            fitting_method="gausslq", return_info=True,
+        )
+        nena = localize.check_nena(locs, info)
+        assert isinstance(nena, float)
+        kin = localize.check_kinetics(locs, info)
+        assert kin > 0
+        drift = localize.check_drift(locs, info)
+        assert len(drift) == 2
+
+
+class TestPicksToIdentificationsValidation:
+    def test_no_n_frames_no_drift_raises(self):
+        with pytest.raises((ValueError, TypeError)):
+            localize.picks_to_identifications([(5.0, 5.0)])
+
+    def test_non_list_rejected(self):
+        with pytest.raises((AssertionError, TypeError, ValueError)):
+            localize.picks_to_identifications(
+                "not picks", n_frames=5
+            )
+
+
+class TestLocsToIdentifications:
+    def test_window_expansion(self, movie, movie_info):
+        cam = dict(CAMERA_INFO, Pixelsize=130)
+        params = {"Min. Net Gradient": MIN_NG, "Box Size": BOX}
+        locs = localize.localize(
+            movie, cam, params, movie_info=list(movie_info),
+            fitting_method="gausslq",
+        )
+        one = locs.iloc[:1]
+        ids = localize.locs_to_identifications(
+            one, movie_info, n_frames=2
+        )
+        # +-2 frames clipped to the movie span
+        f0 = int(one["frame"].iloc[0])
+        lo = max(f0 - 2, 0)
+        hi = min(f0 + 2, movie_info[0]["Frames"] - 1)
+        assert len(ids) == hi - lo + 1
+        assert set(ids["frame"]) == set(range(lo, hi + 1))
