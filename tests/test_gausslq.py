@@ -123,3 +123,123 @@ class TestMortensen:
             16 / 9 + (8 * np.pi * sa * sa_orth * bg) / photons
         ) / photons
         np.testing.assert_allclose(lp, np.sqrt(v), rtol=1e-6)
+
+
+class TestAsyncAndFutures:
+    def test_async_futures_collated(self, synthetic_spots):
+        spots, _ = synthetic_spots
+        serial = gausslq.fit_spots(spots)
+        futures = gausslq.fit_spots_parallel(spots, asynch=True)
+        assert all(f.done() for f in futures)
+        collected = gausslq.fits_from_futures(futures)
+        np.testing.assert_array_equal(collected, serial)
+
+    def test_progress_callback_invoked(self, synthetic_spots):
+        spots, _ = synthetic_spots
+        calls = []
+        gausslq.fit_spots(spots, progress_callback=calls.append)
+        assert calls and max(calls) >= len(spots) - 1
+
+
+class TestLocsFromFits:
+    def _ids(self, n):
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        return pd.DataFrame({
+            "frame": np.arange(n, dtype=np.uint32),
+            "x": rng.integers(5, 25, n).astype(int),
+            "y": rng.integers(5, 25, n).astype(int),
+            "net_gradient": rng.uniform(
+                1000, 9000, n
+            ).astype(np.float32),
+        })
+
+    def _theta(self, n):
+        rng = np.random.default_rng(1)
+        theta = np.zeros((n, 6), np.float32)
+        theta[:, 0] = rng.uniform(-0.4, 0.4, n)  # dx
+        theta[:, 1] = rng.uniform(-0.4, 0.4, n)  # dy
+        theta[:, 2] = rng.uniform(1000, 5000, n)  # photons
+        theta[:, 3] = rng.uniform(5, 40, n)  # bg
+        theta[:, 4] = rng.uniform(0.9, 1.4, n)  # sx
+        theta[:, 5] = rng.uniform(0.9, 1.4, n)  # sy
+        return theta
+
+    def test_offsets_columns_lengths(self):
+        ids = self._ids(64)
+        theta = self._theta(64)
+        locs = gausslq.locs_from_fits(ids, theta, 7, em=False)
+        assert len(locs) == 64
+        for col in ("frame", "x", "y", "photons", "sx", "sy", "bg",
+                    "lpx", "lpy", "ellipticity", "net_gradient"):
+            assert col in locs.columns
+        # x = dx + identification x (frame-sorted)
+        merged = locs.sort_values("frame")
+        np.testing.assert_allclose(
+            merged["x"].to_numpy(),
+            theta[:, 0] + ids["x"].to_numpy(),
+            rtol=1e-6,
+        )
+        assert (locs["lpx"] > 0).all()
+        assert ((locs["ellipticity"] >= 0)
+                & (locs["ellipticity"] < 1)).all()
+
+    def test_em_doubles_precision_variance(self):
+        ids = self._ids(32)
+        theta = self._theta(32)
+        a = gausslq.locs_from_fits(ids, theta, 7, em=False)
+        b = gausslq.locs_from_fits(ids, theta, 7, em=True)
+        np.testing.assert_allclose(
+            (b["lpx"] / a["lpx"]) ** 2, 2.0, rtol=1e-5
+        )
+
+    def test_n_id_sorting(self):
+        ids = self._ids(16)
+        ids["n_id"] = np.arange(16)[::-1].astype(np.uint32)
+        theta = self._theta(16)
+        locs = gausslq.locs_from_fits(ids, theta, 7, em=False)
+        assert (np.diff(locs["n_id"].to_numpy().astype(int))
+                >= 0).all()
+
+    def test_gpufit_locs_roundtrip(self):
+        ids = self._ids(16)
+        theta = self._theta(16)
+        # gpufit layout: [photons, x+half, y+half, sx, sy, bg]
+        gf = np.column_stack([
+            theta[:, 2], theta[:, 0] + 3, theta[:, 1] + 3,
+            theta[:, 4], theta[:, 5], theta[:, 3],
+        ]).astype(np.float32)
+        a = gausslq.locs_from_fits(ids, theta, 7, em=False)
+        b = gausslq.locs_from_fits_gpufit(ids, gf, 7, em=False)
+        np.testing.assert_allclose(
+            a["x"].to_numpy(), b["x"].to_numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            a["lpx"].to_numpy(), b["lpx"].to_numpy(), rtol=1e-5
+        )
+
+
+class TestMortensenPrecision:
+    def test_monotonic_in_photons_and_bg(self):
+        photons = np.array([1000.0, 2000.0, 4000.0])
+        lp = gausslq.localization_precision(
+            photons, np.full(3, 1.0), np.full(3, 1.0),
+            np.full(3, 10.0), em=False,
+        )
+        assert (np.diff(lp) < 0).all()
+        bgs = np.array([5.0, 20.0, 80.0])
+        lp2 = gausslq.localization_precision(
+            np.full(3, 2000.0), np.full(3, 1.0), np.full(3, 1.0),
+            bgs, em=False,
+        )
+        assert (np.diff(lp2) > 0).all()
+
+    def test_pandas_series_input(self):
+        import pandas as pd
+
+        lp = gausslq.localization_precision(
+            pd.Series([2000.0]), pd.Series([1.0]), pd.Series([1.0]),
+            pd.Series([10.0]), em=False,
+        )
+        assert float(np.asarray(lp)[0]) > 0
