@@ -330,3 +330,120 @@ class TestProgressDialogShim:
         assert getattr(lib, "cancel_dialogs", None) is None
         with pytest.raises(AttributeError):
             lib.definitely_not_a_symbol
+
+
+class TestRectangleGeometry:
+    def test_corners_horizontal_rectangle(self):
+        X, Y = lib.get_pick_rectangle_corners(0.0, 0.0, 10.0, 0.0, 2.0)
+        assert len(X) == len(Y) == 4
+        # axis along x, width 2 => corners at y = +-1
+        assert sorted(set(np.round(Y, 6))) == [-1.0, 1.0]
+        assert min(X) == pytest.approx(0.0)
+        assert max(X) == pytest.approx(10.0)
+
+    def test_check_if_in_rectangle_axis_aligned(self):
+        X, Y = lib.get_pick_rectangle_corners(0.0, 0.0, 10.0, 0.0, 2.0)
+        xs = np.array([5.0, 5.0, -1.0, 11.0])
+        ys = np.array([0.0, 1.5, 0.0, 0.0])
+        inside = lib.check_if_in_rectangle(
+            xs, ys, np.asarray(X), np.asarray(Y)
+        )
+        assert inside.tolist() == [True, False, False, False]
+
+    def test_locs_in_rectangle(self):
+        locs = pd.DataFrame({
+            "x": np.array([5.0, 20.0], np.float32),
+            "y": np.array([0.0, 0.0], np.float32),
+        })
+        X, Y = lib.get_pick_rectangle_corners(0.0, 0.0, 10.0, 0.0, 4.0)
+        out = lib.locs_in_rectangle(locs, X, Y)
+        assert len(out) == 1
+
+    def test_pick_areas_rectangle(self):
+        picks = [((0.0, 0.0), (10.0, 0.0))]
+        areas = lib.pick_areas_rectangle(picks, 2.0)
+        assert areas[0] == pytest.approx(20.0)
+
+
+class TestPolygonCorners:
+    def test_closed_polygon(self):
+        X, Y = lib.get_pick_polygon_corners(
+            [(0, 0), (1, 0), (1, 1), (0, 0)]
+        )
+        assert X is not None and len(X) == 4
+
+    def test_open_polygon_returns_none(self):
+        X, Y = lib.get_pick_polygon_corners(
+            [(0, 0), (1, 0), (1, 1)]
+        )
+        assert X is None and Y is None
+
+    def test_pick_areas_unknown_shape_raises(self):
+        with pytest.raises(ValueError):
+            lib.pick_areas("Blob", [(0, 0)], pick_size=1.0)
+
+    def test_pick_areas_square_and_circle(self):
+        sq = lib.pick_areas("Square", [(0, 0), (5, 5)], pick_size=2.0)
+        np.testing.assert_allclose(sq, 4.0)
+        ci = lib.pick_areas("Circle", [(0, 0)], pick_size=2.0)
+        np.testing.assert_allclose(ci, np.pi, rtol=1e-6)
+
+
+class TestEnsureSanity:
+    def _locs(self):
+        return pd.DataFrame({
+            "frame": np.array([0, 1, 2, 3], np.uint32),
+            "x": np.array([5.0, -1.0, 70.0, 6.0], np.float32),
+            "y": np.array([5.0, 5.0, 5.0, 6.0], np.float32),
+            "photons": np.array(
+                [100.0, 100.0, 100.0, -5.0], np.float32
+            ),
+            "sx": np.ones(4, np.float32),
+            "sy": np.ones(4, np.float32),
+            "bg": np.zeros(4, np.float32),
+            "lpx": np.full(4, 0.1, np.float32),
+            "lpy": np.full(4, 0.1, np.float32),
+        })
+
+    def test_drops_outside_fov_and_negative(self):
+        info = [{"Frames": 10, "Height": 64, "Width": 64}]
+        out = lib.ensure_sanity(self._locs(), info)
+        # -1 x, 70 x (out of 64-wide FOV) and negative photons dropped
+        assert len(out) == 1
+        assert out["x"].iloc[0] == pytest.approx(5.0)
+
+
+class TestRecArrayHelpers:
+    def test_remove_from_rec_drops_column(self):
+        rec = np.zeros(
+            3, dtype=[("a", "f4"), ("b", "f4"), ("c", "i4")]
+        )
+        out = lib.remove_from_rec(rec, "b")
+        assert "b" not in out.dtype.names
+        assert set(out.dtype.names) == {"a", "c"}
+
+
+class TestFuturesHelpers:
+    def test_n_futures_done(self):
+        class F:
+            def __init__(self, d):
+                self._d = d
+
+            def done(self):
+                return self._d
+
+        assert lib.n_futures_done([F(True), F(False), F(True)]) == 2
+
+
+class TestCumulativeExponential:
+    def test_zero_at_zero_and_saturation(self):
+        t = np.array([0.0, 1e9])
+        vals = lib.cumulative_exponential(t, 3.0, 10.0, 0.0)
+        assert vals[0] == pytest.approx(0.0)
+        assert vals[1] == pytest.approx(3.0, rel=1e-6)  # amplitude a
+
+    def test_constant_offset_shifts(self):
+        t = np.array([0.0])
+        v0 = lib.cumulative_exponential(t, 10.0, 3.0, 0.0)[0]
+        v1 = lib.cumulative_exponential(t, 10.0, 3.0, 2.0)[0]
+        assert v1 - v0 == pytest.approx(2.0)
