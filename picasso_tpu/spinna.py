@@ -761,6 +761,34 @@ class StructureMixer:
     ):
         if isinstance(structures, Structure):
             structures = [structures]
+        if not isinstance(structures, list):
+            raise ValueError(
+                "structures must be a Structure or a list of"
+                " Structures."
+            )
+        # input validation mirrors the reference mixer
+        # (picasso/spinna.py:1006-1100)
+        if not isinstance(label_unc, dict):
+            raise ValueError(
+                "label_unc must be a dict keyed by target name (or"
+                " 'ALL')."
+            )
+        if any(v < 0 for v in label_unc.values()):
+            raise ValueError(
+                "Label uncertainties must be non-negative."
+            )
+        if not isinstance(le, dict):
+            raise ValueError(
+                "le must be a dict keyed by target name (or 'ALL')."
+            )
+        if any(not 0 <= v <= 1 for v in le.values()):
+            raise ValueError(
+                "Labeling efficiencies must lie in [0, 1]."
+            )
+        if not (nn_counts == "auto" or isinstance(nn_counts, dict)):
+            raise ValueError(
+                "nn_counts must be 'auto' or a dict of target pairs."
+            )
         self.structures = structures
         self.label_unc = label_unc
         self.le = le
@@ -770,6 +798,19 @@ class StructureMixer:
         self.nn_counts = nn_counts
         self.simulators: list[StructureSimulator] = []
         self.targets = self.get_target_names()
+        for t in self.targets:
+            for name, d in (("label_unc", label_unc), ("le", le)):
+                if "ALL" not in d and t not in d:
+                    raise ValueError(
+                        f"Target {t!r} missing from {name}."
+                    )
+        if isinstance(nn_counts, dict):
+            for i, t1 in enumerate(self.targets):
+                for t2 in self.targets[i:]:
+                    if f"{t1}-{t2}" not in nn_counts:
+                        raise ValueError(
+                            f"nn_counts missing pair '{t1}-{t2}'."
+                        )
         if mask_dict is None and (width is None or height is None):
             raise ValueError(
                 "Provide either a mask_dict or ROI width/height (nm)."

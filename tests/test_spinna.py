@@ -370,3 +370,346 @@ class TestStructureMore:
         assert len(loaded) >= 1
         assert loaded[0].title == "monomer"
         assert "R" in targets
+
+
+def _mono_dimer2():
+    mono = spinna.Structure("monomer")
+    mono.define_coordinates("T", [0.0], [0.0])
+    dim = spinna.Structure("dimer")
+    dim.define_coordinates("T", [0.0, 20.0], [0.0, 0.0])
+    return [mono, dim]
+
+
+def _het():
+    a = spinna.Structure("A-only")
+    a.define_coordinates("A", [0.0], [0.0])
+    ab = spinna.Structure("AB")
+    ab.define_coordinates("A", [0.0], [0.0])
+    ab.define_coordinates("B", [15.0], [0.0])
+    return [a, ab]
+
+
+class TestMixerValidation:
+    def _mk(self, **over):
+        kw = dict(
+            structures=_mono_dimer2(),
+            label_unc={"ALL": 3.0},
+            le={"ALL": 1.0},
+            width=1000.0,
+            height=1000.0,
+        )
+        kw.update(over)
+        return spinna.StructureMixer(**kw)
+
+    def test_label_unc_must_be_dict(self):
+        with pytest.raises(ValueError, match="label_unc"):
+            self._mk(label_unc=3.0)
+
+    def test_negative_label_unc_raises(self):
+        with pytest.raises(ValueError, match="non-negative"):
+            self._mk(label_unc={"ALL": -1.0})
+
+    @pytest.mark.parametrize("bad_le", [-0.1, 1.5])
+    def test_le_out_of_range_raises(self, bad_le):
+        with pytest.raises(ValueError, match="0, 1"):
+            self._mk(le={"ALL": bad_le})
+
+    def test_structures_non_list_raises(self):
+        with pytest.raises(ValueError, match="list"):
+            self._mk(structures="monomer")
+
+    def test_no_mask_no_roi_raises(self):
+        with pytest.raises(ValueError, match="mask_dict or ROI"):
+            self._mk(width=None, height=None)
+
+    def test_target_missing_from_label_unc_raises(self):
+        with pytest.raises(ValueError, match="missing from"):
+            self._mk(label_unc={"OTHER": 3.0})
+
+    def test_single_structure_promoted_to_list(self):
+        m = self._mk(structures=_mono_dimer2()[0])
+        assert m.get_structure_names() == ["monomer"]
+
+    def test_nn_counts_dict_missing_pair_raises(self):
+        with pytest.raises(ValueError, match="nn_counts"):
+            self._mk(nn_counts={"X-Y": 1})
+
+    def test_nn_counts_invalid_type_raises(self):
+        with pytest.raises(ValueError, match="auto"):
+            self._mk(nn_counts=42)
+
+
+class TestMixerConversions:
+    def _mixer(self):
+        return spinna.StructureMixer(
+            _mono_dimer2(), label_unc={"ALL": 3.0}, le={"ALL": 1.0},
+            width=1000.0, height=1000.0,
+        )
+
+    def test_counts_props_round_trip(self):
+        m = self._mixer()
+        counts = np.array([40, 30])  # 40 + 60 targets -> 40%/60%
+        props = m.convert_counts_to_props(counts)
+        assert props.sum() == pytest.approx(100.0)
+        back = m.convert_props_to_counts(props, N_total=100)
+        np.testing.assert_array_equal(back, counts)
+
+    def test_convert_N_structures_dict_and_array(self):
+        m = self._mixer()
+        arr = m.convert_N_structures_to_array(
+            {"monomer": [5], "dimer": [7]}
+        )
+        np.testing.assert_array_equal(arr, [[5, 7]])
+        arr2 = m.convert_N_structures_to_array([5, 7])
+        np.testing.assert_array_equal(arr2, [[5, 7]])
+
+    def test_get_neighbor_idx_duplicate(self):
+        m = spinna.StructureMixer(
+            _het(), label_unc={"ALL": 3.0}, le={"ALL": 1.0},
+            width=1000.0, height=1000.0,
+        )
+        plain = m.get_neighbor_idx(duplicate=False)
+        dup = m.get_neighbor_idx(duplicate=True)
+        assert len(dup) > len(plain)
+        pairs = [(t1, t2) for t1, t2, n in dup]
+        assert ("B", "A") in pairs
+
+    def test_roi_size_2d_and_3d(self):
+        m2 = self._mixer()
+        assert m2.roi_size == pytest.approx(1e6)
+        m3 = spinna.StructureMixer(
+            _mono_dimer2(), label_unc={"ALL": 3.0}, le={"ALL": 1.0},
+            width=100.0, height=100.0, depth=50.0,
+        )
+        assert m3.roi_size == pytest.approx(5e5)
+
+    def test_neighbor_counts_auto_homo(self):
+        m = self._mixer()
+        # dimer has 2 T's -> same-target NN count = 1
+        assert m.get_neighbor_counts("T", "T") == 1
+
+
+class TestSearchSpaceContract:
+    def test_hetero_balance(self):
+        structures = _het()
+        space = spinna.generate_N_structures(
+            structures, {"A": 60, "B": 30}, granularity=10
+        )
+        names = [s.title for s in structures]
+        counts = np.column_stack([space[n] for n in names])
+        # every candidate must account for every B (only AB has B)
+        np.testing.assert_array_equal(counts[:, 1], 30)
+        # and totals of A must match
+        np.testing.assert_array_equal(
+            counts[:, 0] + counts[:, 1], 60
+        )
+
+    def test_equal_counts_single_row(self):
+        structures = _het()
+        space = spinna.generate_N_structures(
+            structures, {"A": 50, "B": 20}, granularity=99
+        )
+        # n_structures == n_targets -> unique solution, one row each
+        assert all(len(v) == 1 for v in space.values())
+        assert space["AB"][0] == 20
+        assert space["A-only"][0] == 30
+
+    def test_save_csv(self, tmp_path):
+        path = str(tmp_path / "space.csv")
+        spinna.generate_N_structures(
+            _mono_dimer2(), {"T": 100}, granularity=5, save=path
+        )
+        import os
+
+        assert os.path.exists(path)
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        assert set(df.columns) >= {"monomer", "dimer"}
+
+
+class TestStructureContractMore:
+    def test_repr_includes_title(self):
+        s = _mono_dimer2()[1]
+        assert "dimer" in repr(s)
+
+    def test_define_appends_on_repeat(self):
+        s = spinna.Structure("s")
+        s.define_coordinates("T", [0.0], [0.0])
+        s.define_coordinates("T", [5.0], [5.0])
+        assert s.targets == ["T"]
+        assert len(s.x["T"]) == 2
+
+    def test_delete_target_idempotent(self):
+        s = _mono_dimer2()[0]
+        s.delete_target("T")
+        s.delete_target("T")  # second call is a no-op
+        assert s.targets == []
+
+    def test_get_max_nn_cross_and_missing(self):
+        a, ab = _het()
+        assert ab.get_max_nn("A", "B") == 1
+        assert ab.get_max_nn("A", "C") == 0
+        assert a.get_max_nn("A", "A") == 0  # one A -> no same-target NN
+
+    def test_save_requires_yaml_extension(self, tmp_path):
+        s = _mono_dimer2()[0]
+        with pytest.raises(ValueError, match="yaml"):
+            s.save(str(tmp_path / "s.txt"))
+
+    def test_ind_target_count_order_and_zero(self):
+        a, ab = _het()
+        assert ab.get_ind_target_count(["B", "A", "C"]) == [1, 1, 0]
+
+
+class TestMaskGeneratorContract:
+    def _locs(self):
+        rng = np.random.default_rng(0)
+        import pandas as pd
+
+        return pd.DataFrame({
+            "frame": rng.integers(0, 100, 3000).astype(np.uint32),
+            "x": rng.uniform(2, 30, 3000).astype(np.float32),
+            "y": rng.uniform(2, 30, 3000).astype(np.float32),
+        })
+
+    def test_mask_normalizes_to_unit_sum(self):
+        info = [{"Frames": 100, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        gen = spinna.MaskGenerator(
+            self._locs(), info, binsize=260.0, sigma=260.0
+        )
+        mask = gen.generate_mask()
+        assert mask.sum() == pytest.approx(1.0)
+
+    def test_area_none_before_generate_positive_after(self):
+        info = [{"Frames": 100, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        gen = spinna.MaskGenerator(
+            self._locs(), info, binsize=260.0, sigma=260.0
+        )
+        assert gen.area is None
+        gen.generate_mask(thresholded=True)
+        assert gen.area > 0
+
+    def test_save_before_generate_raises(self, tmp_path):
+        info = [{"Frames": 100, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        gen = spinna.MaskGenerator(
+            self._locs(), info, binsize=260.0, sigma=260.0
+        )
+        with pytest.raises(ValueError, match="Generate"):
+            gen.save_mask(str(tmp_path / "m.npy"))
+
+    def test_save_round_trip_with_info(self, tmp_path):
+        info = [{"Frames": 100, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        gen = spinna.MaskGenerator(
+            self._locs(), info, binsize=260.0, sigma=260.0
+        )
+        mask = gen.generate_mask()
+        path = str(tmp_path / "m.npy")
+        gen.save_mask(path)
+        back = np.load(path)
+        np.testing.assert_array_equal(back, mask)
+        assert (tmp_path / "m.yaml").exists()
+
+
+class TestSpinnaFitContract:
+    def _fitter(self, seed=0):
+        np.random.seed(seed)
+        mixer = spinna.StructureMixer(
+            _mono_dimer2(), label_unc={"ALL": 3.0}, le={"ALL": 1.0},
+            width=5000.0, height=5000.0,
+        )
+        gt = mixer.run_simulation([60, 70])
+        return spinna.SPINNA(mixer, gt, N_sim=1), mixer
+
+    def test_requires_structure_mixer(self):
+        with pytest.raises((TypeError, AttributeError,
+                            AssertionError)):
+            spinna.SPINNA("not a mixer", {"T": np.zeros((5, 2))})
+
+    def test_return_scores_adds_element(self):
+        fitter, mixer = self._fitter()
+        space = spinna.generate_N_structures(
+            _mono_dimer2(), {"T": 200}, granularity=5
+        )
+        out = fitter.fit(space, fitting_mode="brute-force", return_scores=True)
+        assert len(out) == 3
+        props, score, scores = out
+        assert len(np.atleast_1d(scores)) > 1
+
+    def test_save_csv_creates_file(self, tmp_path):
+        fitter, mixer = self._fitter()
+        space = spinna.generate_N_structures(
+            _mono_dimer2(), {"T": 200}, granularity=5
+        )
+        path = str(tmp_path / "scores.csv")
+        fitter.fit(space, fitting_mode="brute-force", save=path)
+        import os
+
+        assert os.path.exists(path)
+
+    def test_bootstrap_returns_pair_of_pairs(self):
+        fitter, mixer = self._fitter()
+        space = spinna.generate_N_structures(
+            _mono_dimer2(), {"T": 200}, granularity=4
+        )
+        (props, sems), (score, score_sem) = fitter.fit(
+            space, fitting_mode="brute-force", bootstrap=True
+        )
+        assert len(np.atleast_1d(props)) == 2
+        assert np.all(np.atleast_1d(sems) >= 0)
+
+    def test_evaluate_single_finite(self):
+        fitter, mixer = self._fitter()
+        val = fitter._evaluate_single(np.array([60, 70]))
+        assert np.isfinite(val)
+
+    def test_farthest_point_sampling_unique(self):
+        pts = np.random.default_rng(0).uniform(0, 1, (50, 2))
+        idx = spinna.SPINNA._farthest_point_sampling(pts, 10)
+        assert len(set(map(int, idx))) == 10
+
+
+class TestLeHelpers:
+    def test_check_structures_valid_true_and_false(self):
+        # valid: monomer-A, monomer-B, heterodimer AB
+        a = spinna.Structure("A")
+        a.define_coordinates("A", [0.0], [0.0])
+        b = spinna.Structure("B")
+        b.define_coordinates("B", [0.0], [0.0])
+        ab = spinna.Structure("AB")
+        ab.define_coordinates("A", [0.0], [0.0])
+        ab.define_coordinates("B", [10.0], [0.0])
+        assert spinna.check_structures_valid_for_fitting(
+            [a, b, ab], {"A": 50, "B": 50}
+        )
+        # missing target count -> invalid
+        assert not spinna.check_structures_valid_for_fitting(
+            [a, b, ab], {"A": 50}
+        )
+        # fewer structures than targets -> invalid
+        assert not spinna.check_structures_valid_for_fitting(
+            [ab], {"A": 50, "B": 50}
+        )
+
+    def test_get_le_from_props(self):
+        a = spinna.Structure("A")
+        a.define_coordinates("A", [0.0], [0.0])
+        b = spinna.Structure("B")
+        b.define_coordinates("B", [0.0], [0.0])
+        ab = spinna.Structure("AB")
+        ab.define_coordinates("A", [0.0], [0.0])
+        ab.define_coordinates("B", [10.0], [0.0])
+        structures = [a, b, ab]
+        targets = ["A", "B"]
+        # 50% of A targets and 50% of B targets in the dimer
+        le = spinna.get_le_from_props(
+            [25.0, 25.0, 50.0], structures, targets
+        )
+        assert set(le) == {"A", "B"}
+        # reported in percent: 50/(25+50) of A targets in the dimer
+        assert le["A"] == pytest.approx(100 * 50 / 75)
+        assert le["B"] == pytest.approx(100 * 50 / 75)
