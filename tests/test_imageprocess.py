@@ -118,3 +118,97 @@ def test_rcc_sharded_path_matches_host(monkeypatch):
     np.testing.assert_allclose(
         sharded_drift[1], host_drift[1], atol=1e-3
     )
+
+
+class TestXcorrContract:
+    def test_zero_input_no_nan(self):
+        a = np.zeros((32, 32), np.float32)
+        out = imageprocess.xcorr(a, a)
+        assert np.isfinite(out).all()
+
+    def test_no_shift_returns_zero(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((48, 48)).astype(np.float32)
+        dy, dx = imageprocess.get_image_shift(img, img, box=5)
+        assert abs(dy) < 0.05 and abs(dx) < 0.05
+
+    def test_zero_image_short_circuits(self):
+        img = np.zeros((32, 32), np.float32)
+        other = np.random.default_rng(1).random(
+            (32, 32)
+        ).astype(np.float32)
+        dy, dx = imageprocess.get_image_shift(img, other, box=5)
+        assert (dy, dx) == (0, 0)
+
+
+class TestFindFiducials:
+    def _locs(self):
+        import pandas as pd
+
+        rng = np.random.default_rng(2)
+        n_frames = 200
+        rows = []
+        for fx, fy in [(8.0, 8.0), (24.0, 20.0)]:
+            rows.append(pd.DataFrame({
+                "frame": np.arange(n_frames, dtype=np.uint32),
+                "x": (fx + rng.normal(0, 0.02, n_frames)
+                      ).astype(np.float32),
+                "y": (fy + rng.normal(0, 0.02, n_frames)
+                      ).astype(np.float32),
+                "photons": np.full(n_frames, 4000, np.float32),
+                "lpx": np.full(n_frames, 0.02, np.float32),
+                "lpy": np.full(n_frames, 0.02, np.float32),
+            }))
+        # sparse background
+        rows.append(pd.DataFrame({
+            "frame": rng.integers(
+                0, n_frames, 100
+            ).astype(np.uint32),
+            "x": rng.uniform(0, 32, 100).astype(np.float32),
+            "y": rng.uniform(0, 32, 100).astype(np.float32),
+            "photons": np.full(100, 1000, np.float32),
+            "lpx": np.full(100, 0.05, np.float32),
+            "lpy": np.full(100, 0.05, np.float32),
+        }))
+        import pandas as pd
+
+        return pd.concat(rows, ignore_index=True)
+
+    def test_returns_picks_near_fiducials(self):
+        info = [{"Frames": 200, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        picks, box = imageprocess.find_fiducials(
+            self._locs(), info
+        )
+        assert box > 0
+        assert len(picks) >= 2
+        found = np.array(picks, float)
+        for fx, fy in [(8.0, 8.0), (24.0, 20.0)]:
+            d = np.hypot(found[:, 0] - fx, found[:, 1] - fy)
+            assert d.min() < 1.5
+
+    def test_picks_within_bounds(self):
+        info = [{"Frames": 200, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        picks, _ = imageprocess.find_fiducials(self._locs(), info)
+        for x, y in picks:
+            assert 0 <= x <= 32 and 0 <= y <= 32
+
+
+class TestRadialSum:
+    def test_delta_at_center(self):
+        img = np.zeros((33, 33), np.float32)
+        img[16, 16] = 5.0
+        rs = imageprocess.radial_sum(img)
+        assert rs[0] == pytest.approx(5.0)
+        assert rs[1:].sum() == pytest.approx(0.0)
+
+    def test_total_mass_within_disk(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((33, 33)).astype(np.float32)
+        rs = imageprocess.radial_sum(img)
+        # all mass within the inscribed disk is accounted for
+        yy, xx = np.mgrid[:33, :33]
+        r = np.hypot(yy - 16, xx - 16)
+        inside = img[r < 16].sum()
+        assert rs[:16].sum() == pytest.approx(inside, rel=0.1)

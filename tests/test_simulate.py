@@ -217,3 +217,113 @@ class TestPaintgenDetails:
         assert n_events > 0
         assert sim_dark == pytest.approx(meandark, rel=0.4)
         assert sim_bright == pytest.approx(meanbright, rel=0.4)
+
+
+class TestNoiseHelpers:
+    def test_check_type_clamps_uint16(self):
+        movie = np.array([[70000.0, 10.0]])
+        out = simulate.check_type(movie)
+        assert out.dtype == np.dtype("u2")
+        assert out[0, 0] == 65535
+        assert out[0, 1] == 10
+
+    def test_noisy_clips_negative(self):
+        np.random.seed(0)
+        img = np.zeros((16, 16))
+        out = simulate.noisy(img, mu=-100.0, sigma=1.0)
+        assert (out >= 0).all()
+
+    def test_noisy_p_poisson_mean(self):
+        np.random.seed(1)
+        img = np.full((64, 64), 7.0)
+        out = simulate.noisy_p(img, mu=20.0)
+        assert out.mean() == pytest.approx(27.0, rel=0.05)
+
+
+class TestStructureHelpers:
+    def test_define_structure_centers_when_mean_true(self):
+        s = simulate.defineStructure(
+            [0.0, 10.0], [0.0, 0.0], [1, 1], [0, 0], 130.0,
+            mean=True,
+        )
+        assert s[0].mean() == pytest.approx(0.0)
+
+    def test_define_structure_no_center_when_mean_false(self):
+        s = simulate.defineStructure(
+            [0.0, 10.0], [0.0, 0.0], [1, 1], [0, 0], 130.0,
+            mean=False,
+        )
+        assert s[0].mean() != pytest.approx(0.0)
+
+    def test_pixelsize_conversion(self):
+        s = simulate.defineStructure(
+            [130.0], [260.0], [1], [0], 130.0, mean=False
+        )
+        assert s[0, 0] == pytest.approx(1.0)
+        assert s[1, 0] == pytest.approx(2.0)
+
+    def test_grid_positions(self):
+        pos = simulate.generatePositions(9, 32, 4, arrangement=0)
+        assert pos.shape == (9, 2)
+        assert pos.min() >= 4 and pos.max() <= 28
+        # grid: 3 unique x values
+        assert len(np.unique(pos[:, 0])) == 3
+
+    def test_random_positions_in_range(self):
+        np.random.seed(2)
+        pos = simulate.generatePositions(50, 32, 4, arrangement=1)
+        assert pos.shape == (50, 2)
+        assert pos.min() >= 4 and pos.max() <= 28
+
+    def test_rotate_preserves_pairwise_distances(self):
+        np.random.seed(3)
+        s = simulate.defineStructure(
+            [0.0, 10.0, 5.0], [0.0, 0.0, 8.0], [1, 1, 2],
+            [0, 0, 0], 130.0,
+        )
+        r = simulate.rotateStructure(s)
+        d0 = np.hypot(s[0, 0] - s[0, 1], s[1, 0] - s[1, 1])
+        d1 = np.hypot(r[0, 0] - r[0, 1], r[1, 0] - r[1, 1])
+        assert d1 == pytest.approx(d0, rel=1e-6)
+        # exchange + 3d rows preserved
+        np.testing.assert_array_equal(r[2], s[2])
+        np.testing.assert_array_equal(r[3], s[3])
+
+    def test_incorporation_extremes(self):
+        s = simulate.defineStructure(
+            [0.0, 10.0], [0.0, 0.0], [1, 1], [0, 0], 130.0
+        )
+        full = simulate.incorporateStructure(s, 1.0)
+        assert full.shape[1] == 2
+        np.random.seed(4)
+        empty = simulate.incorporateStructure(s, 0.0)
+        assert empty.shape[1] == 0
+
+    def test_random_exchange_preserves_geometry(self):
+        np.random.seed(5)
+        s = simulate.defineStructure(
+            [0.0, 10.0], [0.0, 5.0], [1, 2], [0, 0], 130.0
+        )
+        out = simulate.randomExchange(s)
+        np.testing.assert_array_equal(out[0], s[0])
+        np.testing.assert_array_equal(out[1], s[1])
+        np.testing.assert_array_equal(out[3], s[3])
+
+
+class TestDistPhotons:
+    def test_returns_triple_with_per_site_traces(self):
+        np.random.seed(6)
+        photondist, spotkinetics, timetraces = simulate.distphotons(
+            structures=np.array([[0.0, 1.0], [0.0, 0.0],
+                                 [1, 1], [0, 0]]),
+            itime=300,
+            frames=10,
+            taud=1000,
+            taub=500,
+            photonrate=50.0,
+            photonratestd=5.0,
+            photonbudget=1e9,
+        )
+        assert photondist.shape == (2, 10)
+        assert (photondist >= 0).all()
+        assert len(spotkinetics) == len(timetraces) == 2
