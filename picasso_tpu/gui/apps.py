@@ -491,6 +491,29 @@ class SimulateApp(_PluginHost):
             bg, bgstd, laser, itime, conc
         )
 
+    def import_design(self, path: str, pixelsize: float = 130.0):
+        """Load a Design yaml (Structure.StructureX/Y/Ex comma
+        strings) as the custom structure (reference importDesign,
+        gui/simulate.py:1770)."""
+        from picasso_tpu import io as _io
+
+        info = _io.load_info(path)
+        xs = [
+            float(v) for v in
+            str(info[0]["Structure.StructureX"]).split(",") if v
+        ]
+        ys = [
+            float(v) for v in
+            str(info[0]["Structure.StructureY"]).split(",") if v
+        ]
+        ex = [
+            int(v) for v in
+            str(info[0]["Structure.StructureEx"]).split(",") if v
+        ]
+        return self.custom_structure(
+            xs, ys, exchange=ex, pixelsize=pixelsize
+        )
+
 
 # Rectangular-origami staple canvas: 16 structure rows (A..P) by 12
 # columns, matching the base staple table (design_sequences) and the
@@ -618,6 +641,50 @@ class DesignApp(_PluginHost):
         )
         _design.savePlate(path, [data])
         return data
+
+    def structure_nm(self) -> tuple[list, list, list]:
+        """Extended sites as simulate-ready nm coordinates on the
+        reference's staggered origami lattice: 5 nm column pitch, rows
+        offset by half a pitch on odd columns (the hexagonal canvas
+        math of picasso/gui/design.py:286 indextoHex scaled by
+        0.125*4/3 at :916, i.e. X = 5*i, Y = 2.5 + 5*j + 2.5*(i%2))."""
+        xs, ys, ex = [], [], []
+        for r in range(DESIGN_ROWS):
+            for c in range(DESIGN_COLUMNS):
+                color = int(self.grid[r, c])
+                if color > 0:
+                    xs.append(5.0 * r)
+                    ys.append(2.5 + 5.0 * c + 2.5 * (r % 2))
+                    ex.append(color)
+        return xs, ys, ex
+
+    def export_design(self, path: str):
+        """Save the design yaml in the reference format, consumable by
+        Simulate's 'Import design' (picasso/gui/design.py:1186 keys
+        Structure.StructureX/Y/Ex as comma-joined strings;
+        gui/simulate.py:1770 importDesign)."""
+        from picasso_tpu import io as _io
+
+        xs, ys, ex = self.structure_nm()
+        structure = [
+            [_ROW_LETTERS[r], c + 1, int(self.grid[r, c])]
+            for r in range(DESIGN_ROWS)
+            for c in range(DESIGN_COLUMNS)
+        ]
+        info = {
+            "Generated by": "picasso-tpu Design",
+            "Structure": structure,
+            "Structure.StructureX": ",".join(
+                f"{v:g}" for v in xs
+            ),
+            "Structure.StructureY": ",".join(
+                f"{v:g}" for v in ys
+            ),
+            "Structure.StructureEx": ",".join(
+                str(v) for v in ex
+            ),
+        }
+        _io.save_info(path, [info])
 
     def save_design(self, path: str):
         with open(path, "w") as f:

@@ -361,3 +361,32 @@ class TestSimulateAppDesigner:
         data = np.concatenate([np.zeros(100), [100.0]])
         out = simulate.sigmafilter(data, 2)
         assert 100.0 not in out
+
+
+class TestDesignSimulateHandoff:
+    def test_export_import_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from picasso_tpu import gui
+
+        d = gui.DesignApp()
+        d.grid[0, 0] = 1   # A1
+        d.grid[1, 2] = 2   # B3 (odd row -> half-pitch y offset)
+        path = str(tmp_path / "design.yaml")
+        d.export_design(path)
+
+        xs, ys, ex = d.structure_nm()
+        assert xs == [0.0, 5.0]
+        assert ys[0] == 2.5            # 2.5 + 5*0
+        assert ys[1] == 2.5 + 10 + 2.5  # col 2 on odd row
+        assert ex == [1, 2]
+
+        s = gui.SimulateApp()
+        structure = s.import_design(path)
+        assert structure.shape == (4, 2)
+        # centered, px units; pairwise geometry preserved
+        dx_nm = (structure[0, 1] - structure[0, 0]) * 130.0
+        dy_nm = (structure[1, 1] - structure[1, 0]) * 130.0
+        assert dx_nm == __import__("pytest").approx(5.0, abs=1e-6)
+        assert dy_nm == __import__("pytest").approx(12.5, abs=1e-6)
+        np.testing.assert_array_equal(structure[2], [1, 2])
