@@ -263,3 +263,87 @@ def pair_xcorrs_sharded(
         jax.device_put(jj, pair_sharding),
     )
     return np.asarray(out)[:n_pairs]
+
+
+def identify_sharded(
+    frames: np.ndarray,
+    minimum_ng: float,
+    box: int,
+    mesh: Mesh | None = None,
+    bucket: int = 4096,
+):
+    """Spot identification with the FRAME batch sharded over the mesh
+    (SURVEY P1 multi-chip): every device runs the max-filter +
+    net-gradient maps and a local compaction on its frame shard; only
+    the per-device hit buckets travel. Mirrors the single-chip
+    ops.identify.identify_frames contract (reference threaded
+    identification, picasso/localize.py:482-519).
+
+    Returns flat (frame, y, x, net_gradient) numpy arrays sorted by
+    frame, identical to the single-device path.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from picasso_tpu.ops.identify import _identify_compact
+
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    frames = np.asarray(frames)
+    n_frames = len(frames)
+    per_dev = -(-max(n_frames, 1) // n_dev)
+    pad = per_dev * n_dev - n_frames
+    if pad:
+        # zero frames produce no local maxima above threshold
+        frames = np.concatenate(
+            [frames, np.zeros((pad, *frames.shape[1:]), frames.dtype)]
+        )
+    sharding = NamedSharding(mesh, P("spots", None, None))
+    frames_dev = jax.device_put(frames, sharding)
+    ng_thresh = jnp.float32(minimum_ng)
+
+    size = bucket
+    while True:
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("spots", None, None),),
+            out_specs=(P("spots"),) * 5,
+        )
+        def _shard_identify(f_shard):
+            count, f, y, x, ng = _identify_compact(
+                f_shard, ng_thresh, box, size
+            )
+            offset = jax.lax.axis_index("spots") * per_dev
+            f = jnp.where(f >= 0, f + offset, -1)
+            return (
+                count[None], f[None], y[None], x[None], ng[None]
+            )
+
+        counts, f, y, x, ng = jax.jit(_shard_identify)(frames_dev)
+        counts = np.asarray(counts)
+        if counts.max(initial=0) <= size:
+            break
+        size = 1 << (int(counts.max()) - 1).bit_length()
+
+    out_f, out_y, out_x, out_ng = [], [], [], []
+    f, y, x, ng = map(np.asarray, (f, y, x, ng))
+    for d in range(n_dev):
+        n = int(counts[d])
+        if n == 0:
+            continue
+        out_f.append(f[d, :n].astype(np.int64))
+        out_y.append(y[d, :n].astype(np.int64))
+        out_x.append(x[d, :n].astype(np.int64))
+        out_ng.append(ng[d, :n].astype(np.float32))
+    if not out_f:
+        empty = np.zeros(0, np.int64)
+        return empty, empty, empty, np.zeros(0, np.float32)
+    f = np.concatenate(out_f)
+    keep = f < n_frames  # drop hits from padding (none expected)
+    return (
+        f[keep],
+        np.concatenate(out_y)[keep],
+        np.concatenate(out_x)[keep],
+        np.concatenate(out_ng)[keep],
+    )

@@ -136,3 +136,47 @@ class TestPairXcorrsSharded:
         ) / np.sqrt(16 * 16)
         assert out.shape == (len(pairs), 16, 16)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestIdentifySharded:
+    def test_matches_single_device(self):
+        import numpy as np
+
+        from picasso_tpu.ops import identify as idops
+        from picasso_tpu.parallel import mesh as pmesh
+
+        rng = np.random.default_rng(0)
+        frames = rng.poisson(30, (37, 48, 48)).astype(np.uint16)
+        yy, xx = np.mgrid[-3:4, -3:4]
+        psf = np.exp(-(yy**2 + xx**2) / 2.4)
+        for i in range(37):
+            for cy, cx in ((10, 10), (30, 20), (40, 40)):
+                frames[i, cy - 3:cy + 4, cx - 3:cx + 4] += (
+                    rng.poisson(psf * 600).astype(np.uint16)
+                )
+        f1, y1, x1, ng1 = idops.identify_frames(frames, 2000, 7)
+        f2, y2, x2, ng2 = pmesh.identify_sharded(frames, 2000, 7)
+        o1 = np.lexsort((x1, y1, f1))
+        o2 = np.lexsort((x2, y2, f2))
+        np.testing.assert_array_equal(f1[o1], f2[o2])
+        np.testing.assert_array_equal(y1[o1], y2[o2])
+        np.testing.assert_array_equal(x1[o1], x2[o2])
+        np.testing.assert_allclose(
+            ng1[o1], ng2[o2], rtol=1e-6
+        )
+
+    def test_empty_and_bucket_growth(self):
+        import numpy as np
+
+        from picasso_tpu.parallel import mesh as pmesh
+
+        flat = np.zeros((16, 32, 32), np.uint16)
+        f, y, x, ng = pmesh.identify_sharded(flat, 100.0, 5)
+        assert len(f) == 0
+        # tiny bucket forces the retry-with-bigger-bucket path
+        dense = np.zeros((8, 32, 32), np.uint16)
+        dense[:, 4:28:4, 4:28:4] = 1000
+        f, y, x, ng = pmesh.identify_sharded(
+            dense, 10.0, 3, bucket=2
+        )
+        assert len(f) > 16
