@@ -209,3 +209,77 @@ class TestDeviceAveraging:
             return (img**2).sum() / max(img.sum(), 1) ** 2
 
         assert sharpness(out) > 1.5 * sharpness(locs)
+
+
+class TestXcorrShapes:
+    @pytest.mark.parametrize("shape", [(16, 16), (32, 16), (17, 23)])
+    def test_xcorr_shape(self, shape):
+        rng = np.random.default_rng(0)
+        a = rng.random(shape).astype(np.float32)
+        CF = np.conj(np.fft.fft2(a))
+        out = average.compute_xcorr(CF, a)
+        assert out.shape == shape
+
+
+class TestAlignGroupCore:
+    def test_no_shift_when_group_equals_average(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 0.3, 200).astype(np.float32)
+        y = rng.normal(0, 0.3, 200).astype(np.float32)
+        oversampling, r = 10.0, 1.2
+        _, img = average._render_hist_square(
+            x, y, oversampling, -r, r
+        )
+        CF = np.conj(np.fft.fft2(img))
+        angles = np.array([0.0])
+        xa, ya = average.align_group_core(
+            np.arange(200), x, y, angles, oversampling, -r, r,
+            CF, img.shape[0] / 2,
+        )
+        # aligning a group against ITS OWN average must not move it
+        np.testing.assert_allclose(xa, x, atol=0.15)
+        np.testing.assert_allclose(ya, y, atol=0.15)
+
+
+class TestPrepareLocsForSave:
+    def _grouped(self):
+        rng = np.random.default_rng(2)
+        n = 200
+        return pd.DataFrame({
+            "frame": rng.integers(0, 50, n).astype(np.uint32),
+            "x": rng.normal(0, 0.4, n).astype(np.float32),
+            "y": rng.normal(0, 0.4, n).astype(np.float32),
+            "group": rng.integers(0, 5, n).astype(np.int32),
+        })
+
+    def test_params_in_metadata_and_partial(self):
+        info = [{"Frames": 50, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        out, new_info = average.prepare_locs_for_save(
+            self._grouped(), info, {"it": 7, "bogus": 1}
+        )
+        assert new_info[-1]["Iterations"] == 7  # unknown keys ignored
+        assert "bogus" not in new_info[-1]
+        assert len(new_info) == len(info) + 1
+
+    def test_shifts_to_positive_coords(self):
+        info = [{"Frames": 50, "Height": 32, "Width": 32,
+                 "Pixelsize": 130}]
+        locs = self._grouped()
+        locs["x"] -= 10  # push negative
+        out, _ = average.prepare_locs_for_save(locs, info, {})
+        assert (out["x"] > 0).all()
+        assert (out["y"] > 0).all()
+
+
+class TestComAlign:
+    def test_single_group(self):
+        locs = pd.DataFrame({
+            "x": np.array([1.0, 3.0], np.float32),
+            "y": np.array([2.0, 4.0], np.float32),
+            "group": np.array([0, 0], np.int32),
+        })
+        gi = average.build_group_index(locs)
+        out = average.com_align(locs, gi)
+        assert out["x"].mean() == pytest.approx(0.0)
+        assert out["y"].mean() == pytest.approx(0.0)
