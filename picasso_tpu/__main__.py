@@ -596,6 +596,18 @@ def _spinna_cmd(args):
     print(f"KS score: {score:.4f}")
 
 
+def _spinna_batch_cmd(args):
+    from picasso_tpu import spinna
+
+    summary = spinna.batch_analysis(
+        args.parameters,
+        bootstrap=args.bootstrap,
+        verbose=args.verbose,
+        fitting_mode=args.mode,
+    )
+    print(summary.to_string(index=False))
+
+
 def _server(args):
     import subprocess
 
@@ -876,6 +888,26 @@ def main():
         default="coarse-to-fine",
     )
 
+    p = subparsers.add_parser(
+        "spinna-batch",
+        help="SPINNA batch analysis from a CSV parameters file"
+        " (one fit per row; LE fitting rows supported)",
+    )
+    p.add_argument("parameters", help="parameters .csv file")
+    p.add_argument(
+        "-b", "--bootstrap", action="store_true",
+        help="bootstrap SEMs",
+    )
+    p.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="per-row console progress",
+    )
+    p.add_argument(
+        "-m", "--mode",
+        choices=["coarse-to-fine", "bayesian", "brute-force"],
+        default="bayesian",
+    )
+
     subparsers.add_parser(
         "server", help="monitoring server (streamlit)"
     )
@@ -915,6 +947,7 @@ def main():
         "hdf2chimera": _hdf2chimera,
         "hdf2visp": _hdf2visp,
         "spinna": _spinna_cmd,
+        "spinna-batch": _spinna_batch_cmd,
         "server": _server,
     }
     if args.command is None:

@@ -18,6 +18,7 @@ required).
 
 from __future__ import annotations
 
+import os
 from copy import deepcopy
 from itertools import product as it_prod
 from typing import Literal
@@ -1675,3 +1676,345 @@ def compare_models_given_label_unc(
     return compare_models(
         models, exp_data, granularity, fixed, **kwargs
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch analysis (CSV-parameterized runs; reference CLI
+# picasso/__main__.py:2210 _spinna_batch_analysis + helpers :1403-2088)
+# ---------------------------------------------------------------------------
+
+
+def _batch_targets_from_row(row) -> list[str]:
+    """Targets inferred from the exp_data_* columns (LE-fitting rows
+    carry no structures file)."""
+    targets = [
+        c[len("exp_data_"):]
+        for c in row.index
+        if c.startswith("exp_data_") and not pd.isna(row[c])
+    ]
+    if len(targets) != 2:
+        raise ValueError(
+            "LE fitting requires exactly two exp_data_* columns; got"
+            f" {targets}."
+        )
+    return targets
+
+
+def _batch_load_target_data(row, targets, le_fitting):
+    """Per-target experimental coords (nm), label uncertainties, LEs
+    and simulated molecule counts from one CSV row."""
+    label_unc: dict = {}
+    le: dict = {}
+    exp_data: dict = {}
+    n_simulated: dict = {}
+    infos: dict = {}
+    dim = 2
+    for t in targets:
+        for col in (f"label_unc_{t}", f"exp_data_{t}"):
+            if col not in row.index:
+                raise ValueError(
+                    f"Column {col} not found in the parameters file."
+                )
+        if not le_fitting and f"le_{t}" not in row.index:
+            raise ValueError(
+                f"Column le_{t} not found in the parameters file."
+            )
+        if le_fitting:
+            label_unc[t] = [
+                float(v)
+                for v in str(row[f"label_unc_{t}"]).split(",") if v
+            ]
+            le[t] = 1.0
+        else:
+            label_unc[t] = float(row[f"label_unc_{t}"])
+            le[t] = float(row[f"le_{t}"]) / 100
+        locs, info = io.load_locs(str(row[f"exp_data_{t}"]))
+        infos[t] = info
+        pixelsize = lib.get_from_metadata(info, "Pixelsize", 130)
+        if "z" in locs.columns:
+            exp_data[t] = np.column_stack([
+                locs["x"].to_numpy() * pixelsize,
+                locs["y"].to_numpy() * pixelsize,
+                locs["z"].to_numpy(),
+            ])
+            dim = 3
+        else:
+            exp_data[t] = np.column_stack([
+                locs["x"].to_numpy() * pixelsize,
+                locs["y"].to_numpy() * pixelsize,
+            ])
+        n_simulated[t] = (
+            len(locs) if le_fitting else int(len(locs) / le[t])
+        )
+    return label_unc, le, exp_data, n_simulated, dim, infos
+
+
+def _batch_resolve_roi(row, dim, targets, infos):
+    """ROI for one row: homogeneous area/volume, metadata area
+    fallback, or per-target density masks."""
+    apply_mask = True
+    area = volume = z_range = None
+    mask_paths: dict = {}
+    if dim == 3:
+        if "volume" in row.index and not pd.isna(row["volume"]):
+            volume = float(row["volume"])
+            apply_mask = False
+            if "z_range" not in row.index:
+                raise ValueError(
+                    "3D homogeneous simulation needs a z_range column."
+                )
+            z_range = float(row["z_range"])
+    else:
+        if "area" in row.index and pd.notna(row["area"]):
+            area = float(row["area"])
+            apply_mask = False
+        elif infos:
+            meta_area = lib.get_from_metadata(
+                infos[targets[0]], "Area (um^2)"
+            )
+            if meta_area is not None:
+                area = float(meta_area)
+                apply_mask = False
+    if apply_mask:
+        for t in targets:
+            col = f"mask_filename_{t}"
+            if col not in row.index or pd.isna(row[col]):
+                raise ValueError(
+                    f"Column {col} required (no area/volume given)."
+                )
+            mask_paths[t] = str(row[col])
+    return apply_mask, mask_paths, area, volume, z_range
+
+
+def _batch_roi_to_mixer_kwargs(
+    targets, apply_mask, mask_paths, dim, area, volume, z_range
+):
+    if apply_mask:
+        import yaml as _yaml
+
+        masks, mask_infos = {}, {}
+        for t in targets:
+            masks[t] = np.load(mask_paths[t])
+            ipath = os.path.splitext(mask_paths[t])[0] + ".yaml"
+            with open(ipath) as f:
+                mask_infos[t] = _yaml.full_load(f)
+        return dict(
+            mask_dict={"masks": masks, "infos": mask_infos},
+            width=None, height=None, depth=None,
+        )
+    if dim == 2:
+        side = float(np.sqrt(area * 1e6))  # um^2 -> nm side
+        return dict(
+            mask_dict=None, width=side, height=side, depth=None
+        )
+    depth = z_range
+    side = float(np.sqrt(volume * 1e9 / depth))
+    return dict(
+        mask_dict=None, width=side, height=side, depth=depth
+    )
+
+
+def batch_analysis(
+    parameters_filename: str,
+    asynch: bool = True,
+    bootstrap: bool = False,
+    verbose: bool = False,
+    fitting_mode: Literal[
+        "coarse-to-fine", "bayesian", "brute-force"
+    ] = "bayesian",
+) -> pd.DataFrame:
+    """SPINNA batch analysis from a CSV parameters file — one fit
+    (or LE fit, when ``le_fitting=1``) per row, results saved to a
+    fresh ``<parameters>__fitting_results`` directory. Column contract
+    matches the reference CLI (picasso/__main__.py:2210): per-target
+    ``exp_data_*``/``label_unc_*``/``le_*`` columns, ``granularity``,
+    ``sim_repeats``, ``save_filename``, ``NND_bin``, ``NND_maxdist``,
+    ROI via ``area``/``volume``+``z_range``/``mask_filename_*`` (with
+    the 'Area (um^2)' metadata fallback), optional ``rotation_mode``,
+    ``le_fitting`` and ``distances``. Returns the summary DataFrame
+    (also written as ``summary_results.csv``)."""
+    if not isinstance(parameters_filename, str):
+        raise TypeError(
+            "parameters_filename must be a string ending with .csv"
+        )
+    if not parameters_filename.endswith(".csv"):
+        raise TypeError("parameters_filename must end with .csv")
+    parameters = pd.read_csv(parameters_filename)
+    for column in (
+        "granularity", "save_filename", "NND_bin", "NND_maxdist",
+        "sim_repeats",
+    ):
+        if column not in parameters.columns:
+            raise ValueError(
+                f"Column {column} not found in the parameters file."
+            )
+    base, _ = os.path.splitext(parameters_filename)
+    result_dir = base + "__fitting_results"
+    i = 1
+    while os.path.isdir(result_dir):
+        result_dir = base + f"__fitting_results_{i}"
+        i += 1
+    os.makedirs(result_dir)
+
+    summary = []
+    for index, row in parameters.iterrows():
+        summary.append(
+            _batch_process_row(
+                index, row, result_dir, asynch=asynch,
+                bootstrap=bootstrap, verbose=verbose,
+                fitting_mode=fitting_mode,
+            )
+        )
+    summary = pd.DataFrame(summary)
+    summary.to_csv(
+        os.path.join(result_dir, "summary_results.csv"), index=False
+    )
+    return summary
+
+
+def _batch_process_row(
+    index, row, result_dir, *, asynch, bootstrap, verbose,
+    fitting_mode,
+):
+    granularity = int(row["granularity"])
+    sim_repeats = int(row["sim_repeats"])
+    save_base, _ = os.path.splitext(str(row["save_filename"]))
+    save_filename = os.path.join(
+        result_dir, os.path.basename(save_base)
+    )
+    le_fitting = (
+        "le_fitting" in row.index
+        and not pd.isna(row["le_fitting"])
+        and int(row["le_fitting"]) == 1
+    )
+    random_rot_mode = "2D"
+    if "rotation_mode" in row.index and isinstance(
+        row["rotation_mode"], str
+    ):
+        random_rot_mode = row["rotation_mode"]
+        if random_rot_mode == "None":
+            random_rot_mode = None
+
+    if le_fitting:
+        targets = _batch_targets_from_row(row)
+        structures = None
+    else:
+        if "structures_filename" not in row.index or pd.isna(
+            row["structures_filename"]
+        ):
+            raise ValueError(
+                f"Row {index}: structures_filename is required when"
+                " le_fitting != 1."
+            )
+        structures, targets = load_structures(
+            str(row["structures_filename"])
+        )
+    label_unc, le, exp_data, n_simulated, dim, infos = (
+        _batch_load_target_data(row, targets, le_fitting)
+    )
+    apply_mask, mask_paths, area, volume, z_range = (
+        _batch_resolve_roi(row, dim, targets, infos)
+    )
+    roi_kwargs = _batch_roi_to_mixer_kwargs(
+        targets, apply_mask, mask_paths, dim, area, volume, z_range
+    )
+
+    if le_fitting:
+        if "distances" not in row.index or pd.isna(row["distances"]):
+            raise ValueError(
+                f"Row {index}: distances is required when"
+                " le_fitting=1."
+            )
+        distances = [
+            float(v) for v in str(row["distances"]).split(",") if v
+        ]
+        # per-target label-unc candidates -> grid over products
+        le_out, best_unc, best_d, best_score, best_props, mixer = (
+            fit_le(
+                targets[0], targets[1], exp_data, granularity,
+                label_unc, distances, N_sim=sim_repeats,
+                random_rot_mode=random_rot_mode, asynch=asynch,
+                fitting_mode=fitting_mode, **roi_kwargs,
+            )
+        )
+        results = {
+            "row": index,
+            "le_fitting": 1,
+            "targets": ",".join(targets),
+            "best_distance_nm": best_d,
+            "score": float(best_score),
+            **{f"le_{t}": le_out[t] for t in targets},
+            **{
+                f"label_unc_{t}": best_unc[t]
+                if isinstance(best_unc, dict) else best_unc
+                for t in targets
+            },
+        }
+        opt_props = best_props
+    else:
+        N_structures = generate_N_structures(
+            structures, n_simulated, granularity
+        )
+        mixer = StructureMixer(
+            structures=structures, label_unc=label_unc, le=le,
+            random_rot_mode=random_rot_mode, **roi_kwargs,
+        )
+        fit_out = SPINNA(
+            mixer=mixer, gt_coords=exp_data, N_sim=sim_repeats
+        ).fit_stoichiometry(
+            N_structures,
+            fitting_mode=fitting_mode,
+            save=f"{save_filename}_fit_scores.csv",
+            bootstrap=bootstrap,
+            callback="console" if verbose else None,
+        )
+        if bootstrap:
+            (opt_props, prop_sems), (score, score_sem) = fit_out
+        else:
+            opt_props, score = fit_out
+            prop_sems = score_sem = None
+        names = mixer.get_structure_names()
+        results = {
+            "row": index,
+            "le_fitting": 0,
+            "targets": ",".join(targets),
+            "score": float(np.asarray(score).reshape(-1)[0]),
+            **{
+                f"prop_{n}": float(p)
+                for n, p in zip(names, np.atleast_1d(opt_props))
+            },
+        }
+        if prop_sems is not None:
+            results.update({
+                f"prop_sem_{n}": float(p)
+                for n, p in zip(names, np.atleast_1d(prop_sems))
+            })
+
+    with open(f"{save_filename}_fit_summary.txt", "w") as f:
+        for key, value in results.items():
+            f.write(f"{key}: {value}\n")
+
+    # NND overlay plot at the fitted proportions
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        N_best = mixer.convert_props_to_counts(
+            np.atleast_1d(opt_props),
+            sum(n_simulated[t] for t in targets),
+        )
+        dists_exp = get_NN_dist_experimental(exp_data, mixer)
+        dists_sim = get_NN_dist_simulated(
+            np.atleast_1d(N_best), sim_repeats, mixer
+        )
+        fig = plot_NN(
+            dists_exp, dists_sim, mixer,
+            bin_size=float(row["NND_bin"]),
+        )
+        fig.savefig(f"{save_filename}_NND.png", dpi=120)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+    except Exception as exc:  # plot failure must not kill the batch
+        print(f"Row {index}: NND plot failed ({exc})")
+    return results
