@@ -1327,6 +1327,32 @@ class RenderApp(_PluginHost):
         self.redraw()
         return idx, centers
 
+    def open_rotation_window(self, pick_index: int | None = None):
+        """View > Update rotation window (gui/render.py:11899): open
+        the 3D rotation viewer on a picked region (or the whole
+        channel)."""
+        from picasso_tpu.gui.apps import RotationApp
+
+        if pick_index is not None:
+            locs = self.picked_locs(add_group=False)[pick_index]
+        else:
+            locs = self.locs
+        if "z" not in locs.columns:
+            raise ValueError(
+                "The rotation window requires 3D locs (z column)."
+            )
+        return RotationApp(
+            locs.reset_index(drop=True), self.info,
+            oversampling=self.oversampling,
+        )
+
+    def open_filter_window(self):
+        """Hand the active channel to a FilterApp (the reference
+        drags files between apps)."""
+        from picasso_tpu.gui.viewers import FilterApp
+
+        return FilterApp(self.locs, self.info)
+
     def molecular_mapping(self, **kwargs):
         """Postprocess > Molecular mapping (G5MDialog
         gui/render.py:2887): per-cluster Gaussian-mixture fitting of

@@ -419,3 +419,26 @@ class TestStatusAndPlugins:
         app.add_pick((6.0, 6.0))
         app.pick_similar()
         assert any("picks" in m for m in messages)
+
+
+class TestAppBridges:
+    def test_open_rotation_window_from_pick(self):
+        app = gui.RenderApp(_locs3d(), INFO)
+        app.pick_diameter = 6.0
+        app.add_pick((16.0, 16.0))
+        rot = app.open_rotation_window(0)
+        assert rot.locs is not None and len(rot.locs) > 0
+        n = rot.redraw()
+        assert n == len(rot.locs)
+
+    def test_rotation_window_requires_z(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        with pytest.raises(ValueError):
+            app.open_rotation_window()
+
+    def test_open_filter_window(self):
+        app = gui.RenderApp(_make_channel(0), INFO)
+        f = app.open_filter_window()
+        n0 = f.n_filtered
+        f.apply_filter("photons", 0, 1e9)
+        assert f.n_filtered == n0
