@@ -449,6 +449,69 @@ def main():
 
     run_stage('average', _stage_average)
 
+    # ---- 7. end-to-end localize: streamed identify+cut+fit of a
+    # synthetic 256x256 movie (frames/s and spots/s including frame
+    # decode, identification, ROI cut and LQ fit) ----
+    def _stage_e2e_localize():
+        import pandas as pd
+
+        from picasso_tpu import localize as loc_mod
+        from picasso_tpu import stream as stream_mod
+
+        rng = np.random.default_rng(11)
+        n_frames, size = 400, 256
+        movie = rng.poisson(
+            30, (n_frames, size, size)
+        ).astype(np.uint16)
+        yy, xx = np.mgrid[-3:4, -3:4]
+        psf = np.exp(-(yy**2 + xx**2) / (2 * 1.1**2))
+        sites = rng.uniform(8, size - 8, (600, 2)).astype(int)
+        for fidx in range(n_frames):
+            on = rng.random(600) < 0.08
+            for sy, sx in sites[on]:
+                movie[fidx, sy - 3:sy + 4, sx - 3:sx + 4] += (
+                    rng.poisson(psf * 900).astype(np.uint16)
+                )
+
+        class _Lazy:
+            """Frame-indexable view (forces the streamed path)."""
+
+            dtype = movie.dtype
+
+            def __len__(self):
+                return n_frames
+
+            def __getitem__(self, it):
+                return movie[it]
+
+        def run_once():
+            ids, spots = stream_mod.identify_and_cut(
+                _Lazy(), 4000, 7
+            )
+            theta = gausslq_fit(spots)
+            return ids, theta
+
+        from picasso_tpu import gausslq as gausslq_mod
+
+        def gausslq_fit(spots):
+            return gausslq_mod.fit_spots(
+                spots, photon_conversion=(0.0, 1.0)
+            )
+
+        ids, _ = run_once()  # warm compiles
+        t0 = time.perf_counter()
+        ids, theta = run_once()
+        dt = time.perf_counter() - t0
+        emit(
+            "e2e_localize", round(n_frames / dt, 1), "frames/s",
+            (len(ids) / dt) / 1e6,
+            n_spots=len(ids),
+            spots_per_s=round(len(ids) / dt),
+            frame_px=size,
+        )
+
+    run_stage('e2e_localize', _stage_e2e_localize)
+
     # ---- headline last (drivers that keep only the tail still get
     # the north-star metric + selftest) ----
     extra = {"selftest": selftest}
