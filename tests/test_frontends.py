@@ -33,7 +33,9 @@ def _run_cli(args, cwd=None):
         text=True,
         cwd=cwd,
         env=env,
-        timeout=600,
+        # generous: each call pays a fresh JAX import, and CI hosts
+        # can be heavily loaded
+        timeout=900,
     )
 
 
