@@ -946,6 +946,132 @@ class NanotronApp(_PluginHost):
             self.model, locs, pick, pick_radius, oversampling
         )
 
+    # -- training workflow (reference gui/nanotron.py: train-set
+    # table :772, combine_data_sets :113, train :691,
+    # show_learning_stats :720) --
+    def add_train_dataset(
+        self, locs, label: int, name: str,
+        pick_radius: float = 1.0, oversampling: float = 10.0,
+    ):
+        """Register one labeled training file (grouped locs)."""
+        if not hasattr(self, "train_sets"):
+            self.train_sets = []
+        self.train_sets.append({
+            "locs": locs, "label": int(label), "name": name,
+            "pick_radius": pick_radius, "oversampling": oversampling,
+        })
+        return len(self.train_sets)
+
+    def prepare_training_data(self):
+        """Render + augment every registered dataset and combine."""
+        from picasso_tpu import nanotron as _nanotron
+
+        if not getattr(self, "train_sets", None):
+            raise RuntimeError("add_train_dataset() first")
+        data, labels = [], []
+        for ds in self.train_sets:
+            d, l = _nanotron.prepare_data(
+                ds["locs"], ds["label"], ds["pick_radius"],
+                ds["oversampling"],
+            )
+            data.extend(d)
+            labels.extend(l)
+        self._train_data = data
+        self._train_labels = labels
+        return len(data)
+
+    def train_with_stats(
+        self, test_fraction: float = 0.2, seed: int = 0, **kwargs
+    ):
+        """Train on a split and report accuracy + confusion matrix
+        (reference train_finished, gui/nanotron.py:980)."""
+        from picasso_tpu import nanotron as _nanotron
+
+        if not hasattr(self, "_train_data"):
+            self.prepare_training_data()
+        X = np.stack(self._train_data)
+        y = np.asarray(self._train_labels)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(X))
+        n_test = max(1, int(len(X) * test_fraction))
+        test_idx, train_idx = order[:n_test], order[n_test:]
+        self.model = _nanotron.train_model(
+            list(X[train_idx]), list(y[train_idx]), **kwargs
+        )
+        train_score = self.model.score(X[train_idx], y[train_idx])
+        test_score = self.model.score(X[test_idx], y[test_idx])
+        pred = self.model.predict(X[test_idx])
+        classes = list(self.model.classes_)
+        cm = np.zeros((len(classes), len(classes)), np.int64)
+        for t, p in zip(y[test_idx], pred):
+            cm[classes.index(t), classes.index(p)] += 1
+        self.stats = {
+            "train_score": train_score,
+            "test_score": test_score,
+            "confusion_matrix": cm,
+            "classes": classes,
+        }
+        self.model_info = {"Classes": classes,
+                           "Test accuracy": test_score}
+        return self.stats
+
+    def plot_learning_stats(self, fig=None):
+        """Loss curve + confusion matrix figure
+        (reference show_learning_stats, gui/nanotron.py:720)."""
+        import matplotlib.pyplot as plt
+
+        if self.model is None or not hasattr(self.model,
+                                             "loss_curve_"):
+            raise RuntimeError("train_with_stats() first")
+        fig = fig or plt.figure(figsize=(9, 4))
+        ax1 = fig.add_subplot(121)
+        ax1.plot(self.model.loss_curve_)
+        ax1.set_xlabel("epoch")
+        ax1.set_ylabel("loss")
+        if getattr(self, "stats", None) is not None:
+            ax2 = fig.add_subplot(122)
+            cm = self.stats["confusion_matrix"]
+            ax2.imshow(cm, cmap="Blues")
+            ax2.set_xlabel("predicted")
+            ax2.set_ylabel("true")
+            for (i, j), v in np.ndenumerate(cm):
+                ax2.text(j, i, str(v), ha="center", va="center")
+        return fig
+
+    def predict_all(
+        self, locs, pick_radius: float, oversampling: float,
+        min_probability: float = 0.0,
+    ):
+        """Classify every picked group; returns a DataFrame with
+        group, prediction and probability, filtered by the
+        probability threshold (reference predict + filter,
+        gui/nanotron.py:402-470)."""
+        from picasso_tpu import nanotron as _nanotron
+
+        if self.model is None:
+            raise RuntimeError("train or load a model first")
+        groups = np.unique(locs["group"])
+        rows = []
+        for g in groups:
+            pred, proba = _nanotron.predict_structure(
+                self.model, locs, int(g), pick_radius, oversampling
+            )
+            p = float(np.max(proba))
+            rows.append((int(g), int(np.atleast_1d(pred)[0]), p))
+        out = pd.DataFrame(
+            rows, columns=["group", "prediction", "probability"]
+        )
+        return out[out["probability"] >= min_probability].reset_index(
+            drop=True
+        )
+
+    def save_model(self, path: str):
+        from picasso_tpu import nanotron as _nanotron
+
+        if self.model is None:
+            raise RuntimeError("train or load a model first")
+        _nanotron.save_model(path, self.model, self.model_info)
+
 
 class ToRawApp:
     """Movie → raw converter (reference gui/toraw.py): queue movie

@@ -176,8 +176,11 @@ class MLPClassifier:
         n = len(X)
         rng_np = np.random.default_rng(self.seed)
         bs = min(self.batch_size, n)
+        # per-epoch mean loss, like sklearn's MLPClassifier
+        self.loss_curve_ = []
         for epoch in range(self.max_iter):
             order = rng_np.permutation(n)
+            epoch_losses = []
             for start in range(0, n - bs + 1, bs):
                 idx = order[start:start + bs]
                 params, opt_state, loss = step(
@@ -185,6 +188,11 @@ class MLPClassifier:
                     opt_state,
                     jnp.asarray(X[idx]),
                     jnp.asarray(y_idx[idx]),
+                )
+                epoch_losses.append(loss)
+            if epoch_losses:
+                self.loss_curve_.append(
+                    float(np.mean([float(v) for v in epoch_losses]))
                 )
         self.params = jax.device_get(params)
         return self

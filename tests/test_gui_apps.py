@@ -390,3 +390,75 @@ class TestDesignSimulateHandoff:
         assert dx_nm == __import__("pytest").approx(5.0, abs=1e-6)
         assert dy_nm == __import__("pytest").approx(12.5, abs=1e-6)
         np.testing.assert_array_equal(structure[2], [1, 2])
+
+
+class TestNanotronAppWorkflow:
+    def _make_locs(self, kind, n_picks, rng):
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for g in range(n_picks):
+            cx, cy = rng.uniform(5, 27, 2)
+            if kind == "spot":
+                pts = rng.normal((cx, cy), 0.05, (60, 2))
+            else:
+                ang = rng.uniform(0, 2 * np.pi, 60)
+                pts = np.column_stack([
+                    cx + 0.4 * np.cos(ang), cy + 0.4 * np.sin(ang),
+                ]) + rng.normal(0, 0.03, (60, 2))
+            for p in pts:
+                rows.append((g, p[0], p[1]))
+        arr = np.array(rows)
+        return pd.DataFrame({
+            "frame": np.arange(len(arr), dtype=np.uint32) % 100,
+            "x": arr[:, 1].astype(np.float32),
+            "y": arr[:, 2].astype(np.float32),
+            "group": arr[:, 0].astype(np.int32),
+            "lpx": np.full(len(arr), 0.03, np.float32),
+            "lpy": np.full(len(arr), 0.03, np.float32),
+        })
+
+    def test_full_training_workflow(self, tmp_path):
+        import numpy as np
+
+        from picasso_tpu import gui
+
+        rng = np.random.default_rng(1)
+        app = gui.NanotronApp()
+        app.add_train_dataset(
+            self._make_locs("spot", 10, rng), 0, "spots"
+        )
+        app.add_train_dataset(
+            self._make_locs("ring", 10, rng), 1, "rings"
+        )
+        n = app.prepare_training_data()
+        assert n > 20  # rotation augmentation multiplies picks
+        stats = app.train_with_stats(
+            test_fraction=0.25, max_iter=60
+        )
+        assert stats["test_score"] > 0.7
+        cm = stats["confusion_matrix"]
+        assert cm.sum() == max(1, int(n * 0.25))
+        fig = app.plot_learning_stats()
+        assert fig is not None
+        assert len(app.model.loss_curve_) == 60
+
+        # classify fresh picks with probability filtering
+        fresh = self._make_locs("ring", 6, rng)
+        out = app.predict_all(
+            fresh, pick_radius=1.0, oversampling=10.0,
+            min_probability=0.5,
+        )
+        assert set(out.columns) == {
+            "group", "prediction", "probability"
+        }
+        assert (out["prediction"] == 1).mean() > 0.6
+
+        # save/load round trip through the app
+        path = str(tmp_path / "model.pkl")
+        app.save_model(path)
+        app2 = gui.NanotronApp()
+        app2.load(path)
+        out2 = app2.predict_all(fresh, 1.0, 10.0)
+        assert len(out2) == 6
