@@ -303,13 +303,24 @@ def main():
             rng.uniform(0.6, 0.9, n_r).astype(np.float32)
         )  # blur sigma in display px (oversampling * lp)
 
+        # static tile-kernel geometry at the benchmark density
+        TILE = render_ops._SPLAT_TILE
+        mc = int(
+            render_ops._splat_tile_max_count(
+                xr, yr, s_r, s_r, size, size, TILE
+            )
+        )
+        K = 1 << max(int(np.ceil(np.log2(max(mc, 16)))), 4)
+        K = min(K, render_ops._SPLAT_K_CAP)
+        TC = max(8, 1 << int(np.log2(max(32e6 / (K * TILE), 8))))
+
         @jax.jit
         def render_chain(x):
             def body(i, acc):
                 xx = x + acc * 1e-30
                 hist = render_ops._hist2d_device(xx, yr, size, size)
-                img = render_ops._splat_bucket_device(
-                    xx, yr, s_r, s_r, 8, size, size
+                img, _ = render_ops._splat_tiles_kernel(
+                    xx, yr, s_r, s_r, size, size, K, TILE, TC
                 )
                 return jnp.sum(hist) + jnp.sum(img) + 0.0 * acc
 

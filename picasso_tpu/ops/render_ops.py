@@ -306,10 +306,18 @@ def gaussian_splat(
     y = np.asarray(y, np.float32)
     sx = np.asarray(sx, np.float32)
     sy = np.asarray(sy, np.float32)
+    # fast path: scatter-free tile matmuls; leftovers (very wide
+    # windows, overdense tiles) go through the bucketed scatter
+    img, leftover = _splat_tiles_device(x, y, sx, sy, ny, nx)
+    if len(leftover) == 0:
+        return img
+    x, y, sx, sy = (
+        a[leftover] for a in (x, y, sx, sy)
+    )
+    n = len(x)
     smax = np.maximum(sx, sy)
     # window must cover 2*3*sigma + 2 pixels
     need = 2 * DRAW_MAX_SIGMA * smax + 2
-    img = np.zeros((ny, nx), np.float32)
     buckets = [8, 16, 32, 64, 128]
     assigned = np.zeros(n, bool)
     for W in buckets:
@@ -331,3 +339,228 @@ def gaussian_splat(
             )
         )
     return img
+
+
+# ---------------------------------------------------------------------------
+# Tile-matmul Gaussian splat: the scatter-free fast path.
+#
+# The per-loc separable splat over an image tile is a sum of outer
+# products: img_tile[p, q] = sum_k gy[k, p] * gx[k, q] — i.e. one
+# (TILE, K) x (K, TILE) matmul per tile, which runs on the MXU
+# instead of the (sort-based, ~90M updates/s) TPU scatter-add. Locs
+# are binned to the tiles their +-3-sigma windows overlap (<= 4 tiles
+# per loc for windows up to one tile wide); per-tile candidate lists
+# are padded to a power-of-two K. Tiles denser than the K cap and
+# locs with windows wider than a tile fall back to the bucketed
+# scatter kernel. Window semantics match _splat_bucket_host exactly
+# (reference picasso/render.py:495 _draw_gaussian_loc).
+# ---------------------------------------------------------------------------
+
+_SPLAT_TILE = 128
+_SPLAT_K_CAP = 4096
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ny", "nx", "TILE"),
+)
+def _splat_tile_entries(x, y, sx, sy, ny, nx, TILE):
+    """Entry building shared by the count pass and the splat kernel:
+    each loc contributes up to 4 (tile, loc) entries covering the
+    tiles its reference window overlaps. Returns (tid, loc_idx,
+    window bounds); invalid entries carry the sentinel tile id T."""
+    n = x.shape[0]
+    ntx = -(-nx // TILE)
+    nty = -(-ny // TILE)
+    T = nty * ntx
+    i_min = jnp.maximum(
+        (y - DRAW_MAX_SIGMA * sy).astype(jnp.int32), 0
+    )
+    i_max = jnp.minimum(
+        (y + DRAW_MAX_SIGMA * sy + 1).astype(jnp.int32), ny
+    )
+    j_min = jnp.maximum(
+        (x - DRAW_MAX_SIGMA * sx).astype(jnp.int32), 0
+    )
+    j_max = jnp.minimum(
+        (x + DRAW_MAX_SIGMA * sx).astype(jnp.int32) + 1, nx
+    )
+    alive = (i_max > i_min) & (j_max > j_min)
+    wide = ((i_max - i_min) > TILE) | ((j_max - j_min) > TILE)
+    use = alive & ~wide
+    ti0 = i_min // TILE
+    ti1 = (i_max - 1) // TILE
+    tj0 = j_min // TILE
+    tj1 = (j_max - 1) // TILE
+    ti = jnp.concatenate([ti0, ti1, ti0, ti1])
+    tj = jnp.concatenate([tj0, tj0, tj1, tj1])
+    em = jnp.concatenate([
+        use,
+        use & (ti1 > ti0),
+        use & (tj1 > tj0),
+        use & (ti1 > ti0) & (tj1 > tj0),
+    ])
+    locs4 = jnp.tile(jnp.arange(n, dtype=jnp.int32), 4)
+    tid = jnp.where(em, ti * ntx + tj, T)
+    return tid, locs4, wide, (i_min, i_max, j_min, j_max)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ny", "nx", "TILE")
+)
+def _splat_tile_max_count(x, y, sx, sy, ny, nx, TILE):
+    tid, _, _, _ = _splat_tile_entries(x, y, sx, sy, ny, nx, TILE)
+    ntx = -(-nx // TILE)
+    nty = -(-ny // TILE)
+    counts = jnp.bincount(tid, length=nty * ntx + 1)
+    return jnp.max(counts[:-1])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ny", "nx", "K", "TILE", "TC"),
+)
+def _splat_tiles_kernel(x, y, sx, sy, ny, nx, K, TILE, TC):
+    """Scatter-free Gaussian splat: device-side tile binning (sort +
+    positional scatter into a (T, K) candidate table) followed by one
+    (TILE, K) x (K, TILE) MXU matmul per tile. Returns the padded
+    image and a per-loc leftover mask (wide windows or tiles denser
+    than K) for the caller's fallback."""
+    n = x.shape[0]
+    ntx = -(-nx // TILE)
+    nty = -(-ny // TILE)
+    T = nty * ntx
+    tid, locs4, wide, (i_min, i_max, j_min, j_max) = (
+        _splat_tile_entries(x, y, sx, sy, ny, nx, TILE)
+    )
+    order = jnp.argsort(tid)
+    tid_s = tid[order]
+    locs_s = locs4[order]
+    counts = jnp.bincount(tid_s, length=T + 1)
+    starts = jnp.concatenate([
+        jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]
+    ])
+    pos = jnp.arange(4 * n) - starts[tid_s]
+    in_tile = tid_s < T
+    # a loc with ANY overflowed entry leaves the tile path entirely
+    # (its other entries must not double-render)
+    overflow_entry = in_tile & (pos >= K)
+    loc_overflow = (
+        jnp.zeros(n, jnp.bool_)
+        .at[locs_s]
+        .max(overflow_entry)
+    )
+    ok = in_tile & (pos < K) & ~loc_overflow[locs_s]
+    slot = jnp.where(
+        ok, tid_s * K + pos, T * K
+    ).astype(jnp.int32)
+    lut = (
+        jnp.zeros(T * K + 1, jnp.int32)
+        .at[slot]
+        .set(locs_s, mode="drop")[: T * K]
+        .reshape(T, K)
+    )
+    vmask = (
+        jnp.zeros(T * K + 1, jnp.bool_)
+        .at[slot]
+        .set(True, mode="drop")[: T * K]
+        .reshape(T, K)
+    )
+
+    # pad tiles to a multiple of the chunk
+    Tp = -(-T // TC) * TC
+    row0 = (jnp.arange(Tp, dtype=jnp.int32) // ntx) * TILE
+    col0 = (jnp.arange(Tp, dtype=jnp.int32) % ntx) * TILE
+    lut = jnp.concatenate(
+        [lut, jnp.zeros((Tp - T, K), jnp.int32)]
+    )
+    vmask = jnp.concatenate(
+        [vmask, jnp.zeros((Tp - T, K), jnp.bool_)]
+    )
+
+    def body(c, canvas):
+        s = c * TC
+        lut_c = jax.lax.dynamic_slice(lut, (s, 0), (TC, K))
+        val_c = jax.lax.dynamic_slice(vmask, (s, 0), (TC, K))
+        r0 = jax.lax.dynamic_slice(row0, (s,), (TC,))
+        c0 = jax.lax.dynamic_slice(col0, (s,), (TC,))
+        xk = x[lut_c]
+        yk = y[lut_c]
+        sxk = jnp.where(val_c, sx[lut_c], 1.0)
+        syk = jnp.where(val_c, sy[lut_c], 1.0)
+        r = r0[:, None, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, TILE), 2
+        )
+        cc = c0[:, None, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, TILE), 2
+        )
+        dy = r.astype(jnp.float32) + 0.5 - yk[:, :, None]
+        dx = cc.astype(jnp.float32) + 0.5 - xk[:, :, None]
+        norm = jnp.where(
+            val_c, 1.0 / (2.0 * jnp.pi * sxk * syk), 0.0
+        )
+        row_ok = (
+            (r >= i_min[lut_c][:, :, None])
+            & (r < i_max[lut_c][:, :, None])
+        )
+        col_ok = (
+            (cc >= j_min[lut_c][:, :, None])
+            & (cc < j_max[lut_c][:, :, None])
+        )
+        gy = jnp.where(
+            row_ok,
+            norm[:, :, None]
+            * jnp.exp(-dy * dy / (2.0 * syk[:, :, None] ** 2)),
+            0.0,
+        )
+        gx = jnp.where(
+            col_ok,
+            jnp.exp(-dx * dx / (2.0 * sxk[:, :, None] ** 2)),
+            0.0,
+        )
+        tiles = jax.lax.dot_general(
+            gy, gx, (((1,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.lax.dynamic_update_slice(
+            canvas, tiles, (s, 0, 0)
+        )
+
+    canvas = jnp.zeros((Tp, TILE, TILE), jnp.float32)
+    canvas = jax.lax.fori_loop(0, Tp // TC, body, canvas)
+    img = (
+        canvas[:T]
+        .reshape(nty, ntx, TILE, TILE)
+        .transpose(0, 2, 1, 3)
+        .reshape(nty * TILE, ntx * TILE)[:ny, :nx]
+    )
+    leftover = wide | loc_overflow
+    return img, leftover
+
+
+def _splat_tiles_device(x, y, sx, sy, ny, nx):
+    """Tile-matmul splat. Returns (image ndarray, leftover index
+    array) — leftover locs must be rendered by the caller."""
+    TILE = _SPLAT_TILE
+    xd = jnp.asarray(x, jnp.float32)
+    yd = jnp.asarray(y, jnp.float32)
+    sxd = jnp.asarray(sx, jnp.float32)
+    syd = jnp.asarray(sy, jnp.float32)
+    max_count = int(
+        _splat_tile_max_count(xd, yd, sxd, syd, ny, nx, TILE)
+    )
+    K = 1 << max(
+        int(np.ceil(np.log2(max(max_count, 16)))), 4
+    )
+    K = min(K, _SPLAT_K_CAP)
+    # chunk size bounds the (TC, K, TILE) factor tensors to ~32M f32
+    TC = max(8, 1 << int(np.log2(max(32e6 / (K * TILE), 8))))
+    img, leftover = _splat_tiles_kernel(
+        xd, yd, sxd, syd, ny, nx, K, TILE, TC
+    )
+    return (
+        np.array(img),
+        np.nonzero(np.asarray(leftover))[0],
+    )
+
+

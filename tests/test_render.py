@@ -876,3 +876,85 @@ class TestExports:
         path = tmp_path / "anim.gif"
         render.build_animation(str(path), frames, fps=5)
         assert path.stat().st_size > 0
+
+
+class TestTileMatmulSplat:
+    """Scatter-free tile-matmul Gaussian splat vs the bucketed host
+    splat (the fast path for large renders; windows, normalization
+    and leftover routing must match exactly)."""
+
+    def _locs(self, rng, n, ny, nx, smin=0.4, smax=1.2):
+        x = rng.uniform(0, nx, n).astype(np.float32)
+        y = rng.uniform(0, ny, n).astype(np.float32)
+        sx = rng.uniform(smin, smax, n).astype(np.float32)
+        sy = rng.uniform(smin, smax, n).astype(np.float32)
+        return x, y, sx, sy
+
+    def test_tile_splat_matches_host(self):
+        from picasso_tpu.ops import render_ops
+
+        rng = np.random.default_rng(7)
+        n, ny, nx = 3000, 200, 150  # non-multiple of the tile size
+        x, y, sx, sy = self._locs(rng, n, ny, nx)
+        host = render_ops._splat_bucket_host(x, y, sx, sy, ny, nx)
+        img, leftover = render_ops._splat_tiles_device(
+            x, y, sx, sy, ny, nx
+        )
+        assert len(leftover) == 0
+        np.testing.assert_allclose(img, host, rtol=1e-4, atol=1e-5)
+        assert host.sum() > 0
+
+    def test_wide_windows_routed_to_leftover(self):
+        from picasso_tpu.ops import render_ops
+
+        rng = np.random.default_rng(8)
+        ny, nx = 300, 300
+        x, y, sx, sy = self._locs(rng, 500, ny, nx)
+        # one loc whose +-3 sigma window exceeds the tile size
+        sx[0] = sy[0] = render_ops._SPLAT_TILE / 2.0
+        img, leftover = render_ops._splat_tiles_device(
+            x, y, sx, sy, ny, nx
+        )
+        assert list(leftover) == [0]
+        # public entry renders the leftover through the bucket path
+        full = render_ops.gaussian_splat(x, y, sx, sy, ny, nx)
+        host = render_ops._splat_bucket_host(x, y, sx, sy, ny, nx)
+        np.testing.assert_allclose(full, host, rtol=1e-4, atol=1e-5)
+
+    def test_dense_tile_overflow_routed_to_leftover(self, monkeypatch):
+        from picasso_tpu.ops import render_ops
+
+        rng = np.random.default_rng(9)
+        ny = nx = render_ops._SPLAT_TILE
+        n = 200
+        x, y, sx, sy = self._locs(rng, n, ny, nx)
+        monkeypatch.setattr(render_ops, "_SPLAT_K_CAP", 64)
+        img, leftover = render_ops._splat_tiles_device(
+            x, y, sx, sy, ny, nx
+        )
+        # locs beyond the K cap fall back; the rest render on the
+        # tile path exactly once
+        assert 0 < len(leftover) < n
+        host_kept = render_ops._splat_bucket_host(
+            np.delete(x, leftover), np.delete(y, leftover),
+            np.delete(sx, leftover), np.delete(sy, leftover),
+            ny, nx,
+        )
+        np.testing.assert_allclose(
+            img, host_kept, rtol=1e-4, atol=1e-5
+        )
+        full = render_ops.gaussian_splat(x, y, sx, sy, ny, nx)
+        host = render_ops._splat_bucket_host(x, y, sx, sy, ny, nx)
+        np.testing.assert_allclose(full, host, rtol=1e-4, atol=1e-5)
+
+    def test_public_entry_uses_tile_path_at_scale(self, monkeypatch):
+        from picasso_tpu.ops import render_ops
+
+        rng = np.random.default_rng(10)
+        n, ny, nx = 60_000, 256, 256
+        x, y, sx, sy = self._locs(rng, n, ny, nx, 0.5, 0.9)
+        img = render_ops.gaussian_splat(x, y, sx, sy, ny, nx)
+        host = render_ops._splat_bucket_host(x, y, sx, sy, ny, nx)
+        np.testing.assert_allclose(img, host, rtol=1e-3, atol=1e-3)
+        # mass: each in-bounds gaussian integrates to ~1
+        assert img.sum() == pytest.approx(host.sum(), rel=1e-4)
