@@ -79,6 +79,7 @@ def _cluster(
     picasso/clusterer.py:114). Neighbor counts and the
     neighborhood-max test run vectorized over all pairs; the label
     pass iterates only over local maxima."""
+    from picasso_tpu import native as _native
     from picasso_tpu.ops import neighbors as _nb
 
     n = X.shape[0]
@@ -86,6 +87,22 @@ def _cluster(
         _nb.use_device()
         and os.environ.get("PICASSO_TPU_NEIGHBORS") == "device"
     )
+    if (
+        _native.AVAILABLE
+        and not device
+        and os.environ.get("PICASSO_TPU_CLUSTERER") != "host"
+    ):
+        # grid-hash C++ core: counts + neighborhood max + label sweep
+        # in one native pass (no KDTree, no pair materialization)
+        labels = _native.cluster_smlm(X, radius, min_locs)
+        values, cluster_counts = np.unique(
+            labels, return_counts=True
+        )
+        to_discard = values[cluster_counts < min_locs]
+        labels[np.isin(labels, to_discard)] = -1
+        if frame is not None:
+            labels = frame_analysis(labels, frame.to_numpy())
+        return labels
     if device:
         # neighbor counts + neighborhood reduces as blocked device
         # distance tiles. Opt-in ONLY: measured on a TPU v5e at 100k
@@ -139,18 +156,25 @@ def _cluster(
         else:
             cols = np.empty(0, np.int64)
             starts = stops = np.zeros(len(lm_idx), np.int64)
-        for count, (i, lo, hi) in enumerate(
-            zip(lm_idx, starts, stops)
-        ):
-            nbrs = cols[lo:hi]
-            label = labels[i]
-            if label == -1:
-                labels[nbrs] = count
-                labels[i] = count
-            else:
-                unassigned = nbrs[labels[nbrs] == -1]
-                if len(unassigned):
-                    labels[unassigned] = label
+        from picasso_tpu import native as _native
+
+        if _native.AVAILABLE:
+            _native.cluster_label_sweep(
+                lm_idx, starts, stops, cols, labels
+            )
+        else:
+            for count, (i, lo, hi) in enumerate(
+                zip(lm_idx, starts, stops)
+            ):
+                nbrs = cols[lo:hi]
+                label = labels[i]
+                if label == -1:
+                    labels[nbrs] = count
+                    labels[i] = count
+                else:
+                    unassigned = nbrs[labels[nbrs] == -1]
+                    if len(unassigned):
+                        labels[unassigned] = label
     # discard clusters below min_locs
     values, cluster_counts = np.unique(labels, return_counts=True)
     to_discard = values[cluster_counts < min_locs]

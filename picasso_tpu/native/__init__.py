@@ -27,7 +27,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-march=native", _SRC, "-o", _LIB,
+                "-march=native", "-fopenmp", _SRC, "-o", _LIB,
             ],
             check=True,
             capture_output=True,
@@ -72,6 +72,14 @@ def _load() -> None:
     _lib.nfndh.argtypes = [
         i64p, f32p, f32p, i32p, i64p, i64p, i64,
         ctypes.c_double, ctypes.c_double, i64, i64p,
+    ]
+    _lib.cluster_label_sweep.restype = None
+    _lib.cluster_label_sweep.argtypes = [
+        i64p, i64p, i64p, i64p, i64, i32p,
+    ]
+    _lib.cluster_smlm.restype = i64
+    _lib.cluster_smlm.argtypes = [
+        f32p, f32p, ctypes.c_void_p, i64, ctypes.c_double, i64, i32p,
     ]
     AVAILABLE = True
 
@@ -160,3 +168,50 @@ def cut_spots_to_photons(
         out,
     )
     return out
+
+
+def cluster_label_sweep(
+    lm_idx: np.ndarray,
+    starts: np.ndarray,
+    stops: np.ndarray,
+    cols: np.ndarray,
+    labels: np.ndarray,
+) -> None:
+    """Sequential SMLM-clusterer label sweep over local maxima
+    (reference picasso/clusterer.py:176 semantics); writes into
+    ``labels`` (int32, pre-filled with -1) in place."""
+    _lib.cluster_label_sweep(
+        np.ascontiguousarray(lm_idx, np.int64),
+        np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(stops, np.int64),
+        np.ascontiguousarray(cols, np.int64),
+        len(lm_idx),
+        labels,
+    )
+
+
+def cluster_smlm(
+    X: np.ndarray,
+    radius: float,
+    min_locs: int,
+) -> np.ndarray:
+    """Grid-hash SMLM clusterer core: fixed-radius neighbor counts,
+    neighborhood-max local-maxima test and the sequential label sweep
+    in one native pass (reference picasso/clusterer.py:114-201).
+    ``X`` is (n, 2) or (n, 3); returns raw sweep labels (-1 =
+    unassigned) — the caller applies the min_locs cluster-size
+    discard."""
+    X = np.ascontiguousarray(X, np.float32)
+    n = len(X)
+    labels = np.empty(n, np.int32)
+    x = np.ascontiguousarray(X[:, 0])
+    y = np.ascontiguousarray(X[:, 1])
+    if X.shape[1] == 3:
+        zc = np.ascontiguousarray(X[:, 2])
+        zp = zc.ctypes.data_as(ctypes.c_void_p)
+    else:
+        zp = None
+    _lib.cluster_smlm(
+        x, y, zp, n, float(radius), int(min_locs), labels
+    )
+    return labels

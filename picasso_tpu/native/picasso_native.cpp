@@ -13,6 +13,11 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -181,6 +186,215 @@ void nfndh(
                 const int64_t b =
                     static_cast<int64_t>(d / bin_size);
                 if (b < n_bins) ++hist[b];
+            }
+        }
+    }
+}
+
+}  // extern "C" (helpers below need C++ linkage)
+
+// Full SMLM-clusterer core (reference picasso/clusterer.py:114-201):
+// fixed-radius neighbor counting + neighborhood-max test on a sorted
+// cell grid (cell edge = radius, so neighbors lie in the 3^d adjacent
+// cells; cells are found by binary search on sorted cell keys — no
+// dense grid, so any FOV/radius ratio works), then the reference's
+// sequential label sweep over local maxima in ascending index order.
+// Counting passes are OpenMP-parallel; the sweep is inherently
+// sequential. z == nullptr selects 2D.
+//
+// labels (out, n): raw sweep labels (-1 unassigned); the caller
+// applies the min_locs cluster-size discard and frame analysis.
+// Returns the number of local maxima.
+namespace {
+
+struct CellGrid {
+    std::vector<int64_t> order;   // point indices sorted by cell key
+    std::vector<int64_t> keys;    // sorted cell key per order entry
+    std::vector<int64_t> cxs, cys, czs;  // per-point cell coords
+    int64_t ncx = 1, ncy = 1, ncz = 1;
+};
+
+inline void build_grid(
+    const float* x, const float* y, const float* z,
+    int64_t n, double cell, CellGrid& g)
+{
+    float xmin = x[0], ymin = y[0], zmin = 0.0f;
+    for (int64_t i = 1; i < n; ++i) {
+        xmin = std::min(xmin, x[i]);
+        ymin = std::min(ymin, y[i]);
+    }
+    if (z) {
+        zmin = z[0];
+        for (int64_t i = 1; i < n; ++i) zmin = std::min(zmin, z[i]);
+    }
+    g.cxs.resize(n); g.cys.resize(n);
+    if (z) g.czs.resize(n);
+    int64_t ncx = 1, ncy = 1, ncz = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t cx =
+            static_cast<int64_t>((x[i] - xmin) / cell);
+        const int64_t cy =
+            static_cast<int64_t>((y[i] - ymin) / cell);
+        g.cxs[i] = cx; g.cys[i] = cy;
+        ncx = std::max(ncx, cx + 1);
+        ncy = std::max(ncy, cy + 1);
+        if (z) {
+            const int64_t cz =
+                static_cast<int64_t>((z[i] - zmin) / cell);
+            g.czs[i] = cz;
+            ncz = std::max(ncz, cz + 1);
+        }
+    }
+    g.ncx = ncx; g.ncy = ncy; g.ncz = ncz;
+    g.order.resize(n);
+    for (int64_t i = 0; i < n; ++i) g.order[i] = i;
+    std::vector<int64_t> key(n);
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t cz = z ? g.czs[i] : 0;
+        key[i] = (cz * ncy + g.cys[i]) * ncx + g.cxs[i];
+    }
+    std::sort(g.order.begin(), g.order.end(),
+              [&key](int64_t a, int64_t b) {
+                  return key[a] < key[b];
+              });
+    g.keys.resize(n);
+    for (int64_t i = 0; i < n; ++i) g.keys[i] = key[g.order[i]];
+}
+
+// Visit every point within `radius` of point i (including i itself).
+template <typename F>
+inline void for_neighbors(
+    const CellGrid& g, const float* x, const float* y,
+    const float* z, double r2, int64_t i, F&& fn)
+{
+    const int64_t cx = g.cxs[i], cy = g.cys[i];
+    const int64_t cz = z ? g.czs[i] : 0;
+    const int64_t z0 = z ? std::max<int64_t>(cz - 1, 0) : 0;
+    const int64_t z1 = z ? std::min(cz + 1, g.ncz - 1) : 0;
+    const int64_t x0 = std::max<int64_t>(cx - 1, 0);
+    const int64_t x1 = std::min(cx + 1, g.ncx - 1);
+    const double xi = x[i], yi = y[i];
+    const double zi = z ? z[i] : 0.0;
+    for (int64_t zz = z0; zz <= z1; ++zz) {
+        const int64_t y0 = std::max<int64_t>(cy - 1, 0);
+        const int64_t y1 = std::min(cy + 1, g.ncy - 1);
+        for (int64_t yy = y0; yy <= y1; ++yy) {
+            const int64_t klo = (zz * g.ncy + yy) * g.ncx + x0;
+            const int64_t khi = (zz * g.ncy + yy) * g.ncx + x1;
+            auto lo = std::lower_bound(
+                g.keys.begin(), g.keys.end(), klo);
+            auto hi = std::upper_bound(
+                lo, g.keys.end(), khi);
+            for (auto it = lo; it != hi; ++it) {
+                const int64_t j =
+                    g.order[it - g.keys.begin()];
+                const double dx = xi - x[j];
+                const double dy = yi - y[j];
+                double d2 = dx * dx + dy * dy;
+                if (z) {
+                    const double dz = zi - z[j];
+                    d2 += dz * dz;
+                }
+                if (d2 <= r2) fn(j);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t cluster_smlm(
+    const float* x,
+    const float* y,
+    const float* z,   // nullptr for 2D
+    int64_t n,
+    double radius,
+    int64_t min_locs,
+    int32_t* labels)
+{
+    if (n == 0) return 0;
+    const double r2 = radius * radius;
+    CellGrid g;
+    build_grid(x, y, z, n, radius, g);
+
+    std::vector<int32_t> counts(n, 0), max_nb(n, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t c = 0;
+        for_neighbors(g, x, y, z, r2, i,
+                      [&c](int64_t) { ++c; });
+        counts[i] = c;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1024)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t m = 0;
+        for_neighbors(g, x, y, z, r2, i,
+                      [&m, &counts](int64_t j) {
+                          m = std::max(m, counts[j]);
+                      });
+        max_nb[i] = m;
+    }
+
+    for (int64_t i = 0; i < n; ++i) labels[i] = -1;
+    int32_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (counts[i] <= min_locs || counts[i] != max_nb[i])
+            continue;
+        const int32_t mine = k++;
+        if (labels[i] == -1) {
+            for_neighbors(g, x, y, z, r2, i,
+                          [&labels, mine](int64_t j) {
+                              labels[j] = mine;
+                          });
+            labels[i] = mine;
+        } else {
+            const int32_t label = labels[i];
+            for_neighbors(g, x, y, z, r2, i,
+                          [&labels, label](int64_t j) {
+                              if (labels[j] == -1)
+                                  labels[j] = label;
+                          });
+        }
+    }
+    return k;
+}
+
+// Sequential label sweep of the SMLM clusterer (reference
+// picasso/clusterer.py:176-187 semantics): maxima are processed in
+// order; an unassigned maximum overwrites its whole neighborhood
+// (assigned or not) with its own index, an already-assigned one only
+// fills unassigned neighbors. Neighbor lists arrive as CSR.
+//
+// lm_idx:       (m) int64 — local-maximum indices, sweep order
+// starts/stops: (m) int64 — CSR ranges into cols per maximum
+// cols:         int64 — concatenated neighbor indices
+// labels:       (n) int32 — inout, pre-filled with -1
+void cluster_label_sweep(
+    const int64_t* lm_idx,
+    const int64_t* starts,
+    const int64_t* stops,
+    const int64_t* cols,
+    int64_t m,
+    int32_t* labels)
+{
+    for (int64_t k = 0; k < m; ++k) {
+        const int64_t i = lm_idx[k];
+        const int32_t label = labels[i];
+        if (label == -1) {
+            const int32_t mine = static_cast<int32_t>(k);
+            for (int64_t p = starts[k]; p < stops[k]; ++p)
+                labels[cols[p]] = mine;
+            labels[i] = mine;
+        } else {
+            for (int64_t p = starts[k]; p < stops[k]; ++p) {
+                const int64_t j = cols[p];
+                if (labels[j] == -1) labels[j] = label;
             }
         }
     }

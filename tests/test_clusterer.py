@@ -382,3 +382,27 @@ class TestLabelSweepEquivalence:
         got = clusterer._cluster(X, 0.3, 8, None)
         exp = self._sequential_labels(X, 0.3, 8)
         np.testing.assert_array_equal(got, exp)
+
+
+class TestNativeGridClusterer:
+    """The C++ grid-hash clusterer core must label identically to the
+    host KDTree path (2D and 3D), including min_locs discard."""
+
+    @pytest.mark.parametrize("dims", [2, 3])
+    def test_native_matches_host(self, monkeypatch, dims):
+        from picasso_tpu import native
+
+        if not native.AVAILABLE:
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(dims)
+        centers = rng.uniform(2, 30, (40, dims))
+        X = np.vstack([
+            centers[rng.integers(0, 40, 2000)]
+            + rng.normal(0, 0.08, (2000, dims)),
+            rng.uniform(0, 32, (400, dims)),
+        ]).astype(np.float32)
+        got = clusterer._cluster(X, 0.25, 6, None)
+        monkeypatch.setenv("PICASSO_TPU_CLUSTERER", "host")
+        exp = clusterer._cluster(X, 0.25, 6, None)
+        np.testing.assert_array_equal(got, exp)
+        assert got.max() >= 0
