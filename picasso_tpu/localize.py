@@ -49,9 +49,12 @@ SET_COLS = [
 ]
 
 # f32 bytes per identification device batch; frames-per-chunk adapts
-# to the frame size so a 2048x2048 movie stages ~8 frames while small
-# test movies batch hundreds (one compile per movie either way).
-_ID_CHUNK_BYTES = 128e6
+# to the frame size so a 2048x2048 movie stages ~4 frames while small
+# test movies batch hundreds. Sized so typical movies split into >=2
+# chunks: the streamed path dispatches chunk k+1 while chunk k reads
+# back (stream.identify_and_cut), which hides most of the host->device
+# transfer behind compute.
+_ID_CHUNK_BYTES = 64e6
 
 
 def _id_frame_chunk(height: int, width: int) -> int:

@@ -208,6 +208,58 @@ def identify_frames(
     return f_idx + frame_offset, y, x, ng_vals
 
 
+def identify_frames_dispatch(
+    frames: np.ndarray,
+    minimum_ng: float,
+    box: int,
+    frame_offset: int = 0,
+    roi: tuple[tuple[int, int], tuple[int, int]] | None = None,
+):
+    """Asynchronous half of :func:`identify_frames`: upload the chunk
+    and dispatch the identify program WITHOUT waiting for results, so
+    a streaming caller can overlap the next chunk's host decode and
+    device transfer with this chunk's compute. Pass the returned
+    handle to :func:`identify_frames_finalize`."""
+    frames = np.asarray(frames)
+    if roi is not None:
+        (y0, x0), (y1, x1) = roi
+        frames = frames[:, y0:y1, x0:x1]
+    dev = jnp.asarray(frames)
+    ng_thresh = jnp.float32(minimum_ng)
+    size = _BUCKET_HINT.get(frames.shape, 4096)
+    result = _identify_compact(dev, ng_thresh, box, size)
+    return (dev, ng_thresh, box, size, result, frames.shape,
+            frame_offset, roi)
+
+
+def identify_frames_finalize(handle):
+    """Synchronous half of :func:`identify_frames_dispatch`: wait for
+    the dispatched program, re-run with a larger compaction bucket if
+    the speculative size overflowed (rare once the per-shape hint is
+    warm), and return host (frame, y, x, net_gradient) arrays."""
+    (dev, ng_thresh, box, size, result, shape, frame_offset,
+     roi) = handle
+    while True:
+        count, f, y, x, ng_vals = result
+        n = int(count)
+        if n <= size:
+            break
+        size = 1 << (n - 1).bit_length()
+        result = _identify_compact(dev, ng_thresh, box, size)
+    _BUCKET_HINT[shape] = max(_BUCKET_HINT.get(shape, 0), size)
+    if n == 0:
+        empty = np.zeros(0, np.int64)
+        return empty, empty, empty, np.zeros(0, np.float32)
+    f_idx = np.asarray(f)[:n].astype(np.int64)
+    y = np.asarray(y)[:n].astype(np.int64)
+    x = np.asarray(x)[:n].astype(np.int64)
+    ng_vals = np.asarray(ng_vals)[:n].astype(np.float32)
+    if roi is not None:
+        y = y + roi[0][0]
+        x = x + roi[0][1]
+    return f_idx + frame_offset, y, x, ng_vals
+
+
 # ---------------------------------------------------------------------------
 # ROI extraction + photon conversion
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from typing import Callable, Literal
 
 import numpy as np
@@ -163,7 +164,15 @@ def identify_and_cut(
         return _empty(), np.zeros((0, box, box), dtype=first.dtype)
 
     if frame_chunk is None:
-        frame_chunk = _id_frame_chunk(*first.shape[-2:])
+        # equal-split chunking: padding the tail chunk uploads dead
+        # bytes through the host->device link (the streamed path's
+        # bottleneck), so split the movie evenly instead and round to
+        # a multiple of 32 frames to bound compile-shape variety
+        base = _id_frame_chunk(*first.shape[-2:])
+        n_chunks = max(1, -(-len(frames_idx) // base))
+        frame_chunk = -(-len(frames_idx) // n_chunks)
+        if n_chunks > 1:
+            frame_chunk = -(-frame_chunk // 32) * 32
     bounds = [
         (frames_idx[s], frames_idx[
             min(s + frame_chunk, len(frames_idx)) - 1
@@ -179,28 +188,24 @@ def identify_and_cut(
         ) as rep:
             done = 0
             first_chunk = True
-            for offset, batch in prefetcher:
-                if abort_callback is not None and abort_callback():
-                    return None, None
-                n_real = len(batch)
-                padded = batch
-                # pad tail chunks so only one batch shape compiles
-                # (zero frames produce no identifications)
-                pad = frame_chunk - n_real
-                if pad > 0 and not first_chunk:
-                    padded = np.concatenate([
-                        batch,
-                        np.zeros(
-                            (pad, *batch.shape[1:]), batch.dtype
-                        ),
-                    ])
-                f, y, x, ng = _identify_ops.identify_frames(
-                    padded, minimum_ng, box,
-                    frame_offset=offset, roi=roi,
+            # software pipeline: chunk k+1 uploads and dispatches on
+            # device while chunk k's results are read back and its
+            # ROIs are cut on host
+            in_flight: deque = deque()
+
+            def _drain():
+                nonlocal done
+                offset, n_real, padded_tail, batch, handle = (
+                    in_flight.popleft()
                 )
-                if pad > 0 and not first_chunk:
+                f, y, x, ng = (
+                    _identify_ops.identify_frames_finalize(handle)
+                )
+                if padded_tail:
                     keep = f < offset + n_real
-                    f, y, x, ng = f[keep], y[keep], x[keep], ng[keep]
+                    f, y, x, ng = (
+                        f[keep], y[keep], x[keep], ng[keep]
+                    )
                 spots = _cut_from_chunk(
                     batch, f, y, x, offset, box
                 )
@@ -213,7 +218,35 @@ def identify_and_cut(
                 rep.set_value(done)
                 if callable(progress_callback):
                     progress_callback(done)
+
+            for offset, batch in prefetcher:
+                if abort_callback is not None and abort_callback():
+                    return None, None
+                n_real = len(batch)
+                padded = batch
+                # pad tail chunks so only one batch shape compiles
+                # (zero frames produce no identifications)
+                pad = frame_chunk - n_real
+                padded_tail = pad > 0 and not first_chunk
+                if padded_tail:
+                    padded = np.concatenate([
+                        batch,
+                        np.zeros(
+                            (pad, *batch.shape[1:]), batch.dtype
+                        ),
+                    ])
+                handle = _identify_ops.identify_frames_dispatch(
+                    padded, minimum_ng, box,
+                    frame_offset=offset, roi=roi,
+                )
+                in_flight.append(
+                    (offset, n_real, padded_tail, batch, handle)
+                )
                 first_chunk = False
+                while len(in_flight) > 1:
+                    _drain()
+            while in_flight:
+                _drain()
     finally:
         prefetcher.close()
 
