@@ -35,7 +35,7 @@ def _tile_budget() -> int:
     XLA temporaries); small on CPU so the virtual-mesh test runs stay
     lean."""
     return (
-        500_000_000
+        1_000_000_000
         if jax.default_backend() == "tpu"
         else 24_000_000
     )
@@ -210,7 +210,9 @@ class BatchedScorer:
 
         p_max = max(self.P)
         block = min(_NN_BLOCK, p_max)
-        per_cand = p_max * block * max(1, self.N_sim)
+        # ~3 live (P1, block) copies exist through the top-k merge
+        # (distance tile, merged working set, knockout mask)
+        per_cand = 3 * p_max * block * max(1, self.N_sim)
         self.chunk = int(
             np.clip(_tile_budget() // max(per_cand, 1), 1, 512)
         )
@@ -404,6 +406,10 @@ class BatchedScorer:
         key = jax.random.PRNGKey(seed)
         n = len(N_rows)
         out = np.empty(n, np.float64)
+        # dispatch every chunk before reading any back: JAX queues the
+        # programs asynchronously, so device compute pipelines instead
+        # of paying one host<->device round-trip of latency per chunk
+        pending = []
         for start in range(0, n, self.chunk):
             stop = min(start + self.chunk, n)
             chunk = N_rows[start:stop]
@@ -414,7 +420,10 @@ class BatchedScorer:
                 )
                 chunk = np.concatenate([chunk, pad])
             key, sub = jax.random.split(key)
-            scores = self._compiled(jnp.asarray(chunk), sub)
+            pending.append(
+                (start, stop, self._compiled(jnp.asarray(chunk), sub))
+            )
+        for start, stop, scores in pending:
             out[start:stop] = np.asarray(scores)[: stop - start]
             if progress is not None:
                 progress(stop)
