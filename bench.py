@@ -250,18 +250,33 @@ def main():
         _os.environ.get("PICASSO_BENCH_BUDGET_S", "1500")
     )
 
-    def run_stage(name, fn):
+    def run_stage(name, fn, deadline=420):
         """Optional stages must never cost the headline metric: skip
         when over budget (the driver may time the whole run out),
         swallow backend hiccups (the tunnel's server-side compile
-        latency is unpredictable — see CLAUDE.md)."""
-        if time.monotonic() - _T0 > _budget:
+        latency is unpredictable — see CLAUDE.md), and bound each
+        stage with SIGALRM so one runaway compile cannot starve the
+        stages after it."""
+        import signal
+
+        elapsed = time.monotonic() - _T0
+        if elapsed > _budget:
             stage(f"SKIP {name}: bench budget exceeded")
             return
+        limit = int(min(max(_budget - elapsed, 1), deadline))
+
+        def _alarm(signum, frame):
+            raise TimeoutError(f"stage deadline ({limit}s)")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(limit)
         try:
             fn()
         except Exception as exc:
             stage(f"{name} FAILED: {exc!r}")
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     # ---- 3. RCC + AIM undrift wall-clock ----
     def _stage_undrift():
@@ -459,6 +474,50 @@ def main():
         )
 
     run_stage('average', _stage_average)
+
+    # ---- 6b. SPINNA batched candidate scoring (workflow P8) ----
+    def _stage_spinna():
+        import os as _os
+
+        from picasso_tpu import spinna as spinna_mod
+
+        dimer = spinna_mod.Structure("dimer")
+        dimer.define_coordinates(
+            "A", [-10.0, 10.0], [0.0, 0.0], [0.0, 0.0]
+        )
+        monomer = spinna_mod.Structure("monomer")
+        monomer.define_coordinates("A", [0.0], [0.0], [0.0])
+        mixer = spinna_mod.StructureMixer(
+            [monomer, dimer], label_unc={"A": 2.0},
+            le={"A": 0.9}, width=4000.0, height=4000.0,
+        )
+        np.random.seed(0)
+        gt = mixer.run_simulation([300, 250])
+        sp = spinna_mod.SPINNA(mixer, gt, N_sim=4)
+        N = np.array(
+            [[a * 16, b * 14] for a in range(33) for b in range(33)]
+        )
+        sp.NN_scorer(N[:16])  # compile
+        sp.NN_scorer(N)  # absorb per-shape warmup
+        t0 = time.perf_counter()
+        _, scores = sp.NN_scorer(N)
+        dt = time.perf_counter() - t0
+        _os.environ["PICASSO_TPU_SPINNA"] = "host"
+        try:
+            t0 = time.perf_counter()
+            sp.NN_scorer(N[:24])
+            dt_host = (time.perf_counter() - t0) / 24 * len(N)
+        finally:
+            del _os.environ["PICASSO_TPU_SPINNA"]
+        assert np.isfinite(scores).all()
+        emit(
+            "spinna_score_throughput", round(len(N) / dt),
+            "candidates/s", dt_host / dt,
+            n_candidates=len(N), serial_s=round(dt_host, 2),
+            batched_s=round(dt, 2),
+        )
+
+    run_stage('spinna', _stage_spinna)
 
     # ---- 7. end-to-end localize: streamed identify+cut+fit of a
     # synthetic 256x256 movie (frames/s and spots/s including frame

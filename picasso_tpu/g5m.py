@@ -777,9 +777,24 @@ def _fit_clusters_batched(
     loc_local = loc_prec_handle == "local"
     models = [None] * len(Xs)
     buckets: dict[int, list[int]] = {}
-    for i, x in enumerate(Xs):
-        b = max(32, 1 << int(np.ceil(np.log2(max(len(x), 1)))))
-        buckets.setdefault(b, []).append(i)
+    if jax.default_backend() == "cpu":
+        # compute-bound: size buckets keep padding waste down
+        for i, x in enumerate(Xs):
+            b = max(32, 1 << int(np.ceil(np.log2(max(len(x), 1)))))
+            buckets.setdefault(b, []).append(i)
+    else:
+        # dispatch-latency-bound (the chip is underutilized at these
+        # shapes): ONE padded bucket per dataset minimizes program
+        # count — fewer compiles, fewer host round-trips
+        b = max(
+            32,
+            1 << int(
+                np.ceil(
+                    np.log2(max(max(len(x) for x in Xs), 1))
+                )
+            ),
+        )
+        buckets[b] = list(range(len(Xs)))
     key = jax.random.PRNGKey(seed)
     done = 0
     for bucket in sorted(buckets):
@@ -796,7 +811,36 @@ def _fit_clusters_batched(
         best_bic = np.full(G, np.inf)
         rounds = np.zeros(G, int)
         best_params: list = [None] * G
+        K_hi = int(min(n_max.max(initial=0), _BATCH_K_CAP))
+
+        # the BIC growth is sequential in K on the host, but the K+1
+        # and K+2 fits do not depend on K's results — dispatch them
+        # speculatively so device programs queue back-to-back instead
+        # of paying a host round-trip of latency per K
+        pending: dict[int, tuple] = {}
+
+        def _dispatch(Kd):
+            nonlocal key
+            if Kd in pending or Kd < 1 or Kd > K_hi:
+                return
+            key, sub = jax.random.split(key)
+            res = gmm.fit_g5m_batched(
+                Xd, maskd, lpd, sub,
+                K=Kd,
+                sigma_bounds=tuple(sigma_bounds),
+                isotropic=isotropic,
+                loc_local=loc_local,
+                n_init=max(Kd, 3),
+                min_locs=min_locs,
+            )
+            w, m, cv, pc, lb, conv, valid, ok = res
+            bic_d = gmm.bic_batched(
+                Xd, maskd, w, m, pc, valid, isotropic
+            )
+            pending[Kd] = res + (bic_d,)
+
         K = 1
+        _dispatch(1)
         while True:
             active = (
                 (rounds < max_rounds_without_best_bic)
@@ -805,21 +849,13 @@ def _fit_clusters_batched(
             )
             if not active.any():
                 break
-            key, sub = jax.random.split(key)
-            w, m, cv, pc, lb, conv, valid, ok = gmm.fit_g5m_batched(
-                Xd, maskd, lpd, sub,
-                K=K,
-                sigma_bounds=tuple(sigma_bounds),
-                isotropic=isotropic,
-                loc_local=loc_local,
-                n_init=max(K, 3),
-                min_locs=min_locs,
+            _dispatch(K)
+            _dispatch(K + 1)
+            _dispatch(K + 2)
+            w, m, cv, pc, lb, conv, valid, ok, bic_d = (
+                pending.pop(K)
             )
-            bic = np.asarray(
-                gmm.bic_batched(
-                    Xd, maskd, w, m, pc, valid, isotropic
-                )
-            )
+            bic = np.asarray(bic_d)
             w, m, cv, pc, lb, conv, valid, ok = (
                 np.asarray(a)
                 for a in (w, m, cv, pc, lb, conv, valid, ok)
@@ -836,6 +872,7 @@ def _fit_clusters_batched(
                 improved, 0, rounds + active.astype(int)
             )
             K += 1
+        pending.clear()
         for gi, i in enumerate(idxs):
             if (
                 rounds[gi] < max_rounds_without_best_bic
