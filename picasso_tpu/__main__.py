@@ -499,7 +499,11 @@ def _cluster_combine_dist(args):
 
     for path in _iter_files(args.files):
         locs, info = io.load_locs(path)
-        combined = postprocess.cluster_combine_dist(locs)
+        px = None
+        for block in info:
+            if isinstance(block, dict) and "Pixelsize" in block:
+                px = block["Pixelsize"]
+        combined = postprocess.cluster_combine_dist(locs, px)
         out = _out_path(path, "_cdist")
         io.save_locs(
             out, combined,
@@ -512,7 +516,7 @@ def _csv2hdf(args):
     from picasso_tpu import io
 
     for path in _iter_files(args.files):
-        locs, info = io.import_ts(path)
+        locs, info = io.import_ts(path, pixelsize=args.pixelsize)
         out = os.path.splitext(path)[0] + ".hdf5"
         io.save_locs(out, locs, info)
         print(f"Imported -> {out}")
@@ -853,6 +857,10 @@ def main():
         "csv2hdf", help="import ThunderSTORM csv"
     )
     p.add_argument("files")
+    p.add_argument(
+        "-p", "--pixelsize", type=float, required=True,
+        help="camera pixel size in nm",
+    )
 
     p = subparsers.add_parser("hdf2csv", help="export to csv")
     p.add_argument("files")

@@ -1089,23 +1089,47 @@ def cluster_combine(locs: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def cluster_combine_dist(locs: pd.DataFrame) -> pd.DataFrame:
-    """Combined clusters plus nearest-neighbor cluster distance within
-    each group (picasso/postprocess.py:2291)."""
-    combined = cluster_combine(locs)
-    d_to_nn = np.zeros(len(combined), np.float32)
+def cluster_combine_dist(
+    locs: pd.DataFrame, pixelsize: float | None = None
+) -> pd.DataFrame:
+    """Nearest-neighbor cluster distances within each group, appended
+    to ALREADY-COMBINED cluster locs (the `cluster_combine` output
+    with mean_frame/lp*/n columns — picasso/postprocess.py:2291 reads
+    those columns directly). 2D adds ``min_dist``; 3D scales z by the
+    pixel size (130 nm default) and adds both ``min_dist`` (xyz) and
+    ``mind_dist_xy`` (the reference's column name, typo included).
+    Groups with a single cluster get inf (the reference errors on
+    them; documented divergence)."""
+    combined = locs.copy()
     has_z = "z" in combined.columns
-    for g in combined["group"].unique():
-        sel = np.nonzero((combined["group"] == g).to_numpy())[0]
+    min_dist = np.full(len(combined), np.inf, np.float32)
+    min_dist_xy = np.full(len(combined), np.inf, np.float32)
+    if has_z:
+        pixelsize = 130 if pixelsize is None else pixelsize
+    groups = combined["group"].to_numpy()
+    x = combined["x"].to_numpy()
+    y = combined["y"].to_numpy()
+    z = (
+        combined["z"].to_numpy() / pixelsize if has_z else None
+    )
+    for g in np.unique(groups):
+        sel = np.nonzero(groups == g)[0]
         if len(sel) < 2:
-            d_to_nn[sel] = np.inf
             continue
-        cols = ["x", "y"] + (["z"] if has_z else [])
-        pts = combined.iloc[sel][cols].to_numpy()
-        tree = KDTree(pts)
-        dist, _ = tree.query(pts, k=2)
-        d_to_nn[sel] = dist[:, 1]
-    combined["d"] = d_to_nn
+        pts_xy = np.stack([x[sel], y[sel]], axis=1)
+        tree_xy = KDTree(pts_xy)
+        d_xy, _ = tree_xy.query(pts_xy, k=2)
+        if has_z:
+            pts = np.stack([x[sel], y[sel], z[sel]], axis=1)
+            tree = KDTree(pts)
+            d, _ = tree.query(pts, k=2)
+            min_dist[sel] = d[:, 1]
+            min_dist_xy[sel] = d_xy[:, 1]
+        else:
+            min_dist[sel] = d_xy[:, 1]
+    combined["min_dist"] = min_dist
+    if has_z:
+        combined["mind_dist_xy"] = min_dist_xy
     return combined
 
 

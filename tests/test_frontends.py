@@ -406,3 +406,150 @@ class TestSpinnaCLI:
         assert out.returncode == 0, out.stderr
         # fitted proportions reported; dimer should dominate
         assert "dimer" in out.stdout.lower()
+
+
+class TestCLICoverageChain:
+    """Smoke the analysis/converter subcommands the other chains do
+    not reach: smlm_cluster -> g5m -> nneighbor, cluster_combine(_
+    dist), join, align, hdbscan, csv2hdf, hdf2chimera/visp, toraw,
+    toims, render, undrift_fiducials."""
+
+    @pytest.fixture()
+    def clustered_locs_file(self, tmp_path):
+        from picasso_tpu import io
+
+        rng = np.random.default_rng(3)
+        centers = rng.uniform(4, 28, (12, 2)).astype(np.float32)
+        which = rng.integers(0, 12, 900)
+        n = 900
+        locs = pd.DataFrame(
+            {
+                "frame": rng.integers(0, 300, n).astype(np.uint32),
+                "x": centers[which, 0]
+                + rng.normal(0, 0.04, n).astype(np.float32),
+                "y": centers[which, 1]
+                + rng.normal(0, 0.04, n).astype(np.float32),
+                "photons": rng.uniform(500, 3000, n).astype(
+                    np.float32
+                ),
+                "sx": np.full(n, 1.1, np.float32),
+                "sy": np.full(n, 1.0, np.float32),
+                "bg": np.full(n, 10, np.float32),
+                "lpx": np.full(n, 0.04, np.float32),
+                "lpy": np.full(n, 0.04, np.float32),
+            }
+        ).sort_values("frame")
+        path = str(tmp_path / "cov_locs.hdf5")
+        io.save_locs(
+            path, locs,
+            [{"Frames": 300, "Height": 32, "Width": 32,
+              "Pixelsize": 130}],
+        )
+        return path
+
+    def test_cluster_g5m_nneighbor_combine(
+        self, clustered_locs_file
+    ):
+        from picasso_tpu import io
+
+        base = os.path.splitext(clustered_locs_file)[0]
+        out = _run_cli(
+            ["smlm_cluster", clustered_locs_file, "0.25", "8"]
+        )
+        assert out.returncode == 0, out.stderr
+        clustered = base + "_clustered.hdf5"
+        assert os.path.isfile(clustered)
+        assert os.path.isfile(base + "_cluster_centers.hdf5")
+        locs, _ = io.load_locs(clustered)
+        assert "group" in locs.columns
+
+        out = _run_cli(["g5m", clustered])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["nneighbor", clustered])
+        assert out.returncode == 0, out.stderr
+
+        # cluster_combine wants picked+clustered locs: 'group' is
+        # the pick, 'cluster' the within-pick cluster id
+        # (reference picasso/postprocess.py:2174)
+        locs, cinfo = io.load_locs(clustered)
+        locs = locs.rename(columns={"group": "cluster"})
+        locs["group"] = (locs["cluster"] % 3).astype(np.int32)
+        picked = base + "_picked.hdf5"
+        io.save_locs(picked, locs, cinfo)
+        out = _run_cli(["cluster_combine", picked])
+        assert out.returncode == 0, out.stderr
+        combined = base + "_picked_comb.hdf5"
+        assert os.path.isfile(combined)
+
+        out = _run_cli(["cluster_combine_dist", combined])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["hdbscan", clustered_locs_file, "10", "8"])
+        assert out.returncode == 0, out.stderr
+
+    def test_join_align_render_converters(
+        self, clustered_locs_file, tmp_path
+    ):
+        from picasso_tpu import io
+
+        base = os.path.splitext(clustered_locs_file)[0]
+        # second channel: same locs, small shift
+        locs, info = io.load_locs(clustered_locs_file)
+        locs2 = locs.copy()
+        locs2["x"] = locs2["x"] + 0.4
+        second = str(tmp_path / "cov2_locs.hdf5")
+        io.save_locs(second, locs2, info)
+
+        out = _run_cli(["join", clustered_locs_file, second])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["align", clustered_locs_file, second])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(
+            ["render", clustered_locs_file, "-o", "8",
+             "-b", "gaussian"]
+        )
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["hdf2chimera", clustered_locs_file])
+        assert out.returncode == 0, out.stderr
+        out = _run_cli(["hdf2visp", clustered_locs_file])
+        assert out.returncode == 0, out.stderr
+
+        out = _run_cli(["hdf2ts", clustered_locs_file])
+        assert out.returncode == 0, out.stderr
+        csvs = [
+            f for f in os.listdir(os.path.dirname(base))
+            if f.endswith(".csv")
+        ]
+        assert csvs
+        out = _run_cli(
+            ["csv2hdf", os.path.join(os.path.dirname(base),
+                                     csvs[0]), "-p", "130"]
+        )
+        assert out.returncode == 0, out.stderr
+
+    def test_toraw_toims_fiducials(self, tmp_path):
+        raw = _write_test_movie(tmp_path)
+
+        out = _run_cli(["toims", raw])
+        assert out.returncode == 0, out.stderr
+        ims = os.path.splitext(raw)[0] + ".ims"
+        assert os.path.isfile(ims)
+
+        # toraw consumes tiff; write one from the raw movie
+        from picasso_tpu import io
+        from test_io import _write_tiff
+
+        movie, info = io.load_movie(raw)
+        tif_dir = tmp_path / "tifs"
+        tif_dir.mkdir()
+        tif = str(tif_dir / "movie.ome.tif")
+        _write_tiff(tif, np.asarray(movie[:20]))
+        out = _run_cli(["toraw", tif])
+        assert out.returncode == 0, out.stderr
+        assert any(
+            f.endswith(".raw") for f in os.listdir(tif_dir)
+        )

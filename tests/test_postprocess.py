@@ -927,19 +927,32 @@ class TestClusterCombineDist:
         return pd.concat(rows, ignore_index=True)
 
     def test_combine_one_row_per_cluster_and_nn_dist(self):
-        out = postprocess.cluster_combine_dist(self._clustered())
+        # the reference applies cluster_combine_dist to the COMBINED
+        # output (picasso/postprocess.py:2291 reads mean_frame/lpx/n)
+        combined = postprocess.cluster_combine(self._clustered())
+        out = postprocess.cluster_combine_dist(combined)
         assert len(out) == 3
-        d = out.sort_values("cluster")["d"].to_numpy()
+        d = out.sort_values("cluster")["min_dist"].to_numpy()
         # clusters 0 and 1 are 1 px apart; cluster 2 is far
         assert d[0] == pytest.approx(1.0, abs=0.1)
         assert d[1] == pytest.approx(1.0, abs=0.1)
         assert d[2] > 20
+        assert "mind_dist_xy" not in out.columns  # 2D
 
     def test_nn_dist_3d_finite(self):
-        out = postprocess.cluster_combine_dist(
+        combined = postprocess.cluster_combine(
             self._clustered(z=True)
         )
-        assert np.isfinite(out["d"]).all()
+        out = postprocess.cluster_combine_dist(
+            combined, pixelsize=130
+        )
+        assert np.isfinite(out["min_dist"]).all()
+        # 3D adds the xy distance under the reference's column name
+        assert np.isfinite(out["mind_dist_xy"]).all()
+        assert (
+            out["mind_dist_xy"].to_numpy()
+            <= out["min_dist"].to_numpy() * (1 + 1e-6)
+        ).any()
         assert "lpz" in out.columns
 
 
