@@ -34,8 +34,9 @@ def _run_cli(args, cwd=None):
         cwd=cwd,
         env=env,
         # generous: each call pays a fresh JAX import, and CI hosts
-        # can be heavily loaded
-        timeout=900,
+        # can be heavily loaded (observed: 900s exceeded while a
+        # second full suite ran on the same small host)
+        timeout=1800,
     )
 
 
@@ -408,6 +409,7 @@ class TestSpinnaCLI:
         assert "dimer" in out.stdout.lower()
 
 
+@pytest.mark.slow
 class TestCLICoverageChain:
     """Smoke the analysis/converter subcommands the other chains do
     not reach: smlm_cluster -> g5m -> nneighbor, cluster_combine(_
