@@ -671,7 +671,10 @@ def _gui_stub(args):
 # ---------------------------------------------------------------------------
 
 
-def main():
+def main(argv=None):
+    """CLI entry point. ``argv`` defaults to ``sys.argv[1:]``; tests
+    call ``main([...])`` in-process to avoid a fresh interpreter (and
+    JAX import) per subcommand."""
     parser = argparse.ArgumentParser(
         "picasso-tpu",
         description=(
@@ -923,7 +926,7 @@ def main():
                 "average3", "nanotron", "rotation"):
         subparsers.add_parser(gui, help=f"{gui} (GUI app)")
 
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     handlers = {
         "toraw": _toraw,
         "toims": _toims,

@@ -354,6 +354,7 @@ def _hdbscan(
             min_cluster_size=min_cluster_size,
             min_samples=min_samples,
             cluster_selection_epsilon=cluster_eps,
+            copy=True,
         )
         .fit(X)
         .labels_

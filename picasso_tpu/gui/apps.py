@@ -48,7 +48,7 @@ class RotationApp(_PluginHost):
         height = lib.get_from_metadata(info, "Height")
         width = lib.get_from_metadata(info, "Width")
         self.viewport = ((0.0, 0.0), (float(height), float(width)))
-        self.fig = fig or plt.figure(figsize=(7, 7))
+        self.fig = fig or self._new_fig(figsize=(7, 7))
         self.ax = self.fig.add_subplot(111)
         self.fig.canvas.mpl_connect("key_press_event", self._on_key)
         self._init_plugins("rotation")
@@ -180,7 +180,7 @@ class AverageApp(_PluginHost):
         self.info = info
         self.oversampling = oversampling
         self.iterations_done = 0
-        self.fig = fig or plt.figure(figsize=(6, 6))
+        self.fig = fig or self._new_fig(figsize=(6, 6))
         self.ax = self.fig.add_subplot(111)
         self._init_plugins("average")
         self.redraw()
@@ -253,7 +253,7 @@ class Average3App(_PluginHost):
         self.info = info
         self.oversampling = oversampling
         self.iterations_done = 0
-        self.fig = fig or plt.figure(figsize=(10, 4))
+        self.fig = fig or self._new_fig(figsize=(10, 4))
         self.axes = [
             self.fig.add_subplot(1, 3, i + 1) for i in range(3)
         ]
@@ -339,7 +339,7 @@ class SimulateApp(_PluginHost):
         self.info = None
         self.ground_truth = None
         self.frame_number = 0
-        self.fig = fig or plt.figure(figsize=(6, 6))
+        self.fig = fig or self._new_fig(figsize=(6, 6))
         self.ax = self.fig.add_subplot(111)
         self.fig.canvas.mpl_connect("key_press_event", self._on_key)
         self._init_plugins("simulate")
@@ -444,7 +444,7 @@ class SimulateApp(_PluginHost):
 
         if getattr(self, "structure", None) is None:
             raise RuntimeError("define a structure first")
-        fig = fig or plt.figure(figsize=(5, 5))
+        fig = fig or self._new_fig(figsize=(5, 5))
         ax = fig.add_subplot(111)
         xx, yy, ex = (
             self.structure[0], self.structure[1], self.structure[2]
@@ -474,7 +474,7 @@ class SimulateApp(_PluginHost):
 
         if getattr(self, "positions", None) is None:
             raise RuntimeError("generate_positions() first")
-        fig = fig or plt.figure(figsize=(5, 5))
+        fig = fig or self._new_fig(figsize=(5, 5))
         ax = fig.add_subplot(111)
         ax.scatter(self.positions[:, 0], self.positions[:, 1], s=8)
         ax.set_xlim(0, self.params["imagesize"])
@@ -542,7 +542,7 @@ class DesignApp(_PluginHost):
             (DESIGN_ROWS, DESIGN_COLUMNS), dtype=np.int64
         )
         self.current_color = 1
-        self.fig = fig or plt.figure(figsize=(8, 6))
+        self.fig = fig or self._new_fig(figsize=(8, 6))
         self.ax = self.fig.add_subplot(111)
         self.fig.canvas.mpl_connect(
             "button_press_event", self._on_click
@@ -718,7 +718,7 @@ class SpinnaApp(_PluginHost):
         self.exp_data: dict[str, np.ndarray] = {}
         self.mixer = None
         self.result = None
-        self.fig = fig or plt.figure(figsize=(7, 5))
+        self.fig = fig or self._new_fig(figsize=(7, 5))
         self.ax = self.fig.add_subplot(111)
         self._init_plugins("spinna")
 
@@ -810,7 +810,7 @@ class SpinnaApp(_PluginHost):
         import matplotlib.pyplot as plt
 
         s = self.structures[index]
-        fig = fig or plt.figure(figsize=(5, 5))
+        fig = fig or self._new_fig(figsize=(5, 5))
         ax = fig.add_subplot(111)
         for t in s.targets:
             ax.scatter(s.x[t], s.y[t], label=t, s=60)
@@ -921,7 +921,7 @@ class NanotronApp(_PluginHost):
 
         self.model = None
         self.model_info = None
-        self.fig = fig or plt.figure(figsize=(6, 6))
+        self.fig = fig or self._new_fig(figsize=(6, 6))
         self.ax = self.fig.add_subplot(111)
         self._init_plugins("nanotron")
 
@@ -1023,7 +1023,7 @@ class NanotronApp(_PluginHost):
         if self.model is None or not hasattr(self.model,
                                              "loss_curve_"):
             raise RuntimeError("train_with_stats() first")
-        fig = fig or plt.figure(figsize=(9, 4))
+        fig = fig or self._new_fig(figsize=(9, 4))
         ax1 = fig.add_subplot(121)
         ax1.plot(self.model.loss_curve_)
         ax1.set_xlabel("epoch")

@@ -33,6 +33,36 @@ class _PluginHost:
             if 0 <= idx < len(self.plugin_actions):
                 self.plugin_actions[idx][1]()
 
+    def _new_fig(self, **kwargs):
+        """Create a figure tracked for release by :meth:`close`."""
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(**kwargs)
+        self._figs = getattr(self, "_figs", [])
+        self._figs.append(fig)
+        return fig
+
+    def close(self) -> None:
+        """Release the app's matplotlib figure(s). Long scripted
+        sessions (and the test suite) would otherwise accumulate open
+        figures until matplotlib warns at 20+."""
+        import matplotlib.pyplot as plt
+
+        fig = getattr(self, "fig", None)
+        if fig is not None:
+            plt.close(fig)
+            self.fig = None
+        for fig in getattr(self, "_figs", []):
+            plt.close(fig)
+        self._figs = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
 
 class StatusLog:
     """Minimal status-bar stand-in: remembers messages, optionally

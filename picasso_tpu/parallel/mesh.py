@@ -282,8 +282,6 @@ def identify_sharded(
     Returns flat (frame, y, x, net_gradient) numpy arrays sorted by
     frame, identical to the single-device path.
     """
-    from jax.experimental.shard_map import shard_map
-
     from picasso_tpu.ops.identify import _identify_compact
 
     if mesh is None:
@@ -305,7 +303,7 @@ def identify_sharded(
     size = bucket
     while True:
         @functools.partial(
-            shard_map,
+            jax.shard_map,
             mesh=mesh,
             in_specs=(P("spots", None, None),),
             out_specs=(P("spots"),) * 5,

@@ -1250,9 +1250,19 @@ def _undrift_from_picked_coordinate(
     for i, locs in enumerate(picked_locs):
         coords = locs[coordinate].to_numpy()
         drift[i, locs["frame"].to_numpy()] = coords - np.mean(coords)
-    drift_mean = np.nanmean(drift, 0)
+    # frames with no contributing pick stay NaN here and are filled by
+    # the interpolation below; guard the all-NaN columns explicitly so
+    # the passing path emits no RuntimeWarning
+    has_any = ~np.all(np.isnan(drift), axis=0)
+    drift_mean = np.full(n_frames, np.nan)
+    if has_any.any():
+        drift_mean[has_any] = np.nanmean(drift[:, has_any], 0)
     sd = (drift - drift_mean) ** 2
-    msd = np.nanmean(sd, 1)
+    pick_has_any = ~np.all(np.isnan(sd), axis=1)
+    msd = np.full(n_picks, np.nan)
+    if pick_has_any.any():
+        msd[pick_has_any] = np.nanmean(sd[pick_has_any], 1)
+    msd = np.where(np.isnan(msd), np.inf, msd)
     # a pick that tracks the mean drift exactly (e.g. a single pick)
     # has msd 0; floor it so the 1/msd weights stay finite
     msd = np.maximum(msd, 1e-12)

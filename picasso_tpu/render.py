@@ -351,7 +351,13 @@ def build_animation(
     requires an ffmpeg backend)."""
     import imageio
 
-    imageio.mimsave(path, frames, fps=fps)
+    if path.lower().endswith(".gif"):
+        # imageio v3 deprecated fps= for GIF in favor of duration (ms)
+        imageio.mimsave(
+            path, frames, duration=1000.0 / fps, loop=0
+        )
+    else:
+        imageio.mimsave(path, frames, fps=fps)
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,15 @@ def real_identifications(movie):
     from picasso_tpu import localize
 
     return localize.identify(movie, MIN_NG, BOX, return_info=False)
+
+
+@pytest.fixture(autouse=True)
+def _close_matplotlib_figures():
+    """GUI tests create figures per app; close them after every test so
+    a long run never accumulates open figures (matplotlib warns at
+    20+). Real sessions use the apps' close()/context-manager API."""
+    yield
+    import sys
+
+    if "matplotlib.pyplot" in sys.modules:
+        sys.modules["matplotlib.pyplot"].close("all")

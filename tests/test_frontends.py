@@ -24,23 +24,62 @@ def _write_test_movie(tmp_path):
     return raw
 
 
+class _CLIResult:
+    def __init__(self, returncode, stdout, stderr):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
+
+
 def _run_cli(args, cwd=None):
-    env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
-    return subprocess.run(
-        [sys.executable, "-m", "picasso_tpu", *args],
-        capture_output=True,
-        text=True,
-        cwd=cwd,
-        env=env,
-        # generous: each call pays a fresh JAX import, and CI hosts
-        # can be heavily loaded (observed: 900s exceeded while a
-        # second full suite ran on the same small host)
-        timeout=1800,
-    )
+    """Drive a CLI subcommand in-process via ``main(argv)``.
+
+    A fresh ``python -m picasso_tpu`` per stage costs ~10 s of JAX
+    import each; in-process calls share the warm runtime (one true
+    subprocess smoke test remains in ``test_cli_subprocess_smoke``).
+    Exceptions propagate — a failing stage surfaces its traceback
+    directly instead of a captured stderr blob.
+    """
+    import contextlib
+    import io as _io
+
+    from picasso_tpu.__main__ import main
+
+    out, err = _io.StringIO(), _io.StringIO()
+    code = 0
+    prev = os.getcwd()
+    try:
+        if cwd:
+            os.chdir(cwd)
+        with contextlib.redirect_stdout(out), \
+                contextlib.redirect_stderr(err):
+            try:
+                main([str(a) for a in args])
+            except SystemExit as exc:  # argparse --help / errors
+                code = int(exc.code or 0)
+    finally:
+        if cwd:
+            os.chdir(prev)
+    return _CLIResult(code, out.getvalue(), err.getvalue())
 
 
 class TestCLI:
+    def test_cli_subprocess_smoke(self):
+        """The one true subprocess test: import hygiene + entry point.
+
+        Everything else calls ``main(argv)`` in-process; this verifies
+        ``python -m picasso_tpu`` actually boots in a clean interpreter.
+        """
+        env = dict(os.environ)
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        out = subprocess.run(
+            [sys.executable, "-m", "picasso_tpu", "--help"],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert out.returncode == 0
+        assert "localize" in out.stdout
+        assert "spinna" in out.stdout
+
     def test_help(self):
         out = _run_cli(["--help"])
         assert out.returncode == 0
@@ -409,7 +448,6 @@ class TestSpinnaCLI:
         assert "dimer" in out.stdout.lower()
 
 
-@pytest.mark.slow
 class TestCLICoverageChain:
     """Smoke the analysis/converter subcommands the other chains do
     not reach: smlm_cluster -> g5m -> nneighbor, cluster_combine(_
@@ -515,9 +553,12 @@ class TestCLICoverageChain:
         )
         assert out.returncode == 0, out.stderr
 
-        out = _run_cli(["hdf2chimera", clustered_locs_file])
+        # 2D data: chimera/visp exporters warn that z is required
+        with pytest.warns(UserWarning, match="Chimera"):
+            out = _run_cli(["hdf2chimera", clustered_locs_file])
         assert out.returncode == 0, out.stderr
-        out = _run_cli(["hdf2visp", clustered_locs_file])
+        with pytest.warns(UserWarning, match="ViSP"):
+            out = _run_cli(["hdf2visp", clustered_locs_file])
         assert out.returncode == 0, out.stderr
 
         out = _run_cli(["hdf2ts", clustered_locs_file])

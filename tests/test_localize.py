@@ -172,7 +172,7 @@ class TestFit2D:
         subset (30 locs)."""
         ours = localize.localize(
             movie,
-            dict(CAMERA_INFO),
+            dict(CAMERA_INFO, Pixelsize=130),
             {"Min. Net Gradient": MIN_NG, "Box Size": BOX},
             movie_info=movie_info,
             fitting_method="gaussmle",
