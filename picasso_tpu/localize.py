@@ -542,6 +542,74 @@ def localize(
     if movie_info is None:
         movie_info = []
     spots = None
+    scalar_camera = (
+        np.isscalar(camera_info.get("Baseline", 0))
+        and np.isscalar(camera_info.get("Sensitivity", 1))
+        and np.isscalar(camera_info.get("Gain", 1))
+    )
+    if (
+        fitting_method in ("gausslq", "gausslq-gpu", "gaussmle")
+        and scalar_camera
+    ):
+        # Fully device-resident path: frames upload once (native
+        # dtype); identify, ROI cut, photon conversion and the fit run
+        # as one fused XLA program per chunk; only the compacted hit
+        # list + fit results read back (ops/fused.py).
+        from picasso_tpu.ops import fused as _fused
+
+        if "Pixelsize" not in camera_info:
+            warnings.warn(
+                "Camera info in fit2D does not contain 'Pixelsize'; "
+                "assuming 130."
+            )
+            camera_info["Pixelsize"] = 130
+        identifications, fits = _fused.localize_fused(
+            movie,
+            parameters["Min. Net Gradient"],
+            parameters["Box Size"],
+            camera_info,
+            fitting_method=fitting_method,
+            eps=eps,
+            max_it=max_it,
+            mle_method=mle_method,
+            roi=roi,
+            frame_bounds=frame_bounds,
+            progress_callback=identification_progress_callback,
+        )
+        if identifications is None:
+            return None
+        theta, crlb, ll, iters = fits
+        box = parameters["Box Size"]
+        em = camera_info["Gain"] > 1
+        if fitting_method == "gaussmle":
+            locs = gaussmle.locs_from_fits(
+                identifications, theta, crlb, ll, iters, box
+            )
+        else:
+            locs = gausslq.locs_from_fits(
+                identifications, theta, box, em
+            )
+        if callable(fit_progress_callback):
+            fit_progress_callback(len(identifications))
+        identify_info = {
+            "Generated by": f"Picasso: v{__version__} Identify",
+            "Min. Net Gradient": parameters["Min. Net Gradient"],
+            "Box Size": box,
+            "ROI": roi,
+            "Frame Bounds": frame_bounds,
+        }
+        fit_info = {
+            "Generated by": f"Picasso: v{__version__} Fit 2D",
+            "Fit method": fitting_method,
+        }
+        if fitting_method == "gaussmle":
+            fit_info["Convergence criterion"] = eps
+            fit_info["Max iterations"] = max_it
+        fit_info = fit_info | camera_info
+        info = movie_info + [identify_info] + [fit_info]
+        if return_info:
+            return locs, info
+        return locs
     lazy = not (
         isinstance(movie, (np.ndarray, np.memmap))
         or hasattr(movie, "__array__")

@@ -1,0 +1,156 @@
+"""Fused device-resident localize (ops/fused.py): the single-program
+identify+cut+fit path must match the staged identify → get_spots →
+fit2D path exactly — same hits, same fit numerics — for both fitters,
+with ROI/frame-bounds handling intact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from picasso_tpu import localize, simulate
+from picasso_tpu.ops import fused
+
+CAMERA = {"Baseline": 100, "Sensitivity": 0.5, "Gain": 1,
+          "Pixelsize": 130}
+
+
+@pytest.fixture(scope="module")
+def sim_movie():
+    movie, _, _ = simulate.simulate_movie(
+        n_sites=20, imagesize=64, frames=60, taud=1500,
+        photonrate=70, seed=11,
+    )
+    # camera counts: add baseline so conversion is non-trivial
+    return (movie + 100).astype(np.uint16)
+
+
+def _staged(movie, method, mle_method="sigmaxy"):
+    ids = localize.identify(movie, 3000, 7, return_info=False)
+    spots = localize.get_spots(movie, ids, 7, CAMERA)
+    if method == "gaussmle":
+        from picasso_tpu import gaussmle
+
+        t, c, ll, it = gaussmle.gaussmle(
+            spots, 0.001, 100, mle_method
+        )
+        return ids, t, c, ll, it
+    from picasso_tpu import gausslq
+
+    return ids, gausslq.fit_spots(spots), None, None, None
+
+
+class TestFusedParity:
+    @pytest.mark.parametrize("method", ["gaussmle", "gausslq"])
+    def test_matches_staged_path(self, sim_movie, method):
+        ids_s, t_s, c_s, ll_s, it_s = _staged(sim_movie, method)
+        ids_f, (t_f, c_f, ll_f, it_f) = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA, fitting_method=method,
+        )
+        assert len(ids_f) == len(ids_s) > 50
+        np.testing.assert_array_equal(
+            ids_f["frame"].to_numpy(), ids_s["frame"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            ids_f["x"].to_numpy(), ids_s["x"].to_numpy()
+        )
+        np.testing.assert_allclose(
+            ids_f["net_gradient"], ids_s["net_gradient"], rtol=1e-6
+        )
+        np.testing.assert_allclose(t_f, t_s, rtol=2e-4, atol=2e-4)
+        if method == "gaussmle":
+            np.testing.assert_allclose(
+                c_f, c_s, rtol=2e-3, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                ll_f, ll_s, rtol=2e-4, atol=2e-3
+            )
+            np.testing.assert_array_equal(it_f, it_s)
+
+    def test_sigma_method(self, sim_movie):
+        ids_s, t_s, c_s, ll_s, it_s = _staged(
+            sim_movie, "gaussmle", "sigma"
+        )
+        ids_f, (t_f, c_f, ll_f, it_f) = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA, fitting_method="gaussmle",
+            mle_method="sigma",
+        )
+        assert len(ids_f) == len(ids_s)
+        np.testing.assert_allclose(t_f, t_s, rtol=2e-4, atol=2e-4)
+
+    def test_roi_and_frame_bounds(self, sim_movie):
+        roi = ((8, 8), (56, 56))
+        bounds = (10, 40)
+        ids_s = localize.identify(
+            sim_movie, 3000, 7, roi=roi, frame_bounds=bounds,
+            return_info=False,
+        )
+        ids_f, _ = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA, fitting_method="gausslq",
+            roi=roi, frame_bounds=bounds,
+        )
+        assert len(ids_f) == len(ids_s)
+        np.testing.assert_array_equal(
+            ids_f["y"].to_numpy(), ids_s["y"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            ids_f["x"].to_numpy(), ids_s["x"].to_numpy()
+        )
+        assert ids_f["frame"].min() >= 10
+        assert ids_f["frame"].max() <= 40
+
+    def test_empty_movie_bounds(self, sim_movie):
+        ids, (t, c, ll, it) = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA,
+            frame_bounds=(900, 999),
+        )
+        assert len(ids) == 0
+        assert t.shape == (0, 6)
+
+    def test_localize_entry_uses_fused(self, sim_movie):
+        """localize.localize routes scalar-camera movies through the
+        fused path and returns the same locs as fit2D staging."""
+        locs = localize.localize(
+            sim_movie, dict(CAMERA),
+            {"Min. Net Gradient": 3000, "Box Size": 7},
+            fitting_method="gaussmle",
+        )
+        ids, t, c, ll, it = _staged(sim_movie, "gaussmle")
+        from picasso_tpu import gaussmle
+
+        expected = gaussmle.locs_from_fits(ids, t, c, ll, it, 7)
+        np.testing.assert_allclose(
+            locs["x"].to_numpy(), expected["x"].to_numpy(),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            locs["photons"].to_numpy(),
+            expected["photons"].to_numpy(), rtol=2e-4,
+        )
+
+    def test_lazy_movie_streams(self, sim_movie):
+        """Lazy (non-array) movies stream chunk-by-chunk through the
+        same fused program."""
+
+        class Lazy:
+            dtype = sim_movie.dtype
+
+            def __len__(self):
+                return len(sim_movie)
+
+            def __getitem__(self, it):
+                return sim_movie[it]
+
+        ids_a, (t_a, *_) = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA, fitting_method="gausslq",
+        )
+        ids_l, (t_l, *_) = fused.localize_fused(
+            Lazy(), 3000, 7, CAMERA, fitting_method="gausslq",
+            frame_chunk=17, prefetch_depth=2,
+        )
+        assert len(ids_l) == len(ids_a)
+        np.testing.assert_array_equal(
+            ids_l["x"].to_numpy(), ids_a["x"].to_numpy()
+        )
+        np.testing.assert_allclose(t_l, t_a, rtol=2e-4, atol=2e-4)
