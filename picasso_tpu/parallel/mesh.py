@@ -265,6 +265,101 @@ def pair_xcorrs_sharded(
     return np.asarray(out)[:n_pairs]
 
 
+def spinna_score_sharded(
+    scorer,
+    N_rows: np.ndarray,
+    seed: int | None = None,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Score SPINNA candidate stoichiometries with the CANDIDATE axis
+    sharded over the mesh — the multi-chip counterpart of the
+    reference's ProcessPool over candidates
+    (picasso/spinna.py:3280 fit_stoichiometry_parallel).
+
+    ``scorer`` is an ops.spinna_batch.BatchedScorer; its compiled
+    chunk program is batch-parallel over candidates, so sharding the
+    input rows partitions the whole simulate+NND+KS pipeline with zero
+    collectives. JAX's partitionable threefry RNG makes the scores
+    bit-identical to an unsharded evaluation of the same padded batch
+    with the same key (tests/test_parallel.py pins this).
+    """
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    N_rows = np.asarray(N_rows, np.int32)
+    if N_rows.ndim == 1:
+        N_rows = N_rows.reshape(1, -1)
+    n = len(N_rows)
+    pad = _pad_to(max(n, 1), n_dev)
+    rows = np.zeros((pad, N_rows.shape[1]), np.int32)
+    rows[:n] = N_rows
+    if seed is None:
+        seed = int(np.random.randint(0, 2**31 - 1))
+    key = jax.random.PRNGKey(seed)
+    sharding = NamedSharding(mesh, P("spots", None))
+    counts = jax.device_put(rows, sharding)
+    scores = scorer._compiled(counts, key)
+    return np.asarray(scores)[:n]
+
+
+def fit_g5m_clusters_sharded(
+    X: np.ndarray,
+    mask: np.ndarray,
+    lp: np.ndarray,
+    key=None,
+    *,
+    K: int,
+    sigma_bounds,
+    isotropic: bool = True,
+    loc_local: bool = False,
+    n_init: int = 1,
+    min_locs: int = 4,
+    mesh: Mesh | None = None,
+):
+    """Batched g5m GMM-EM with the CLUSTER axis sharded over the mesh
+    — the multi-chip counterpart of the reference's per-cluster
+    ProcessPool (picasso/g5m.py:2365 _run_g5m_parallel). Every EM
+    quantity in ops.gmm carries a leading cluster axis and nothing
+    reduces across clusters except the boolean all-converged check in
+    the while_loop cond, so XLA partitions the fit with one tiny
+    collective per iteration.
+
+    Inputs follow ops.gmm.fit_g5m_batched: X (G, P, D), mask (G, P),
+    lp (G, P) or (G, P, D). Padding clusters (copies of cluster 0)
+    keep the EM math finite and are trimmed from every output.
+    """
+    from picasso_tpu.ops import gmm
+
+    if mesh is None:
+        mesh = default_mesh()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_dev = mesh.devices.size
+    X = np.asarray(X, np.float32)
+    mask = np.asarray(mask, bool)
+    lp = np.asarray(lp, np.float32)
+    G = len(X)
+    padG = _pad_to(max(G, 1), n_dev)
+    if padG != G:
+        reps = padG - G
+        X = np.concatenate([X, np.repeat(X[:1], reps, axis=0)])
+        mask = np.concatenate(
+            [mask, np.repeat(mask[:1], reps, axis=0)]
+        )
+        lp = np.concatenate([lp, np.repeat(lp[:1], reps, axis=0)])
+
+    def shard(a):
+        spec = P("spots", *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    out = gmm.fit_g5m_batched(
+        shard(X), shard(mask), shard(lp), key,
+        K=K, sigma_bounds=sigma_bounds, isotropic=isotropic,
+        loc_local=loc_local, n_init=n_init, min_locs=min_locs,
+    )
+    return tuple(np.asarray(o)[:G] for o in out)
+
+
 def identify_sharded(
     frames: np.ndarray,
     minimum_ng: float,

@@ -180,3 +180,93 @@ class TestIdentifySharded:
             dense, 10.0, 3, bucket=2
         )
         assert len(f) > 16
+
+
+class TestSpinnaScoreSharded:
+    def test_bit_identical_to_unsharded(self, mesh8):
+        import jax.numpy as jnp
+
+        from picasso_tpu import spinna
+        from picasso_tpu.ops.spinna_batch import BatchedScorer
+
+        mono = spinna.Structure("monomer")
+        mono.define_coordinates("A", [0.0], [0.0], [0.0])
+        dim = spinna.Structure("dimer")
+        dim.define_coordinates(
+            "A", [-10.0, 10.0], [0.0, 0.0], [0.0, 0.0]
+        )
+        mixer = spinna.StructureMixer(
+            [mono, dim],
+            label_unc={"A": 2.0},
+            le={"A": 0.9},
+            width=2000.0,
+            height=2000.0,
+        )
+        np.random.seed(0)
+        gt = mixer.run_simulation([50, 50])
+        sp = spinna.SPINNA(mixer, gt, N_sim=2)
+        rows = np.array(
+            [[20, 40], [40, 30], [60, 20], [80, 10], [100, 0]],
+            np.int32,
+        )
+        scorer = sp._get_batched_scorer(rows)
+
+        sharded = pmesh.spinna_score_sharded(
+            scorer, rows, seed=7, mesh=mesh8
+        )
+        # unsharded evaluation of the SAME padded batch + key: the
+        # partitionable threefry RNG makes sharding invisible
+        n_dev = mesh8.devices.size
+        pad = -len(rows) % n_dev
+        padded = np.concatenate(
+            [rows, np.zeros((pad, 2), np.int32)]
+        )
+        ref = np.asarray(
+            scorer._compiled(
+                jnp.asarray(padded), jax.random.PRNGKey(7)
+            )
+        )[: len(rows)]
+        np.testing.assert_allclose(sharded, ref, rtol=1e-6)
+        assert np.all((sharded >= 0) & (sharded <= 1))
+
+
+class TestG5MClustersSharded:
+    def test_matches_unsharded(self, mesh8):
+        from picasso_tpu.ops import gmm
+
+        rng = np.random.default_rng(3)
+        Xs, lps = [], []
+        for g in range(11):  # not divisible by 8 -> exercises padding
+            centers = rng.uniform(0, 50, (2, 2))
+            pts = np.concatenate(
+                [
+                    c + rng.normal(0, 1.5, (rng.integers(15, 30), 2))
+                    for c in centers
+                ]
+            ).astype(np.float32)
+            Xs.append(pts)
+            lps.append(np.full(len(pts), 0.5, np.float32))
+        bucket = max(len(x) for x in Xs)
+        X, mask, lp = gmm.pad_clusters(Xs, lps, bucket)
+        key = jax.random.PRNGKey(5)
+        kw = dict(
+            K=2, sigma_bounds=(0.1, 10.0), isotropic=True,
+            loc_local=False, n_init=2, min_locs=4,
+        )
+        sharded = pmesh.fit_g5m_clusters_sharded(
+            X, mask, lp, key, mesh=mesh8, **kw
+        )
+        ref = tuple(
+            np.asarray(o)
+            for o in gmm.fit_g5m_batched(X, mask, lp, key, **kw)
+        )
+        for s, r in zip(sharded, ref):
+            assert s.shape == r.shape
+        # same key + partitionable RNG -> same seeding -> same fit
+        np.testing.assert_allclose(
+            sharded[1], ref[1], rtol=1e-4, atol=1e-4
+        )  # means
+        np.testing.assert_allclose(
+            sharded[0], ref[0], rtol=1e-4, atol=1e-4
+        )  # weights
+        assert sharded[7].all() == ref[7].all()
