@@ -207,16 +207,28 @@ void nfndh(
 // Returns the number of local maxima.
 namespace {
 
-struct CellGrid {
-    std::vector<int64_t> order;   // point indices sorted by cell key
-    std::vector<int64_t> keys;    // sorted cell key per order entry
-    std::vector<int64_t> cxs, cys, czs;  // per-point cell coords
+// Cell-sorted point store (cell edge = radius): points are
+// counting-sorted by flattened cell key and their coordinates COPIED
+// into contiguous arrays, so a fixed-radius neighbor scan touches 3
+// (2D) / 9 (3D) contiguous row ranges of the sorted coordinates. The
+// previous layout scanned through a permutation (`order[]`
+// indirection into the original arrays), which missed cache on
+// nearly every point and made the counting passes memory-latency
+// bound at bench scale.
+struct SortedGrid {
+    std::vector<float> xs, ys, zs;       // coords in sorted order
+    std::vector<int64_t> order;          // sorted idx -> original idx
+    std::vector<int64_t> pos;            // original idx -> sorted idx
+    std::vector<int64_t> skey;           // sorted cell key per point
+    std::vector<int32_t> cxs, cys, czs;  // per-sorted-point cells
+    std::vector<int64_t> cell_start;     // dense CSR (ncells+1) or
+                                         // empty -> binary search
     int64_t ncx = 1, ncy = 1, ncz = 1;
 };
 
-inline void build_grid(
+inline void build_sorted_grid(
     const float* x, const float* y, const float* z,
-    int64_t n, double cell, CellGrid& g)
+    int64_t n, double cell, SortedGrid& g)
 {
     float xmin = x[0], ymin = y[0], zmin = 0.0f;
     for (int64_t i = 1; i < n; ++i) {
@@ -227,75 +239,110 @@ inline void build_grid(
         zmin = z[0];
         for (int64_t i = 1; i < n; ++i) zmin = std::min(zmin, z[i]);
     }
-    g.cxs.resize(n); g.cys.resize(n);
-    if (z) g.czs.resize(n);
+    std::vector<int64_t> key(n);
+    std::vector<int32_t> cx0(n), cy0(n), cz0;
+    if (z) cz0.resize(n);
     int64_t ncx = 1, ncy = 1, ncz = 1;
     for (int64_t i = 0; i < n; ++i) {
-        const int64_t cx =
-            static_cast<int64_t>((x[i] - xmin) / cell);
-        const int64_t cy =
-            static_cast<int64_t>((y[i] - ymin) / cell);
-        g.cxs[i] = cx; g.cys[i] = cy;
-        ncx = std::max(ncx, cx + 1);
-        ncy = std::max(ncy, cy + 1);
+        const int32_t cx =
+            static_cast<int32_t>((x[i] - xmin) / cell);
+        const int32_t cy =
+            static_cast<int32_t>((y[i] - ymin) / cell);
+        cx0[i] = cx; cy0[i] = cy;
+        ncx = std::max<int64_t>(ncx, cx + 1);
+        ncy = std::max<int64_t>(ncy, cy + 1);
         if (z) {
-            const int64_t cz =
-                static_cast<int64_t>((z[i] - zmin) / cell);
-            g.czs[i] = cz;
-            ncz = std::max(ncz, cz + 1);
+            const int32_t cz =
+                static_cast<int32_t>((z[i] - zmin) / cell);
+            cz0[i] = cz;
+            ncz = std::max<int64_t>(ncz, cz + 1);
         }
     }
-    g.ncx = ncx; g.ncy = ncy; g.ncz = ncz;
-    g.order.resize(n);
-    for (int64_t i = 0; i < n; ++i) g.order[i] = i;
-    std::vector<int64_t> key(n);
     for (int64_t i = 0; i < n; ++i) {
-        const int64_t cz = z ? g.czs[i] : 0;
-        key[i] = (cz * ncy + g.cys[i]) * ncx + g.cxs[i];
+        const int64_t cz = z ? cz0[i] : 0;
+        key[i] = (cz * ncy + cy0[i]) * ncx + cx0[i];
     }
-    std::sort(g.order.begin(), g.order.end(),
-              [&key](int64_t a, int64_t b) {
-                  return key[a] < key[b];
-              });
-    g.keys.resize(n);
-    for (int64_t i = 0; i < n; ++i) g.keys[i] = key[g.order[i]];
+    g.order.resize(n);
+    const int64_t ncells_total = ncx * ncy * ncz;
+    const bool dense = ncells_total <= 16 * n + 4096;
+    if (dense) {
+        // stable counting sort by cell key: O(n + ncells), beats the
+        // comparison sort from ~1M points up
+        g.cell_start.assign(ncells_total + 1, 0);
+        for (int64_t i = 0; i < n; ++i) ++g.cell_start[key[i] + 1];
+        for (int64_t c = 0; c < ncells_total; ++c)
+            g.cell_start[c + 1] += g.cell_start[c];
+        std::vector<int64_t> cursor(
+            g.cell_start.begin(), g.cell_start.end() - 1);
+        for (int64_t i = 0; i < n; ++i)
+            g.order[cursor[key[i]]++] = i;
+    } else {
+        for (int64_t i = 0; i < n; ++i) g.order[i] = i;
+        std::sort(g.order.begin(), g.order.end(),
+                  [&key](int64_t a, int64_t b) {
+                      return key[a] < key[b];
+                  });
+    }
+    g.ncx = ncx; g.ncy = ncy; g.ncz = ncz;
+    g.xs.resize(n); g.ys.resize(n);
+    if (z) g.zs.resize(n);
+    g.skey.resize(n);
+    g.pos.resize(n);
+    g.cxs.resize(n); g.cys.resize(n);
+    if (z) g.czs.resize(n);
+    for (int64_t s = 0; s < n; ++s) {
+        const int64_t i = g.order[s];
+        g.pos[i] = s;
+        g.xs[s] = x[i]; g.ys[s] = y[i];
+        if (z) g.zs[s] = z[i];
+        g.skey[s] = key[i];
+        g.cxs[s] = cx0[i]; g.cys[s] = cy0[i];
+        if (z) g.czs[s] = cz0[i];
+    }
 }
 
-// Visit every point within `radius` of point i (including i itself).
+// Visit every point within `radius` of SORTED point si (including
+// itself); fn receives SORTED indices. Each (z-layer, y-row) pair is
+// one contiguous sorted range found by two binary searches.
 template <typename F>
-inline void for_neighbors(
-    const CellGrid& g, const float* x, const float* y,
-    const float* z, double r2, int64_t i, F&& fn)
+inline void scan_neighbors(
+    const SortedGrid& g, bool is3d, double r2, int64_t si, F&& fn)
 {
-    const int64_t cx = g.cxs[i], cy = g.cys[i];
-    const int64_t cz = z ? g.czs[i] : 0;
-    const int64_t z0 = z ? std::max<int64_t>(cz - 1, 0) : 0;
-    const int64_t z1 = z ? std::min(cz + 1, g.ncz - 1) : 0;
+    const int64_t cx = g.cxs[si], cy = g.cys[si];
+    const int64_t cz = is3d ? g.czs[si] : 0;
+    const int64_t z0 = is3d ? std::max<int64_t>(cz - 1, 0) : 0;
+    const int64_t z1 = is3d ? std::min(cz + 1, g.ncz - 1) : 0;
     const int64_t x0 = std::max<int64_t>(cx - 1, 0);
     const int64_t x1 = std::min(cx + 1, g.ncx - 1);
-    const double xi = x[i], yi = y[i];
-    const double zi = z ? z[i] : 0.0;
+    const int64_t y0 = std::max<int64_t>(cy - 1, 0);
+    const int64_t y1 = std::min(cy + 1, g.ncy - 1);
+    const float xi = g.xs[si], yi = g.ys[si];
+    const float zi = is3d ? g.zs[si] : 0.0f;
     for (int64_t zz = z0; zz <= z1; ++zz) {
-        const int64_t y0 = std::max<int64_t>(cy - 1, 0);
-        const int64_t y1 = std::min(cy + 1, g.ncy - 1);
         for (int64_t yy = y0; yy <= y1; ++yy) {
             const int64_t klo = (zz * g.ncy + yy) * g.ncx + x0;
             const int64_t khi = (zz * g.ncy + yy) * g.ncx + x1;
-            auto lo = std::lower_bound(
-                g.keys.begin(), g.keys.end(), klo);
-            auto hi = std::upper_bound(
-                lo, g.keys.end(), khi);
-            for (auto it = lo; it != hi; ++it) {
-                const int64_t j =
-                    g.order[it - g.keys.begin()];
-                const double dx = xi - x[j];
-                const double dy = yi - y[j];
-                double d2 = dx * dx + dy * dy;
-                if (z) {
-                    const double dz = zi - z[j];
+            int64_t lo, hi;
+            if (!g.cell_start.empty()) {
+                lo = g.cell_start[klo];
+                hi = g.cell_start[khi + 1];
+            } else {
+                lo = std::lower_bound(
+                    g.skey.begin(), g.skey.end(), klo)
+                    - g.skey.begin();
+                hi = std::upper_bound(
+                    g.skey.begin() + lo, g.skey.end(), khi)
+                    - g.skey.begin();
+            }
+            for (int64_t sj = lo; sj < hi; ++sj) {
+                const float dx = xi - g.xs[sj];
+                const float dy = yi - g.ys[sj];
+                float d2 = dx * dx + dy * dy;
+                if (is3d) {
+                    const float dz = zi - g.zs[sj];
                     d2 += dz * dz;
                 }
-                if (d2 <= r2) fn(j);
+                if (d2 <= r2) fn(sj);
             }
         }
     }
@@ -315,53 +362,61 @@ int64_t cluster_smlm(
     int32_t* labels)
 {
     if (n == 0) return 0;
+    const bool is3d = z != nullptr;
     const double r2 = radius * radius;
-    CellGrid g;
-    build_grid(x, y, z, n, radius, g);
+    SortedGrid g;
+    build_sorted_grid(x, y, z, n, radius, g);
 
     std::vector<int32_t> counts(n, 0), max_nb(n, 0);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1024)
 #endif
-    for (int64_t i = 0; i < n; ++i) {
+    for (int64_t s = 0; s < n; ++s) {
         int32_t c = 0;
-        for_neighbors(g, x, y, z, r2, i,
-                      [&c](int64_t) { ++c; });
-        counts[i] = c;
+        scan_neighbors(g, is3d, r2, s,
+                       [&c](int64_t) { ++c; });
+        counts[s] = c;
     }
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1024)
 #endif
-    for (int64_t i = 0; i < n; ++i) {
+    for (int64_t s = 0; s < n; ++s) {
         int32_t m = 0;
-        for_neighbors(g, x, y, z, r2, i,
-                      [&m, &counts](int64_t j) {
-                          m = std::max(m, counts[j]);
-                      });
-        max_nb[i] = m;
+        scan_neighbors(g, is3d, r2, s,
+                       [&m, &counts](int64_t sj) {
+                           m = std::max(m, counts[sj]);
+                       });
+        max_nb[s] = m;
     }
 
-    for (int64_t i = 0; i < n; ++i) labels[i] = -1;
+    // Sequential label sweep in ASCENDING ORIGINAL index order
+    // (reference picasso/clusterer.py:176-187); labels live in
+    // sorted space during the sweep and are un-permuted at the end.
+    std::vector<int32_t> labels_s(n, -1);
     int32_t k = 0;
     for (int64_t i = 0; i < n; ++i) {
-        if (counts[i] <= min_locs || counts[i] != max_nb[i])
+        const int64_t s = g.pos[i];
+        if (counts[s] <= min_locs || counts[s] != max_nb[s])
             continue;
-        const int32_t mine = k++;
-        if (labels[i] == -1) {
-            for_neighbors(g, x, y, z, r2, i,
-                          [&labels, mine](int64_t j) {
-                              labels[j] = mine;
-                          });
-            labels[i] = mine;
+        if (labels_s[s] == -1) {
+            const int32_t mine = k++;
+            scan_neighbors(g, is3d, r2, s,
+                           [&labels_s, mine](int64_t sj) {
+                               labels_s[sj] = mine;
+                           });
+            labels_s[s] = mine;
         } else {
-            const int32_t label = labels[i];
-            for_neighbors(g, x, y, z, r2, i,
-                          [&labels, label](int64_t j) {
-                              if (labels[j] == -1)
-                                  labels[j] = label;
-                          });
+            ++k;
+            const int32_t label = labels_s[s];
+            scan_neighbors(g, is3d, r2, s,
+                           [&labels_s, label](int64_t sj) {
+                               if (labels_s[sj] == -1)
+                                   labels_s[sj] = label;
+                           });
         }
     }
+    for (int64_t s = 0; s < n; ++s)
+        labels[g.order[s]] = labels_s[s];
     return k;
 }
 

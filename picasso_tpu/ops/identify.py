@@ -141,11 +141,26 @@ def _identify_compact(frames, minimum_ng, box, size):
     """Device-side threshold + compaction: returns the true hit count
     plus (frame, y, x, ng) arrays of static length *size* (fill rows
     marked frame == -1). The caller retries with a bigger size iff
-    count > size."""
+    count > size.
+
+    Compaction is cumsum + searchsorted — the position of the j-th
+    hit is the first index whose inclusive mask-cumsum reaches j+1 —
+    instead of ``jnp.nonzero(size=)``: both are row-major-order
+    exact, but nonzero's lowering cost 152 ms on a (256, 256², u16)
+    chunk on TPU v5e where the binary-search formulation is pure
+    gathers (~24 passes of (size,) lookups) over one log-pass scan."""
     maxima, ng = identify_maps(frames, box)
+    B, Y, X = ng.shape
     mask = maxima & (ng > minimum_ng)
-    count = jnp.sum(mask)
-    f, y, x = jnp.nonzero(mask, size=size, fill_value=-1)
+    c = jnp.cumsum(mask.ravel().astype(jnp.int32))
+    count = c[-1]
+    targets = jnp.arange(1, size + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(c, targets, side="left")
+    valid = targets <= count
+    f = jnp.where(valid, idx // (Y * X), -1)
+    rem = idx % (Y * X)
+    y = jnp.where(valid, rem // X, -1)
+    x = jnp.where(valid, rem % X, -1)
     ng_vals = ng[
         jnp.maximum(f, 0), jnp.maximum(y, 0), jnp.maximum(x, 0)
     ]
