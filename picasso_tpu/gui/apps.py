@@ -515,34 +515,59 @@ class SimulateApp(_PluginHost):
         )
 
 
-# Rectangular-origami staple canvas: 16 structure rows (A..P) by 12
-# columns, matching the base staple table (design_sequences) and the
-# two-8-row-plate export layout in picasso_tpu.design.
-DESIGN_ROWS = 16
-DESIGN_COLUMNS = 12
-_ROW_LETTERS = list("ABCDEFGHIJKLMNOP")
+# Hexagonal rectangular-origami (RRO) staple lattice, reproducing the
+# reference editor's geometry exactly (picasso/gui/design.py:164-293):
+# 12 structure rows x 16 columns of flat-top hexagons with the 16
+# biotin/void sites removed; the canvas label of site (row, col) is
+# letter(col) + str(row + 1) (indextoStr :296 swaps axes: letters A..P
+# run over the 16 COLUMNS, numbers 1..12 over the rows), and the base
+# staple table (design_sequences.base_sequences) is ordered
+# [(row, col) for row in 12 for col in 16] minus the removed sites.
+DESIGN_ROWS = 12
+DESIGN_COLUMNS = 16
+_ROW_LETTERS = list("ABCDEFGHIJKLMNOP")  # canvas letters (per COLUMN)
+HEX_SIDE_HALF = 20  # gui/design.py:164
+IND2REMOVE = frozenset(
+    (r, c) for c in (2, 6, 10, 14) for r in (1, 2, 8, 9)
+)  # gui/design.py:194 ind2remove
+ORIGAMI_SITES = [
+    (r, c)
+    for r in range(DESIGN_ROWS)
+    for c in range(DESIGN_COLUMNS)
+    if (r, c) not in IND2REMOVE
+]
+# display palette (reference rgbcolors, colorscheme 0, :260)
+DESIGN_RGB = {
+    0: (205, 205, 205), 1: (166, 206, 227), 2: (31, 120, 180),
+    3: (178, 223, 138), 4: (51, 160, 44), 5: (251, 154, 153),
+    6: (227, 26, 28), 7: (253, 191, 111),
+}
 
 
 class DesignApp(_PluginHost):
-    """Origami plate designer (reference gui/design.py): toggle
-    extension sites on the rectangular-origami staple lattice by
-    clicking, assign colors (= DNA-PAINT handle channels), and export
-    pipetting plate lists via picasso_tpu.design. An extended staple's
-    sequence is the base staple plus the selected handle from the
-    canonical table (design_sequences.paint_sequences)."""
+    """Hexagonal origami designer (reference gui/design.py Scene
+    :848 + Window :1722): paint extension sites on the RRO staple
+    hexagon lattice by clicking, assign one DNA-PAINT docking handle
+    per color (SeqDialog :422 semantics, handles from
+    design_sequences.paint_sequences), and export pipetting plate
+    lists byte-compatible with the reference's readCanvas /
+    preparePlate paths (:1224/:1261)."""
 
-    #: color index k>0 selects handle Pk; index 0 = plain staple
+    MAXCOLOR = 8  # palette: colors 1..7 paint, 8th slot erases
+
+    #: legacy display names kept for the plugin surface
     COLORS = ["lightgrey", "red", "green", "blue", "orange", "purple",
               "cyan", "magenta"]
 
     def __init__(self, fig=None):
-        import matplotlib.pyplot as plt
-
         self.grid = np.zeros(
             (DESIGN_ROWS, DESIGN_COLUMNS), dtype=np.int64
         )
         self.current_color = 1
-        self.fig = fig or self._new_fig(figsize=(8, 6))
+        # docking-handle assignment per color 1..7 (SeqDialog table)
+        self.tableshort = ["None"] * 7
+        self.tablelong = ["None"] * 7
+        self.fig = fig or self._new_fig(figsize=(10, 6))
         self.ax = self.fig.add_subplot(111)
         self.fig.canvas.mpl_connect(
             "button_press_event", self._on_click
@@ -551,46 +576,138 @@ class DesignApp(_PluginHost):
         self._init_plugins("design")
         self.redraw()
 
-    # -- lattice geometry --
+    # -- lattice geometry (gui/design.py:286 indextoHex) --
     @staticmethod
-    def site_position(row: int, col: int) -> tuple[float, float]:
-        """Canvas position of a staple site; odd columns are offset by
-        half a row pitch (honeycomb-like origami lattice)."""
-        return col * 1.0, row * 1.0 + 0.5 * (col % 2)
+    def index_to_hex(row: int, col: int) -> tuple[float, float]:
+        """Hexagon center in canvas units; odd columns drop half a
+        row pitch."""
+        x = col * 1.5 * HEX_SIDE_HALF
+        y = -(row + 0.5 * (col % 2)) * np.sqrt(3) * HEX_SIDE_HALF
+        return x, y
+
+    @staticmethod
+    def index_to_str(row: int, col: int) -> str:
+        """Canvas label, e.g. (0, 0) -> 'A1' (indextoStr :296)."""
+        return _ROW_LETTERS[col] + str(row + 1)
+
+    @staticmethod
+    def site_nm(row: int, col: int) -> tuple[float, float]:
+        """Site position in nm for Simulate handoff — the reference's
+        allcords scaling (gui/design.py:916: hex * 0.125 * 4/3 and
+        2.5 - hex_y * 0.125 * 2/sqrt(3)), i.e. 5 nm column pitch."""
+        return 5.0 * col, 2.5 + 5.0 * row + 2.5 * (col % 2)
+
+    # palette swatch geometry: one column of hexes right of the grid
+    _PALETTE_COL = DESIGN_COLUMNS + 2
+
+    def _palette_positions(self):
+        for k in range(1, self.MAXCOLOR + 1):
+            yield k, self.index_to_hex(k - 1, self._PALETTE_COL)
+
+    # -- extensions (SeqDialog :422) --
+    def set_extension(self, color: int, shortname: str):
+        """Assign the docking handle ``shortname`` (e.g. 'P1',
+        '5xR1'; 'None' clears) to paint color ``color`` (1..7)."""
+        from picasso_tpu import design_sequences as _seqs
+
+        assert 1 <= color <= 7, color
+        if shortname == "None":
+            self.tableshort[color - 1] = "None"
+            self.tablelong[color - 1] = "None"
+        else:
+            self.tableshort[color - 1] = shortname
+            self.tablelong[color - 1] = _seqs.get_paint_sequence(
+                shortname
+            )
+        self.redraw()
+
+    def color_counts(self) -> list[int]:
+        """Sites per color [1..7, 0] (evaluateCanvas :1075 order)."""
+        colors = [int(self.grid[s]) for s in ORIGAMI_SITES]
+        return [colors.count(k) for k in range(1, 8)] + [
+            colors.count(0)
+        ]
+
+    def canvas_colors(self) -> list[int]:
+        """Color per site in ORIGAMI_SITES (= base-table) order."""
+        return [int(self.grid[s]) for s in ORIGAMI_SITES]
+
+    # -- drawing --
+    def _hex_patch(self, cx, cy, color, scale=1.0, **kw):
+        import matplotlib.patches as mpatches
+
+        s = HEX_SIDE_HALF * scale
+        verts = [
+            (cx - s, cy), (cx - 0.5 * s, cy + 0.866 * s),
+            (cx + 0.5 * s, cy + 0.866 * s), (cx + s, cy),
+            (cx + 0.5 * s, cy - 0.866 * s),
+            (cx - 0.5 * s, cy - 0.866 * s),
+        ]
+        rgb = tuple(v / 255 for v in DESIGN_RGB[color % 8])
+        return mpatches.Polygon(
+            verts, closed=True, facecolor=rgb, edgecolor="black",
+            linewidth=0.8, **kw,
+        )
 
     def redraw(self):
         self.ax.clear()
-        for r in range(DESIGN_ROWS):
-            for c in range(DESIGN_COLUMNS):
-                x, y = self.site_position(r, c)
-                color = self.COLORS[self.grid[r, c] % len(self.COLORS)]
+        for r, c in ORIGAMI_SITES:
+            x, y = self.index_to_hex(r, c)
+            self.ax.add_patch(
+                self._hex_patch(x, y, int(self.grid[r, c]))
+            )
+        for k, (x, y) in self._palette_positions():
+            self.ax.add_patch(
+                self._hex_patch(x, y, 0 if k == 8 else k, scale=0.9)
+            )
+            if k == self.current_color or (
+                k == 8 and self.current_color == 0
+            ):
                 self.ax.add_patch(
-                    __import__(
-                        "matplotlib.patches", fromlist=["Circle"]
-                    ).Circle((x, y), 0.42, color=color, ec="black",
-                             lw=0.5)
+                    self._hex_patch(x, y, 0, scale=1.05, fill=False)
                 )
-        self.ax.set_xlim(-1, DESIGN_COLUMNS)
-        self.ax.set_ylim(DESIGN_ROWS + 0.5, -1)
+        self.ax.set_xlim(
+            -2 * HEX_SIDE_HALF,
+            (self._PALETTE_COL + 2) * 1.5 * HEX_SIDE_HALF,
+        )
+        self.ax.set_ylim(
+            -(DESIGN_ROWS + 1) * np.sqrt(3) * HEX_SIDE_HALF,
+            2 * HEX_SIDE_HALF,
+        )
         self.ax.set_aspect("equal")
-        n_ext = int((self.grid > 0).sum())
+        self.ax.set_axis_off()
+        n_ext = int(
+            sum(1 for s in ORIGAMI_SITES if self.grid[s] > 0)
+        )
+        ext = self.tableshort[self.current_color - 1] if (
+            1 <= self.current_color <= 7
+        ) else "erase"
         self.ax.set_title(
-            f"{n_ext} extended staples — color {self.current_color}"
+            f"{n_ext} extended staples - color "
+            f"{self.current_color} ({ext})"
         )
         self.fig.canvas.draw_idle()
 
+    # -- interaction (Scene.mousePressEvent :1041) --
     def _on_click(self, event):
         if event.inaxes != self.ax or event.xdata is None:
             return
+        r_click = HEX_SIDE_HALF * HEX_SIDE_HALF
+        # palette first
+        for k, (x, y) in self._palette_positions():
+            if (x - event.xdata) ** 2 + (y - event.ydata) ** 2 < r_click:
+                self.current_color = 0 if k == 8 else k
+                self.redraw()
+                return
         best = None
-        for r in range(DESIGN_ROWS):
-            for c in range(DESIGN_COLUMNS):
-                x, y = self.site_position(r, c)
-                d2 = (x - event.xdata) ** 2 + (y - event.ydata) ** 2
-                if best is None or d2 < best[0]:
-                    best = (d2, r, c)
-        if best and best[0] < 0.5:
+        for r, c in ORIGAMI_SITES:
+            x, y = self.index_to_hex(r, c)
+            d2 = (x - event.xdata) ** 2 + (y - event.ydata) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, r, c)
+        if best and best[0] < r_click:
             _, r, c = best
+            # clicking the active color erases (reference :1069)
             self.grid[r, c] = (
                 0 if self.grid[r, c] == self.current_color
                 else self.current_color
@@ -599,41 +716,80 @@ class DesignApp(_PluginHost):
 
     def _on_key(self, event):
         if event.key and event.key.isdigit():
-            self.current_color = max(1, int(event.key))
+            self.current_color = min(int(event.key), 7)
             self.redraw()
 
-    # -- plate export --
-    def to_plate(self) -> list:
-        """Canvas rows [CANVAS_INDEX, OLIGO NAME, SEQUENCE, COLOR] for
-        every staple, extended ones carrying the selected DNA-PAINT
-        handle appended to the base sequence — the input format of
-        design.convertPlateIndexColor."""
+    def clear_canvas(self):
+        """Reset sites + extensions (Scene.clearCanvas :1121)."""
+        self.grid[:] = 0
+        self.tableshort = ["None"] * 7
+        self.tablelong = ["None"] * 7
+        self.redraw()
+
+    # -- plate export (Scene.readCanvas :1224 / preparePlate :1261) --
+    def _base_rows(self):
         from picasso_tpu import design_sequences as _seqs
 
-        base = {
-            row[0]: (row[1], row[2])
-            for row in _seqs.base_sequences[1:]
-        }
-        plate = []
-        for r in range(DESIGN_ROWS):
-            for c in range(DESIGN_COLUMNS):
-                canvas_idx = _ROW_LETTERS[r] + str(c + 1)
-                if canvas_idx not in base:
-                    continue
-                name, sequence = base[canvas_idx]
-                color = int(self.grid[r, c])
-                if color > 0:
-                    shortname = f"P{color}"
-                    handle = _seqs.get_paint_sequence(shortname)
-                    name = name.replace("BLK", shortname)
-                    sequence = sequence + "TT" + handle
-                plate.append(
-                    [canvas_idx, name, sequence,
-                     self.COLORS[color % len(self.COLORS)]]
-                )
-        return plate
+        return [list(row) for row in _seqs.base_sequences[1:]]
 
-    def export_plates(self, path: str, platename: str = "design"):
+    def to_plate(self) -> list:
+        """Canvas rows [Position, Name, Sequence, color-int] for every
+        staple in base-table order; a colored site's name swaps its
+        'BLK' suffix for the handle shortname and its sequence gains
+        ' ' + handle — exactly readCanvas (:1229-1263). Sites whose
+        color has no handle assigned fall back to shortname
+        'P<color>' so a bare canvas still exports (legacy behavior
+        covered by tests)."""
+        from picasso_tpu import design_sequences as _seqs
+
+        base = self._base_rows()
+        out = [["Position", "Name", "Sequence", "Color"]]
+        for i, (r, c) in enumerate(ORIGAMI_SITES):
+            pos, name, seq = base[i][:3]
+            color = int(self.grid[r, c])
+            if color > 0:
+                short = self.tableshort[color - 1]
+                long = self.tablelong[color - 1]
+                if short == "None":
+                    short = f"P{color}"
+                    long = _seqs.get_paint_sequence(short)
+                name = name[:-3] + short
+                seq = seq + " " + long
+            out.append([pos, name, seq, color])
+        return out
+
+    def prepare_plate(self, mode: int) -> dict:
+        """Reference preparePlate (:1261): mode 1 = one plate with
+        the drawn modifications, mode 2 = one full plate per used
+        color."""
+        from picasso_tpu import design as _design
+
+        colors = sorted(set(self.canvas_colors()))
+        allplates = {}
+        if mode == 2:
+            for j, color in enumerate(colors):
+                base = self._base_rows()
+                if color == 0:
+                    allplates[j] = _design.convertPlateIndex(
+                        base, "BLK"
+                    )
+                else:
+                    short = self.tableshort[color - 1]
+                    long = self.tablelong[color - 1]
+                    for row in base:
+                        row[2] = row[2] + " " + long
+                        row[1] = row[1][:-3] + short
+                    allplates[j] = _design.convertPlateIndex(
+                        base, short
+                    )
+        elif mode == 1:
+            plate = [row[:3] for row in self.to_plate()[1:]]
+            allplates[0] = _design.convertPlateIndex(
+                plate, "CUSTOM"
+            )
+        return allplates
+
+    def export_plates(self, path: str, platename: str = "CUSTOM"):
         from picasso_tpu import design as _design
 
         data = _design.convertPlateIndexColor(
@@ -642,67 +798,69 @@ class DesignApp(_PluginHost):
         _design.savePlate(path, [data])
         return data
 
+    # -- design yaml (Scene.saveCanvas :1154 / loadCanvas :1197) --
     def structure_nm(self) -> tuple[list, list, list]:
-        """Extended sites as simulate-ready nm coordinates on the
-        reference's staggered origami lattice: 5 nm column pitch, rows
-        offset by half a pitch on odd columns (the hexagonal canvas
-        math of picasso/gui/design.py:286 indextoHex scaled by
-        0.125*4/3 at :916, i.e. X = 5*i, Y = 2.5 + 5*j + 2.5*(i%2))."""
+        """Extended sites as simulate-ready nm coordinates
+        (StructureX/Y/Ex vectors of saveCanvas)."""
         xs, ys, ex = [], [], []
-        for r in range(DESIGN_ROWS):
-            for c in range(DESIGN_COLUMNS):
-                color = int(self.grid[r, c])
-                if color > 0:
-                    xs.append(5.0 * r)
-                    ys.append(2.5 + 5.0 * c + 2.5 * (r % 2))
-                    ex.append(color)
+        for r, c in ORIGAMI_SITES:
+            color = int(self.grid[r, c])
+            if color > 0:
+                x, y = self.site_nm(r, c)
+                xs.append(x)
+                ys.append(y)
+                ex.append(color)
         return xs, ys, ex
 
     def export_design(self, path: str):
-        """Save the design yaml in the reference format, consumable by
-        Simulate's 'Import design' (picasso/gui/design.py:1186 keys
-        Structure.StructureX/Y/Ex as comma-joined strings;
-        gui/simulate.py:1770 importDesign)."""
+        """Save the design yaml in the reference format (saveCanvas
+        :1154 keys), consumable by Simulate's 'Import design'
+        (gui/simulate.py:1770 importDesign)."""
         from picasso_tpu import io as _io
 
         xs, ys, ex = self.structure_nm()
         structure = [
-            [_ROW_LETTERS[r], c + 1, int(self.grid[r, c])]
-            for r in range(DESIGN_ROWS)
-            for c in range(DESIGN_COLUMNS)
+            [_ROW_LETTERS[c], r + 1, int(self.grid[r, c])]
+            for r, c in ORIGAMI_SITES
         ]
         info = {
             "Generated by": "picasso-tpu Design",
             "Structure": structure,
-            "Structure.StructureX": ",".join(
-                f"{v:g}" for v in xs
+            "Extensions Short": list(self.tableshort),
+            "Extensions Long": list(self.tablelong),
+            "Structure.StructureX": ", ".join(
+                f"{v:f}" for v in xs
             ),
-            "Structure.StructureY": ",".join(
-                f"{v:g}" for v in ys
+            "Structure.StructureY": ", ".join(
+                f"{v:f}" for v in ys
             ),
-            "Structure.StructureEx": ",".join(
+            "Structure.StructureEx": ", ".join(
                 str(v) for v in ex
             ),
         }
         _io.save_info(path, [info])
 
     def save_design(self, path: str):
-        with open(path, "w") as f:
-            import yaml
-
-            yaml.dump(
-                {"Grid": self.grid.tolist(),
-                 "Rows": DESIGN_ROWS,
-                 "Columns": DESIGN_COLUMNS},
-                f,
-            )
+        self.export_design(path)
 
     def load_design(self, path: str):
-        import yaml
+        """Load a design yaml saved by export_design (or the
+        reference's saveCanvas — same keys)."""
+        from picasso_tpu import io as _io
 
-        with open(path) as f:
-            data = yaml.safe_load(f)
-        self.grid = np.asarray(data["Grid"], dtype=np.int64)
+        info = _io.load_info(path)
+        self.grid[:] = 0
+        letter_to_col = {s: i for i, s in enumerate(_ROW_LETTERS)}
+        for letter, number, color in info[0]["Structure"]:
+            self.grid[int(number) - 1, letter_to_col[letter]] = int(
+                color
+            )
+        self.tableshort = list(
+            info[0].get("Extensions Short", ["None"] * 7)
+        )
+        self.tablelong = list(
+            info[0].get("Extensions Long", ["None"] * 7)
+        )
         self.redraw()
 
 

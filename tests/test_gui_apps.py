@@ -148,6 +148,174 @@ class TestDesignApp:
         app2.load_design(path)
         assert app2.grid[4, 7] == 2
 
+    def test_hex_lattice_matches_reference_geometry(self):
+        """The canvas is the reference's RRO hexagon lattice
+        (gui/design.py:171-293): 12x16 minus 16 removed sites, base
+        table ordered to match, indextoHex column stagger."""
+        from picasso_tpu import design_sequences as ds
+        from picasso_tpu.gui.apps import (
+            HEX_SIDE_HALF, IND2REMOVE, ORIGAMI_SITES,
+        )
+
+        assert len(ORIGAMI_SITES) == 176 == len(
+            ds.base_sequences
+        ) - 1
+        assert len(IND2REMOVE) == 16
+        # base-table order == ORIGAMI_SITES order via indextoStr
+        app = gui.DesignApp()
+        for i, (r, c) in enumerate(ORIGAMI_SITES):
+            assert ds.base_sequences[1 + i][0] == (
+                app.index_to_str(r, c)
+            )
+        # staggered columns: even col at -r*sqrt(3)*HSH, odd col
+        # half a pitch lower (indextoHex :286)
+        x0, y0 = app.index_to_hex(3, 2)
+        x1, y1 = app.index_to_hex(3, 3)
+        assert x1 - x0 == 1.5 * HEX_SIDE_HALF
+        assert y0 - y1 == __import__("pytest").approx(
+            0.5 * np.sqrt(3) * HEX_SIDE_HALF
+        )
+
+    def test_hex_canvas_plate_parity_with_reference(self, tmp_path):
+        """A design drawn by clicking the hex canvas exports plate
+        rows identical to the reference readCanvas ->
+        convertPlateIndexColor path (picasso/gui/design.py:1224-1263
+        semantics, transcribed here as the expected values)."""
+        from copy import deepcopy
+
+        from matplotlib.backend_bases import MouseEvent
+
+        from picasso_tpu import design, design_sequences as ds
+
+        app = gui.DesignApp()
+        app.set_extension(1, "5xR1")
+        app.set_extension(2, "P3")
+
+        def click(r, c):
+            x, y = app.index_to_hex(r, c)
+            xp, yp = app.ax.transData.transform((x, y))
+            ev = MouseEvent(
+                "button_press_event", app.fig.canvas, xp, yp,
+                button=1,
+            )
+            app.fig.canvas.callbacks.process(
+                "button_press_event", ev
+            )
+
+        app.current_color = 1
+        click(0, 0)   # A1
+        click(4, 3)   # D5
+        app.current_color = 2
+        click(11, 15)  # P12
+        assert app.canvas_colors().count(1) == 2
+        assert app.canvas_colors().count(2) == 1
+
+        # expected plate, built the reference way: ExportPlate =
+        # deepcopy(BASE_SEQUENCES); seq += ' ' + long;
+        # name = name[:-3] + short; color appended as int
+        expected = deepcopy([
+            list(r) for r in ds.base_sequences
+        ])
+        expected[0] = ["Position", "Name", "Sequence", "Color"]
+        tablelong = {
+            1: ds.get_paint_sequence("5xR1"),
+            2: ds.get_paint_sequence("P3"),
+        }
+        tableshort = {1: "5xR1", 2: "P3"}
+        colors = app.canvas_colors()
+        for i, color in enumerate(colors):
+            if color:
+                expected[1 + i][2] += " " + tablelong[color]
+                expected[1 + i][1] = (
+                    expected[1 + i][1][:-3] + tableshort[color]
+                )
+            expected[1 + i] = expected[1 + i][:3] + [color]
+        ref_plate = design.convertPlateIndexColor(
+            expected, "CUSTOM"
+        )
+
+        got = design.convertPlateIndexColor(
+            app.to_plate(), "CUSTOM"
+        )
+        assert got == ref_plate
+        # removed sites export as blanks in the plate positions
+        blank = [r for r in got if r[1] == "C2"]
+        assert blank and blank[0][2] == " "
+
+        # round-trip through the CSV
+        path = str(tmp_path / "plate.csv")
+        app.export_plates(path)
+        back = design.readPlate(path)
+        assert back[0][:2] == ["PLATE NAME", "PLATE POSITION"]
+        assert len(back) == 2 * 8 * 12 + 1
+
+    def test_prepare_plate_modes(self):
+        app = gui.DesignApp()
+        app.set_extension(3, "P5")
+        app.grid[0, 0] = 3
+        one = app.prepare_plate(1)
+        assert len(one) == 1
+        assert one[0][0][0] == "PLATE NAME"
+        full = app.prepare_plate(2)
+        # colors used: {0, 3} -> two full plates
+        assert len(full) == 2
+
+    def test_palette_click_and_erase(self):
+        from matplotlib.backend_bases import MouseEvent
+
+        app = gui.DesignApp()
+
+        def click_at(x, y):
+            xp, yp = app.ax.transData.transform((x, y))
+            ev = MouseEvent(
+                "button_press_event", app.fig.canvas, xp, yp,
+                button=1,
+            )
+            app.fig.canvas.callbacks.process(
+                "button_press_event", ev
+            )
+
+        # select color 4 from the palette column
+        for k, (x, y) in app._palette_positions():
+            if k == 4:
+                click_at(x, y)
+        assert app.current_color == 4
+        x, y = app.index_to_hex(5, 5)
+        click_at(x, y)
+        assert app.grid[5, 5] == 4
+        # clicking again with the same color erases (reference :1069)
+        click_at(x, y)
+        assert app.grid[5, 5] == 0
+
+    def test_load_reference_canvas_yaml(self, tmp_path):
+        """A yaml with the reference saveCanvas keys loads."""
+        import yaml
+
+        from picasso_tpu.gui.apps import ORIGAMI_SITES
+
+        app = gui.DesignApp()
+        structure = []
+        for r, c in ORIGAMI_SITES:
+            color = 2 if (r, c) == (3, 4) else 0
+            structure.append(
+                [app.index_to_str(r, c)[0], r + 1, color]
+            )
+        doc = {
+            "Generated by": "Picasso v0.x Design",
+            "Structure": structure,
+            "Extensions Short": ["P1"] + ["None"] * 6,
+            "Extensions Long": ["TT"] + ["None"] * 6,
+            "Structure.StructureX": "",
+            "Structure.StructureY": "",
+            "Structure.StructureEx": "",
+        }
+        path = str(tmp_path / "ref_design.yaml")
+        with open(path, "w") as f:
+            yaml.dump(doc, f)
+        app.load_design(path)
+        assert app.grid[3, 4] == 2
+        assert app.tableshort[0] == "P1"
+
 
 class TestToRawApp:
     def test_queue_and_convert(self, tmp_path, monkeypatch):
@@ -371,14 +539,14 @@ class TestDesignSimulateHandoff:
 
         d = gui.DesignApp()
         d.grid[0, 0] = 1   # A1
-        d.grid[1, 2] = 2   # B3 (odd row -> half-pitch y offset)
+        d.grid[2, 1] = 2   # B3 (odd column -> half-pitch y offset)
         path = str(tmp_path / "design.yaml")
         d.export_design(path)
 
         xs, ys, ex = d.structure_nm()
         assert xs == [0.0, 5.0]
         assert ys[0] == 2.5            # 2.5 + 5*0
-        assert ys[1] == 2.5 + 10 + 2.5  # col 2 on odd row
+        assert ys[1] == 2.5 + 10 + 2.5  # row 2 on odd column
         assert ex == [1, 2]
 
         s = gui.SimulateApp()
