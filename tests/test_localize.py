@@ -149,7 +149,7 @@ class TestFit2D:
         locs, info = localize.fit2D(
             movie,
             movie_info,
-            dict(CAMERA_INFO),
+            dict(CAMERA_INFO, Pixelsize=130),
             real_identifications,
             BOX,
             fitting_method=method,
