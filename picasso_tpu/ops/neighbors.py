@@ -341,6 +341,10 @@ def pairwise_distance_histogram(
     out = np.zeros(n_bins, np.uint64)
     if N < 2 or n_bins <= 0:
         return out
+    # small inputs shrink the tile edge (power-of-two bucket, >=128)
+    # instead of sweeping full 2048^2 tiles — a 2-point histogram must
+    # not execute 768 padded block pairs (it cost 10 s on CPU)
+    block = min(block, 1 << max(7, (N - 1).bit_length()))
     nb = -(-N // block)
     pts_pad = _pad_rows(pts, nb * block)
     valid = np.arange(nb * block) < N
@@ -350,7 +354,10 @@ def pairwise_distance_histogram(
     per_call = _PAIRS_PER_CALL
     for start in range(0, len(pairs), per_call):
         chunk = pairs[start : start + per_call]
-        chunk = _pad_rows(chunk, per_call, value=-1)
+        pad_len = max(1, 1 << (len(chunk) - 1).bit_length())
+        chunk = _pad_rows(
+            chunk, min(per_call, pad_len), value=-1
+        )
         hist = _dh_scan(
             jnp.asarray(pts_pad),
             jnp.asarray(valid),
