@@ -74,18 +74,31 @@ def cut_rois_t(
     fc = jnp.maximum(f, 0)
     yc = jnp.maximum(y, r)
     xc = jnp.maximum(x, r)
+    N = fc.shape[0]
+    X = frames.shape[2]
+    offs = jnp.arange(-r, r + 1)
 
-    # out[i, j, n] = frames[f[n], y[n]+i-r, x[n]+j-r], fetched as one
-    # sliced gather (slice size (1, box, box)) via vmapped
-    # dynamic_slice — N patch reads with box-contiguous rows instead
-    # of N*box² independent scalar gathers (which cost 88 ms for 131k
-    # spots on TPU v5e; this form is ~an order of magnitude cheaper).
-    def one(fi, yi, xi):
-        return jax.lax.dynamic_slice(
-            frames, (fi, yi - r, xi - r), (1, box, box)
-        )[0]
-
-    patches = jax.vmap(one)(fc, yc, xc)  # (N, box, box)
+    # out[i, j, n] = frames[f[n], y[n]+i-r, x[n]+j-r], in two stages
+    # measured on TPU v5e (131k spots from (256, 256²) frames):
+    # 1. full ROWS via advanced indexing — (N, box) gathers of
+    #    X-contiguous lines, DMA-friendly;
+    # 2. the column window via an exact f32 one-hot einsum — the MXU
+    #    performs the per-spot column gather.
+    # 15 ms vs 90 ms for the one-shot elementwise gather and 310 ms
+    # for a vmapped dynamic_slice (XLA lowers both to slow scalar
+    # gathers).
+    rows = frames[
+        fc[:, None], yc[:, None] + offs[None, :], :
+    ].astype(jnp.float32)  # (N, box, X)
+    cols = xc[:, None] + offs[None, :]  # (N, box)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, X, box), 1)
+        == cols[:, None, :]
+    ).astype(jnp.float32)
+    patches = jnp.einsum(
+        "nix,nxj->nij", rows, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.transpose(patches, (1, 2, 0))
 
 
