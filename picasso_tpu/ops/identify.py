@@ -70,30 +70,60 @@ def identify_maps(
     # Pad with -inf (padding never beats a real center); the border
     # exclusion itself is enforced ONLY by the eligible mask below —
     # do not relax those bounds without adjusting the padding.
+    #
+    # First-argmax-in-row-major-order semantics decompose into four
+    # rectangular neighbor regions: the center must be STRICTLY
+    # greater than everything EARLIER in window order — the rows
+    # above (any dx) and the left half of its own row — and >=
+    # everything later — the right half of its row and the rows
+    # below. Each region max is a separable windowed max
+    # (log-doubling shifted maxima), ~11 elementwise passes instead
+    # of the box²-1 = 48 per-neighbor compare passes of the naive
+    # form (which were HBM-bound on TPU).
     neg = jnp.float32(-jnp.inf)
     padded = jnp.pad(
         frames, ((0, 0), (half, half), (half, half)),
         constant_values=neg,
     )
     center = frames
-    is_max = jnp.ones((B, Y, X), dtype=bool)
-    k = 0
-    for dy in range(-half, half + 1):
-        for dx in range(-half, half + 1):
-            if dy == 0 and dx == 0:
-                k += 1
-                continue
-            neighbor = jax.lax.dynamic_slice(
-                padded, (0, dy + half, dx + half), (B, Y, X)
+
+    def windowed_max_1d(arr, axis, lo, hi):
+        """out[i] = max over arr[i+lo .. i+hi] along ``axis``, via
+        log-doubling shifted maxima. jnp.roll wraps across the array
+        edge, but every consumer below slices back to the interior
+        [half:-half] band, whose window reads stay inside the padded
+        extent for offsets |k| <= half — wrapped lanes never reach a
+        kept pixel."""
+        span = hi - lo
+        acc = arr  # acc[i] covers arr[i .. i+covered]
+        covered = 0
+        while covered < span:
+            step = min(covered + 1, span - covered)
+            acc = jnp.maximum(
+                acc, jnp.roll(acc, -step, axis=axis)
             )
-            if k < (box * box) // 2:
-                # earlier in row-major window order: must be strictly
-                # smaller than the center for the center to be the
-                # first argmax
-                is_max = is_max & (center > neighbor)
-            else:
-                is_max = is_max & (center >= neighbor)
-            k += 1
+            covered += step
+        return jnp.roll(acc, -lo, axis=axis)
+
+    hmax = windowed_max_1d(padded, 2, -half, half)
+    above = windowed_max_1d(hmax, 1, -half, -1)[
+        :, half:-half, half:-half
+    ]
+    below = windowed_max_1d(hmax, 1, 1, half)[
+        :, half:-half, half:-half
+    ]
+    left = windowed_max_1d(padded, 2, -half, -1)[
+        :, half:-half, half:-half
+    ]
+    right = windowed_max_1d(padded, 2, 1, half)[
+        :, half:-half, half:-half
+    ]
+    is_max = (
+        (center > above)
+        & (center > left)
+        & (center >= right)
+        & (center >= below)
+    )
 
     # eligible interior (reference bounds localize.py:122-123)
     yy = jnp.arange(Y)[None, :, None]

@@ -569,3 +569,50 @@ class TestLocsToIdentifications:
         hi = min(f0 + 2, movie_info[0]["Frames"] - 1)
         assert len(ids) == hi - lo + 1
         assert set(ids["frame"]) == set(range(lo, hi + 1))
+
+
+class TestSeparableMaximaEquivalence:
+    @pytest.mark.parametrize("box", [3, 5, 7, 9])
+    def test_matches_naive_first_argmax_on_ties(self, box):
+        """The separable 4-region local-max test must reproduce the
+        naive per-neighbor definition — strictly greater than every
+        EARLIER window position (row-major), >= every LATER one —
+        on low-entropy integer frames full of ties."""
+        from picasso_tpu.ops.identify import identify_maps
+
+        rng = np.random.default_rng(box)
+        frames = rng.integers(
+            0, 4, (6, 24, 24)
+        ).astype(np.float32)  # many exact ties
+        got, _ = identify_maps(frames, box)
+        got = np.asarray(got)
+
+        half = box // 2
+        padded = np.pad(
+            frames,
+            ((0, 0), (half, half), (half, half)),
+            constant_values=-np.inf,
+        )
+        naive = np.ones(frames.shape, bool)
+        k = 0
+        for dy in range(-half, half + 1):
+            for dx in range(-half, half + 1):
+                if dy == 0 and dx == 0:
+                    k += 1
+                    continue
+                nb = padded[
+                    :,
+                    half + dy:half + dy + frames.shape[1],
+                    half + dx:half + dx + frames.shape[2],
+                ]
+                if k < (box * box) // 2:
+                    naive &= frames > nb
+                else:
+                    naive &= frames >= nb
+                k += 1
+        yy, xx = np.mgrid[:24, :24]
+        eligible = (
+            (yy >= half) & (yy < 24 - half - 1)
+            & (xx >= half) & (xx < 24 - half - 1)
+        )
+        np.testing.assert_array_equal(got, naive & eligible)
