@@ -995,6 +995,80 @@ class RenderApp(_PluginHost):
         )
         return props
 
+    def apply_expression(self, cmd: str, channel: int | None = None):
+        """View > Apply expression (reference ApplyDialog +
+        open_apply_dialog, gui/render.py:275/:12710): manipulate the
+        channel's localization columns with a one-line command.
+
+        - ``x += 10`` (any python over the column namespace),
+        - ``flip x y`` / ``flip x z`` (the z variant converts through
+          the pixelsize and recenters on the movie extent),
+        - ``spiral R N`` (plot each loc over time in a spiral of
+          radius R px and N turns), ``uspiral`` to undo it.
+        """
+        i = self.current_channel if channel is None else channel
+        ch = self.channels[i]
+        ch.push_undo(f"expression: {cmd}")
+        # mutate a copy: the undo stack holds the previous frame by
+        # reference (every other action reassigns, never mutates)
+        locs = ch.locs.copy()
+        parts = cmd.split()
+        if parts and parts[0] == "flip" and len(parts) == 3:
+            var_1, var_2 = parts[1], parts[2]
+            if "z" in parts:
+                if var_1 == "z":
+                    var_1, var_2 = var_2, "z"
+                pixelsize = lib.get_from_metadata(
+                    ch.info, "Pixelsize", 130
+                )
+                height = lib.get_from_metadata(ch.info, "Height")
+                width = lib.get_from_metadata(ch.info, "Width")
+                dist = width if var_1 == "x" else height
+                temp = locs[var_1].copy()
+                locs[var_1] = locs[var_2] / pixelsize + dist / 2
+                locs[var_2] = temp * pixelsize
+            else:
+                temp = locs[var_1].copy()
+                locs[var_1] = locs[var_2]
+                locs[var_2] = temp
+        elif parts and parts[0] == "spiral" and len(parts) == 3:
+            radius = float(parts[1])
+            turns = int(parts[2])
+            maxframe = lib.get_from_metadata(ch.info, "Frames")
+            self._x_spiral = locs["x"].copy()
+            self._y_spiral = locs["y"].copy()
+            scale_time = maxframe / (turns * 2 * np.pi)
+            scale_x = turns * 2 * np.pi
+            t = locs["frame"] / scale_time
+            locs["x"] = (
+                (t * np.cos(t)) / scale_x * radius + locs["x"]
+            )
+            locs["y"] = (
+                (t * np.sin(t)) / scale_x * radius + locs["y"]
+            )
+        elif parts and parts[0] == "uspiral":
+            if not hasattr(self, "_x_spiral"):
+                self.status(
+                    "Localizations have not been spiraled yet."
+                )
+                ch.pop_undo()
+                return
+            locs["x"] = self._x_spiral
+            locs["y"] = self._y_spiral
+        else:
+            # generic python over the column namespace; the reference
+            # execs over recarray views — with DataFrames the columns
+            # are materialized as arrays and written back explicitly
+            # (pandas copy-on-write breaks view mutation)
+            cols = list(locs.columns)
+            ns = {c: locs[c].to_numpy().copy() for c in cols}
+            exec(cmd, ns)
+            for c in cols:
+                locs[c] = ns[c]
+        ch.locs = lib.ensure_sanity(locs, ch.info)
+        ch.rebuild_index()
+        self.redraw()
+
     def undo(self) -> str | None:
         """Undo the last locs-modifying action on the active channel
         (the reference exposes only 'Undo drift'; this generalizes)."""

@@ -442,3 +442,78 @@ class TestAppBridges:
         n0 = f.n_filtered
         f.apply_filter("photons", 0, 1e9)
         assert f.n_filtered == n0
+
+
+class TestApplyExpression:
+    """View > Apply expression (reference gui/render.py:275
+    ApplyDialog + :12710 open_apply_dialog semantics)."""
+
+    def _app(self):
+        locs = _make_channel(seed=4)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        return app
+
+    def test_generic_shift(self):
+        app = self._app()
+        x0 = app.locs["x"].to_numpy().copy()
+        app.apply_expression("x += 2")
+        # ensure_sanity clips to the movie extent afterwards
+        expect = np.minimum(x0 + 2, INFO[0]["Width"])
+        kept = app.locs["x"].to_numpy()
+        assert len(kept) <= len(x0)
+        assert kept.max() <= INFO[0]["Width"]
+        assert np.isclose(
+            np.median(kept) - np.median(x0), 2.0, atol=0.2
+        )
+        app.undo()
+        np.testing.assert_allclose(app.locs["x"].to_numpy(), x0)
+
+    def test_flip_xy(self):
+        app = self._app()
+        x0 = app.locs["x"].to_numpy().copy()
+        y0 = app.locs["y"].to_numpy().copy()
+        app.apply_expression("flip x y")
+        np.testing.assert_allclose(app.locs["x"].to_numpy(), y0)
+        np.testing.assert_allclose(app.locs["y"].to_numpy(), x0)
+
+    def test_flip_xz(self):
+        locs = _make_channel(seed=4)
+        locs["z"] = np.linspace(
+            -200, 200, len(locs)
+        ).astype(np.float32)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        x0 = app.locs["x"].to_numpy().copy()
+        z0 = app.locs["z"].to_numpy().copy()
+        app.apply_expression("flip x z")
+        pixelsize = INFO[0]["Pixelsize"]
+        width = INFO[0]["Width"]
+        np.testing.assert_allclose(
+            app.locs["x"].to_numpy(),
+            np.clip(z0 / pixelsize + width / 2, 0, width),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            app.locs["z"].to_numpy(), x0 * pixelsize, rtol=1e-5
+        )
+
+    def test_spiral_and_uspiral(self):
+        app = self._app()
+        x0 = app.locs["x"].to_numpy().copy()
+        y0 = app.locs["y"].to_numpy().copy()
+        app.apply_expression("spiral 2 3")
+        moved = app.locs["x"].to_numpy()
+        assert not np.allclose(moved, x0)
+        app.apply_expression("uspiral")
+        np.testing.assert_allclose(app.locs["x"].to_numpy(), x0)
+        np.testing.assert_allclose(app.locs["y"].to_numpy(), y0)
+
+    def test_uspiral_before_spiral_is_noop(self):
+        app = self._app()
+        msgs = []
+        app.status.callback = msgs.append
+        x0 = app.locs["x"].to_numpy().copy()
+        app.apply_expression("uspiral")
+        np.testing.assert_allclose(app.locs["x"].to_numpy(), x0)
+        assert any("spiraled" in m for m in msgs)
