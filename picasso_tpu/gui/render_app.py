@@ -389,6 +389,15 @@ class RenderApp(_PluginHost):
                     self.ax.add_patch(mpatches.Polygon(
                         pts, closed=True, **style
                     ))
+        if getattr(self, "annotate_picks", False):
+            # Tools settings > Annotate picks (reference
+            # ToolsSettingsDialog): draw the pick index at its center
+            for i, pick in enumerate(self.picks):
+                cx, cy = self._pick_center(pick)
+                self.ax.annotate(
+                    str(i), (cx, cy), color="yellow", fontsize=8,
+                    ha="center", va="center",
+                )
         if self._polygon_in_progress:
             pts = np.asarray(self._polygon_in_progress, dtype=float)
             self.ax.plot(pts[:, 0], pts[:, 1], "y.-", lw=0.8)
@@ -821,6 +830,140 @@ class RenderApp(_PluginHost):
         locs = self.picked_locs(add_group=False)[pick_index]
         cols = ["x", "y"] + (["z"] if "z" in locs.columns else [])
         return locs[cols].to_numpy()
+
+    def plot_pick_profile(
+        self,
+        pick_index: int = 0,
+        bin_width_nm: float | None = None,
+        fig=None,
+    ) -> dict:
+        """Tools > Plot pick profile (gui/render.py:9858
+        plot_profile): histogram of localization positions along the
+        center axis of a RECTANGULAR pick, in nm, one profile per
+        visible channel. Returns {"profiles": [per-channel position
+        arrays (nm)], "bin_edges": edges, "counts": [histograms]} and
+        draws onto ``fig`` when given."""
+        assert self.pick_shape == "Rectangle", (
+            "Please select one rectangular pick to plot the profile."
+        )
+        from picasso_tpu import postprocess
+
+        pixelsize = lib.get_from_metadata(self.info, "Pixelsize", 130)
+        vis = [
+            i for i, ch in enumerate(self.channels) if ch.visible
+        ] or [self.current_channel]
+        profiles = []
+        for i in vis:
+            ch = self.channels[i]
+            picked = postprocess.picked_locs(
+                ch.locs, ch.info,
+                [self.picks[pick_index]], "Rectangle",
+                pick_size=self.pick_width,
+            )[0]
+            profiles.append(
+                picked["y_pick_rot"].to_numpy() * pixelsize
+            )
+        concat = np.concatenate(profiles)
+        if concat.size == 0:
+            self.status("No localizations in the pick.")
+            self._profiles = profiles
+            return {
+                "profiles": profiles,
+                "bin_edges": np.array([0.0, 1.0]),
+                "counts": [np.zeros(1, int) for _ in profiles],
+            }
+        if bin_width_nm is None or concat.min() == concat.max():
+            edges = lib.calculate_optimal_bins(
+                concat, max_n_bins=1000
+            )
+        else:
+            edges = np.arange(
+                concat.min(), concat.max() + bin_width_nm,
+                bin_width_nm,
+            )
+        counts = [
+            np.histogram(p, bins=edges)[0] for p in profiles
+        ]
+        if fig is not None:
+            ax = fig.add_subplot(111)
+            for p in profiles:
+                ax.hist(p, bins=edges, alpha=0.5)
+            ax.set_xlabel("Position along pick (nm)")
+            ax.set_ylabel("Counts")
+        self._profiles = profiles
+        return {
+            "profiles": profiles,
+            "bin_edges": edges,
+            "counts": counts,
+        }
+
+    def export_profile(self, path: str):
+        """Export the last pick profile as csv
+        (gui/render.py:9947)."""
+        assert getattr(self, "_profiles", None), (
+            "No profile to export."
+        )
+        pd.concat(
+            [pd.Series(p) for p in self._profiles], axis=1
+        ).to_csv(path, index=False)
+
+    def keep_picks(self, indices):
+        """Keep only the given picks — the scripted analogue of the
+        reference's Select picks (XY/XYZ scatter, trace) accept/
+        reject inspection loop (gui/render.py:9193/:11964)."""
+        indices = set(int(i) for i in indices)
+        self.picks = [
+            p for i, p in enumerate(self.picks) if i in indices
+        ]
+        self.redraw()
+
+    def export_roi_imaris(self, path: str):
+        """File > Export ROI for Imaris (gui/render.py:12481
+        export_fov_ims): render the current viewport of every visible
+        channel and write a multi-channel .ims volume."""
+        from picasso_tpu import io as _io
+
+        vis = [
+            i for i, ch in enumerate(self.channels) if ch.visible
+        ] or [self.current_channel]
+        pixelsize = lib.get_from_metadata(self.info, "Pixelsize", 130)
+        disp_px = pixelsize / self.oversampling
+        images = []
+        for i in vis:
+            ch = self.channels[i]
+            _, raw = render.render(
+                self._display_locs(i), ch.info,
+                disp_px_size=disp_px, viewport=self.viewport,
+                blur_method=self.blur_method,
+                min_blur_width=self.min_blur_width,
+            )
+            images.append(np.asarray(raw, np.float32))
+        stack = np.stack(images)  # (C, Y, X)
+        # one TimePoint per channel (io.write_ims is single-channel;
+        # Imaris reads the stack as a time series per channel)
+        _io.write_ims(path, stack, pixelsize=disp_px)
+        self.status(f"Exported FOV to {path}")
+        return stack
+
+    def open_rotated_locs(self, path: str) -> int:
+        """File > Open rotated localizations (gui/render.py:12800):
+        open a locs file whose yaml chain carries Pick/Pick shape
+        keys (written by the rotation window) and restore the pick
+        state."""
+        i = self.open_file(path)
+        info = self.channels[i].info
+        last = info[-1]
+        if "Pick" in last:
+            self.picks = [last["Pick"]]
+            self.pick_shape = last["Pick shape"]
+            size = last.get("Pick size (nm)") or last.get("Pick size")
+            if size is not None:
+                if self.pick_shape == "Circle":
+                    self.pick_diameter = float(size)
+                elif self.pick_shape == "Rectangle":
+                    self.pick_width = float(size)
+            self.redraw()
+        return i
 
     def cluster_in_pick_kmeans(
         self, pick_index: int = 0, n_clusters: int = 2, seed: int = 0

@@ -150,6 +150,20 @@ def picked_locs(
                 x, y, np.array(X), np.array(Y)
             )
             group_locs = locs.iloc[np.nonzero(inside)[0]].copy()
+            # coordinates rotated into the pick frame (y along the
+            # center axis) — consumed by pick profiles and saved with
+            # picked locs (picasso/postprocess.py:281-288)
+            angle = 0.5 * np.pi - np.arctan2(ye - ys_, xe - xs_)
+            x_shifted = group_locs["x"] - xs_
+            y_shifted = group_locs["y"] - ys_
+            group_locs["x_pick_rot"] = (
+                x_shifted * np.cos(angle)
+                - y_shifted * np.sin(angle)
+            )
+            group_locs["y_pick_rot"] = (
+                x_shifted * np.sin(angle)
+                + y_shifted * np.cos(angle)
+            )
             if add_group:
                 group_locs["group"] = np.int32(i)
             group_locs.sort_values(by="frame", inplace=True)

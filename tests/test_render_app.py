@@ -517,3 +517,101 @@ class TestApplyExpression:
         app.apply_expression("uspiral")
         np.testing.assert_allclose(app.locs["x"].to_numpy(), x0)
         assert any("spiraled" in m for m in msgs)
+
+
+class TestPickProfileAndExports:
+    def _app_with_rect_pick(self):
+        locs = _make_channel(seed=5)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        app.set_pick_shape("Rectangle")
+        app.pick_width = 4.0
+        app.add_pick(((16.0, 8.0), (16.0, 24.0)))  # vertical axis
+        return app
+
+    def test_plot_pick_profile(self, tmp_path):
+        app = self._app_with_rect_pick()
+        res = app.plot_pick_profile(bin_width_nm=130.0)
+        assert len(res["profiles"]) == 1
+        prof = res["profiles"][0]
+        assert len(prof) > 100
+        # positions along the 16-px axis, in nm
+        assert prof.min() >= -1e-6
+        assert prof.max() <= 16.5 * 130
+        assert sum(res["counts"][0]) == len(prof)
+        path = str(tmp_path / "profile.csv")
+        app.export_profile(path)
+        import csv
+
+        with open(path) as f:
+            rows = list(csv.reader(f))
+        assert len(rows) == len(prof) + 1
+
+    def test_profile_requires_rectangle(self):
+        locs = _make_channel(seed=5)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        with pytest.raises(AssertionError, match="rectangular"):
+            app.plot_pick_profile()
+
+    def test_picked_locs_rect_has_rot_columns(self):
+        app = self._app_with_rect_pick()
+        picked = app.picked_locs()[0]
+        assert "x_pick_rot" in picked.columns
+        assert "y_pick_rot" in picked.columns
+        # the axis is vertical: y_pick_rot spans the axis length
+        span = picked["y_pick_rot"].max() - picked["y_pick_rot"].min()
+        assert span > 10
+
+    def test_keep_picks(self):
+        locs = _make_channel(seed=5)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        for p in [(6.0, 6.0), (16.0, 16.0), (22.0, 22.0)]:
+            app.add_pick(p)
+        app.keep_picks([0, 2])
+        assert len(app.picks) == 2
+        assert app.picks[1] == (22.0, 22.0)
+
+    def test_export_roi_imaris_roundtrip(self, tmp_path):
+        from picasso_tpu import io
+
+        locs = _make_channel(seed=5)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        app.oversampling = 4.0
+        path = str(tmp_path / "fov.ims")
+        stack = app.export_roi_imaris(path)
+        assert stack.shape[0] == 1
+        movie, info = io.load_movie(path) if False else (None, None)
+        ims = io.IMSMovie(path)
+        frame = np.asarray(ims[0])
+        assert frame.shape == stack.shape[1:]
+        ims.close()
+
+    def test_open_rotated_locs_restores_pick(self, tmp_path):
+        from picasso_tpu import io
+
+        locs = _make_channel(seed=5)
+        info = list(INFO) + [{
+            "Generated by": "Picasso Render : Rotate",
+            "Pick": (16.0, 16.0),
+            "Pick shape": "Circle",
+            "Pick size (nm)": 2.0,
+        }]
+        path = str(tmp_path / "rot_locs.hdf5")
+        io.save_locs(path, locs, info)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        i = app.open_rotated_locs(path)
+        assert app.pick_shape == "Circle"
+        assert app.pick_diameter == 2.0
+        assert len(app.picks) == 1
+
+    def test_annotate_picks_draws_labels(self):
+        locs = _make_channel(seed=5)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        app.add_pick((6.0, 6.0))
+        app.annotate_picks = True
+        app.redraw()
+        texts = [t.get_text() for t in app.ax.texts]
+        assert "0" in texts
