@@ -350,6 +350,7 @@ class RenderApp(_PluginHost):
             interpolation="nearest",
         )
         self._draw_picks()
+        self._draw_overlays()
         title = f"{n} localizations"
         if self.slicer_on:
             z_lo, z_hi = self.slice_range()
@@ -359,6 +360,81 @@ class RenderApp(_PluginHost):
         self.ax.set_title(title)
         self.fig.canvas.draw_idle()
         return n
+
+    def _draw_overlays(self):
+        """Display-settings overlays (reference
+        DisplaySettingsDialog :6030 scalebar group, DatasetDialog
+        legend checkbox :935, minimap :7313): scalebar with optional
+        optimal length, per-channel legend, and a minimap inset
+        showing the viewport within the full FOV."""
+        import matplotlib.patches as mpatches
+
+        (y_min, x_min), (y_max, x_max) = self.viewport
+        w = x_max - x_min
+        h = y_max - y_min
+        pixelsize = lib.get_from_metadata(self.info, "Pixelsize", 130)
+        if getattr(self, "show_scalebar", False):
+            length_nm = getattr(self, "scalebar_length_nm", None)
+            if not length_nm:
+                length_nm = render.optimal_scalebar_length(
+                    pixelsize, w
+                )
+            length_px = length_nm / pixelsize
+            x1 = x_max - 0.05 * w
+            x0 = x1 - length_px
+            ybar = y_max - 0.05 * h
+            self.ax.plot(
+                [x0, x1], [ybar, ybar], color="white", lw=3,
+                solid_capstyle="butt",
+            )
+            if getattr(self, "scalebar_text", True):
+                label = (
+                    f"{length_nm / 1000:g} um"
+                    if length_nm >= 1000 else f"{length_nm:g} nm"
+                )
+                self.ax.annotate(
+                    label, ((x0 + x1) / 2, ybar - 0.02 * h),
+                    color="white", ha="center", va="bottom",
+                    fontsize=8,
+                )
+        if getattr(self, "show_legend", False) and (
+            len(self.channels) > 1
+        ):
+            from picasso_tpu.render import get_colors_from_colormap
+
+            vis = [
+                i for i, ch in enumerate(self.channels)
+                if ch.visible
+            ]
+            auto = get_colors_from_colormap(max(len(vis), 1))
+            for k, i in enumerate(vis):
+                ch = self.channels[i]
+                color = (
+                    ch.color if ch.color is not None
+                    else tuple(auto[k])
+                )
+                name = ch.path and os.path.basename(ch.path) or (
+                    f"channel {i}"
+                )
+                self.ax.annotate(
+                    name,
+                    (x_min + 0.02 * w, y_min + (0.04 + 0.05 * k) * h),
+                    color=color, fontsize=8, va="top",
+                )
+        if getattr(self, "show_minimap", False):
+            full_h = lib.get_from_metadata(self.info, "Height")
+            full_w = lib.get_from_metadata(self.info, "Width")
+            inset = self.ax.inset_axes([0.78, 0.78, 0.2, 0.2])
+            inset.set_xlim(0, full_w)
+            inset.set_ylim(full_h, 0)
+            inset.set_xticks([])
+            inset.set_yticks([])
+            inset.set_facecolor("black")
+            inset.add_patch(mpatches.Rectangle(
+                (x_min, y_min), w, h, fill=False,
+                edgecolor="white", linewidth=1.0,
+            ))
+            self._minimap_ax = inset
 
     def _draw_picks(self):
         import matplotlib.patches as mpatches
@@ -830,6 +906,52 @@ class RenderApp(_PluginHost):
         locs = self.picked_locs(add_group=False)[pick_index]
         cols = ["x", "y"] + (["z"] if "z" in locs.columns else [])
         return locs[cols].to_numpy()
+
+    def show_pick(self, pick_index: int = 0, fig=None):
+        """Tools > Select picks (XY scatter) for one pick
+        (gui/render.py:9324 show_pick): 2D scatter of the picked
+        localizations; combine with ``keep_picks`` for the
+        accept/reject inspection loop."""
+        import matplotlib.pyplot as plt
+
+        data = self.pick_scatter(pick_index)
+        fig = fig or plt.figure(figsize=(4, 4))
+        ax = fig.add_subplot(111)
+        ax.scatter(data[:, 0], data[:, 1], s=2)
+        ax.set_aspect("equal")
+        ax.set_title(f"Pick {pick_index}: {len(data)} locs")
+        return fig
+
+    def show_pick_3d(self, pick_index: int = 0, fig=None):
+        """Tools > Select picks (XYZ scatter) (gui/render.py:9422):
+        3D scatter of one pick; requires a z column."""
+        import matplotlib.pyplot as plt
+
+        data = self.pick_scatter(pick_index)
+        assert data.shape[1] == 3, "3D scatter requires a z column"
+        fig = fig or plt.figure(figsize=(4, 4))
+        ax = fig.add_subplot(111, projection="3d")
+        ax.scatter(data[:, 0], data[:, 1], data[:, 2], s=2)
+        ax.set_title(f"Pick {pick_index}: {len(data)} locs")
+        return fig
+
+    def select_traces(self, fig=None):
+        """Tools > Select picks (trace) (gui/render.py:9193): the
+        frame-vs-index trace of every pick on one figure; combine
+        with ``keep_picks`` to accept/reject."""
+        import matplotlib.pyplot as plt
+
+        fig = fig or plt.figure(figsize=(6, 4))
+        ax = fig.add_subplot(111)
+        for i, picked in enumerate(self.picked_locs()):
+            frames = picked["frame"].to_numpy()
+            ax.plot(
+                frames, np.full(len(frames), i), "|",
+                markersize=4, label=f"pick {i}",
+            )
+        ax.set_xlabel("Frame")
+        ax.set_ylabel("Pick")
+        return fig
 
     def plot_pick_profile(
         self,

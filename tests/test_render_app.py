@@ -615,3 +615,77 @@ class TestPickProfileAndExports:
         app.redraw()
         texts = [t.get_text() for t in app.ax.texts]
         assert "0" in texts
+
+
+class TestOverlaysAndPickInspection:
+    def _app(self, n_channels=1):
+        locs = _make_channel(seed=6)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        for k in range(1, n_channels):
+            app.add_channel(
+                _make_channel(seed=6 + k), list(INFO),
+                path=f"/tmp/ch{k}_locs.hdf5",
+            )
+        return app
+
+    def test_scalebar_optimal_and_fixed(self):
+        app = self._app()
+        app.show_scalebar = True
+        app.redraw()
+        # a white 3-pt bar drawn over the scene
+        bars = [
+            ln for ln in app.ax.lines if ln.get_linewidth() == 3
+        ]
+        assert len(bars) == 1
+        x0, x1 = bars[0].get_xdata()
+        from picasso_tpu import render as r
+
+        expect_nm = r.optimal_scalebar_length(130, 32)
+        assert abs(x1 - x0) == pytest.approx(
+            expect_nm / 130, rel=1e-6
+        )
+        app.scalebar_length_nm = 1300.0
+        app.redraw()
+        bars = [
+            ln for ln in app.ax.lines if ln.get_linewidth() == 3
+        ]
+        assert abs(
+            bars[0].get_xdata()[1] - bars[0].get_xdata()[0]
+        ) == pytest.approx(10.0, rel=1e-6)
+
+    def test_legend_multichannel(self):
+        app = self._app(n_channels=2)
+        app.show_legend = True
+        app.redraw()
+        texts = [t.get_text() for t in app.ax.texts]
+        assert any("ch1" in t for t in texts)
+
+    def test_minimap_shows_viewport(self):
+        app = self._app()
+        app.show_minimap = True
+        app.zoom(0.5, center=(16.0, 16.0))
+        assert hasattr(app, "_minimap_ax")
+        assert app._minimap_ax.get_xlim() == (0, 32)
+
+    def test_show_pick_scatter_figures(self):
+        import matplotlib.pyplot as plt
+
+        app = self._app()
+        app.pick_diameter = 2.0
+        app.add_pick((16.0, 16.0))
+        fig = app.show_pick(0)
+        assert len(fig.axes) == 1
+        plt.close(fig)
+        fig = app.select_traces()
+        assert len(fig.axes) == 1
+        plt.close(fig)
+        # 3D requires z
+        with pytest.raises(AssertionError, match="z column"):
+            app.show_pick_3d(0)
+        app.locs = app.locs.assign(
+            z=np.zeros(len(app.locs), np.float32)
+        )
+        fig = app.show_pick_3d(0)
+        plt.close(fig)
+        plt.close(app.fig)
