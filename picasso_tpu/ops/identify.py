@@ -182,35 +182,10 @@ def _identify_compact(frames, minimum_ng, box, size):
     maxima, ng = identify_maps(frames, box)
     B, Y, X = ng.shape
     mask = maxima & (ng > minimum_ng)
-    flat = mask.ravel().astype(jnp.int32)
-    n_flat = flat.shape[0]
-    c = jnp.cumsum(flat)
+    c = jnp.cumsum(mask.ravel().astype(jnp.int32))
     count = c[-1]
     targets = jnp.arange(1, size + 1, dtype=jnp.int32)
-    # two-level binary search: find the block from the (tiny,
-    # VMEM-resident) block-end cumsum, then 13 restricted iterations
-    # on the full cumsum — vs ~24 full-array gather rounds for a flat
-    # searchsorted (each round is a (size,)-wide HBM gather, the
-    # dominant compaction cost on TPU)
-    bs = 8192
-    pad_flat = (-n_flat) % bs
-    c_pad = (
-        jnp.concatenate([c, jnp.full(pad_flat, count, jnp.int32)])
-        if pad_flat else c
-    )
-    n_pad = n_flat + pad_flat
-    cb = c_pad[bs - 1::bs]  # block-end cumulative counts
-    blk = jnp.searchsorted(cb, targets, side="left")
-    blk = jnp.minimum(blk, n_pad // bs - 1)
-    lo = blk * bs
-    hi = lo + bs
-    steps = int(np.ceil(np.log2(bs))) + 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        go = c_pad[jnp.minimum(mid, n_pad - 1)] < targets
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
-    idx = jnp.minimum(lo, n_flat - 1)
+    idx = jnp.searchsorted(c, targets, side="left")
     valid = targets <= count
     f = jnp.where(valid, idx // (Y * X), -1)
     rem = idx % (Y * X)
