@@ -1039,6 +1039,33 @@ class RenderApp(_PluginHost):
         ]
         self.redraw()
 
+    def export_locs(
+        self, path: str, fmt: str, channel: int | None = None
+    ):
+        """File > Export localizations (gui/render.py:12416
+        export_multi): write the channel's locs in one of the
+        reference's exchange formats — ``"imagej"`` (.txt),
+        ``"nis"`` (.txt), ``"chimera"`` (.xyz), ``"visp"`` (.3d),
+        ``"thunderstorm"`` (.csv)."""
+        from picasso_tpu import io as _io
+
+        ch = self.channels[
+            self.current_channel if channel is None else channel
+        ]
+        exporters = {
+            "imagej": _io.export_txt_imagej,
+            "nis": _io.export_txt_nis,
+            "chimera": _io.export_xyz_chimera,
+            "visp": _io.export_3d_visp,
+            "thunderstorm": _io.export_ts,
+        }
+        assert fmt in exporters, (
+            f"Unknown export format {fmt!r}; "
+            f"choose from {sorted(exporters)}"
+        )
+        exporters[fmt](path, ch.locs, ch.info)
+        self.status(f"Exported locs to {path}")
+
     def export_roi_imaris(self, path: str):
         """File > Export ROI for Imaris (gui/render.py:12481
         export_fov_ims): render the current viewport of every visible

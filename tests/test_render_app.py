@@ -689,3 +689,24 @@ class TestOverlaysAndPickInspection:
         fig = app.show_pick_3d(0)
         plt.close(fig)
         plt.close(app.fig)
+
+
+class TestExportLocsFormats:
+    def test_all_formats(self, tmp_path):
+        locs = _make_channel(seed=7)
+        # chimera/visp exports need z (they warn + skip without)
+        locs["z"] = np.zeros(len(locs), np.float32)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        for fmt, ext in [
+            ("imagej", ".txt"), ("nis", ".txt"),
+            ("chimera", ".xyz"), ("visp", ".3d"),
+            ("thunderstorm", ".csv"),
+        ]:
+            path = str(tmp_path / f"out_{fmt}{ext}")
+            app.export_locs(path, fmt)
+            import os as _os
+
+            assert _os.path.getsize(path) > 0
+        with pytest.raises(AssertionError, match="Unknown export"):
+            app.export_locs(str(tmp_path / "x.bin"), "bin")
