@@ -630,3 +630,55 @@ class TestNanotronAppWorkflow:
         app2.load(path)
         out2 = app2.predict_all(fresh, 1.0, 10.0)
         assert len(out2) == 6
+
+
+class TestRotationSaveRoundtrip:
+    def test_save_and_reopen_in_render(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from picasso_tpu import gui, io
+
+        rng = np.random.default_rng(1)
+        n = 300
+        locs = pd.DataFrame({
+            "frame": rng.integers(0, 100, n).astype(np.uint32),
+            "x": rng.uniform(14, 18, n).astype(np.float32),
+            "y": rng.uniform(14, 18, n).astype(np.float32),
+            "z": rng.uniform(-200, 200, n).astype(np.float32),
+            "photons": np.full(n, 1000, np.float32),
+            "sx": np.full(n, 1.0, np.float32),
+            "sy": np.full(n, 1.0, np.float32),
+            "bg": np.full(n, 10, np.float32),
+            "lpx": np.full(n, 0.03, np.float32),
+            "lpy": np.full(n, 0.03, np.float32),
+        })
+        info = [{
+            "Frames": 100, "Height": 32, "Width": 32,
+            "Pixelsize": 130,
+        }]
+        app = gui.RotationApp(locs, info)
+        app.rotate(dz=np.pi / 4)
+        path = str(tmp_path / "rot_locs.hdf5")
+        app.save_rotated_locs(
+            path, pick=(16.0, 16.0), pick_shape="Circle",
+            pick_size=2.0,
+        )
+        back, binfo = io.load_locs(path)
+        assert len(back) == n
+        last = binfo[-1]
+        assert last["Pick shape"] == "Circle"
+        assert last["angz"] == __import__("pytest").approx(
+            np.pi / 4
+        )
+        assert last["Pick size (nm)"] == 260.0
+        assert len(last["Quaternion (x, y, z, w)"]) == 4
+
+        render_app = gui.RenderApp(locs, info, blur_method=None)
+        render_app.dynamic_oversampling = False
+        render_app.open_rotated_locs(path)
+        assert render_app.pick_shape == "Circle"
+        assert len(render_app.picks) == 1
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
