@@ -16,6 +16,7 @@ localization precisions (lpx, lpy, lpz).
 
 from __future__ import annotations
 
+import os
 from typing import Literal
 
 import numpy as np
@@ -797,14 +798,49 @@ def _fit_clusters_batched(
         buckets[b] = list(range(len(Xs)))
     key = jax.random.PRNGKey(seed)
     done = 0
+    # multi-chip: shard the cluster-bucket axis over all devices of
+    # the default backend (the mesh analogue of the reference's
+    # per-cluster ProcessPool, picasso/g5m.py:2365); padding clusters
+    # (copies of the first) keep G a device multiple and are trimmed
+    # from every output. Partitionable RNG keeps results identical
+    # to single-chip.
+    _sharding = None
+    _n_dev = jax.device_count()
+    if _n_dev > 1 and os.environ.get(
+        "PICASSO_TPU_G5M_MESH", "auto"
+    ) != "off":
+        from jax.sharding import (
+            Mesh, NamedSharding, PartitionSpec,
+        )
+
+        _mesh = Mesh(
+            np.array(jax.devices()), axis_names=("spots",)
+        )
+
+        def _sharding(ndim):
+            return NamedSharding(
+                _mesh,
+                PartitionSpec("spots", *([None] * (ndim - 1))),
+            )
+
     for bucket in sorted(buckets):
         idxs = buckets[bucket]
-        X, mask, lp = gmm.pad_clusters(
-            [Xs[i] for i in idxs], [lps[i] for i in idxs], bucket
-        )
-        Xd, maskd, lpd = (
-            jnp.asarray(X), jnp.asarray(mask), jnp.asarray(lp),
-        )
+        G_real = len(idxs)
+        cl = [Xs[i] for i in idxs]
+        lpl = [lps[i] for i in idxs]
+        if _sharding is not None:
+            pad = (-G_real) % _n_dev
+            cl = cl + [cl[0]] * pad
+            lpl = lpl + [lpl[0]] * pad
+        X, mask, lp = gmm.pad_clusters(cl, lpl, bucket)
+        if _sharding is not None:
+            Xd = jax.device_put(X, _sharding(X.ndim))
+            maskd = jax.device_put(mask, _sharding(mask.ndim))
+            lpd = jax.device_put(lp, _sharding(lp.ndim))
+        else:
+            Xd, maskd, lpd = (
+                jnp.asarray(X), jnp.asarray(mask), jnp.asarray(lp),
+            )
         n_pts = np.array([len(Xs[i]) for i in idxs])
         n_max = np.minimum(N_COMPONENTS_MAX, n_pts // min_locs)
         G = len(idxs)
@@ -855,9 +891,9 @@ def _fit_clusters_batched(
             w, m, cv, pc, lb, conv, valid, ok, bic_d = (
                 pending.pop(K)
             )
-            bic = np.asarray(bic_d)
+            bic = np.asarray(bic_d)[:G_real]
             w, m, cv, pc, lb, conv, valid, ok = (
-                np.asarray(a)
+                np.asarray(a)[:G_real]
                 for a in (w, m, cv, pc, lb, conv, valid, ok)
             )
             ok = ok & valid.any(axis=1) & np.isfinite(bic)

@@ -22,6 +22,7 @@ equivalence tests in tests/test_spinna_batch.py are statistical.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -216,6 +217,26 @@ class BatchedScorer:
         self.chunk = int(
             np.clip(_tile_budget() // max(per_cand, 1), 1, 512)
         )
+        # multi-chip: shard the candidate axis over all devices of
+        # the default backend (the mesh analogue of the reference's
+        # ProcessPool, picasso/spinna.py:3280). The chunk padded to a
+        # device multiple keeps ONE compiled program; partitionable
+        # threefry makes results identical to single-chip.
+        self._sharding = None
+        devices = jax.devices()
+        if len(devices) > 1 and os.environ.get(
+            "PICASSO_TPU_SPINNA_MESH", "auto"
+        ) != "off":
+            from jax.sharding import (
+                Mesh, NamedSharding, PartitionSpec,
+            )
+
+            n_dev = len(devices)
+            self.chunk = -(-self.chunk // n_dev) * n_dev
+            mesh = Mesh(np.array(devices), axis_names=("spots",))
+            self._sharding = NamedSharding(
+                mesh, PartitionSpec("spots", None)
+            )
         self._compiled = self._build()
 
     # -- simulation of one structure population, batched --
@@ -420,8 +441,13 @@ class BatchedScorer:
                 )
                 chunk = np.concatenate([chunk, pad])
             key, sub = jax.random.split(key)
+            dev_chunk = (
+                jax.device_put(chunk, self._sharding)
+                if self._sharding is not None
+                else jnp.asarray(chunk)
+            )
             pending.append(
-                (start, stop, self._compiled(jnp.asarray(chunk), sub))
+                (start, stop, self._compiled(dev_chunk, sub))
             )
         for start, stop, scores in pending:
             out[start:stop] = np.asarray(scores)[: stop - start]
