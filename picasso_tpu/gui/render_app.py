@@ -1245,6 +1245,89 @@ class RenderApp(_PluginHost):
             "Number of picks": len(self.picks),
         }
 
+    def calculate_pick_info(self, max_dark_time=None) -> dict:
+        """Info dialog > Calculate pick info (reference
+        gui/render.py:11380 update_pick_info_long): per-pick
+        statistics — locs/pick, RMSD to the center of mass (and z),
+        bright/dark-time means — plus the pooled dark time the qPAINT
+        calibration consumes. Stored on the app for
+        ``calibrate_influx``/``n_units``."""
+        from picasso_tpu import postprocess
+
+        picked = self.picked_locs()
+        assert picked, "No picks."
+        n_locs, rmsd, rmsd_z, length, dark, all_dark = (
+            [], [], [], [], [], []
+        )
+        for p in picked:
+            n_locs.append(len(p))
+            if len(p) == 0:
+                rmsd.append(np.nan)
+                length.append(np.nan)
+                dark.append(np.nan)
+                continue
+            cx, cy = p["x"].mean(), p["y"].mean()
+            rmsd.append(float(np.sqrt(
+                np.mean((p["x"] - cx) ** 2 + (p["y"] - cy) ** 2)
+            )))
+            if "z" in p.columns:
+                rmsd_z.append(float(np.sqrt(
+                    np.mean((p["z"] - p["z"].mean()) ** 2)
+                )))
+            linked = postprocess.link(
+                p, self.info,
+                max_dark_time=max_dark_time or 1,
+            )
+            length.append(float(np.nanmean(linked["len"])))
+            d = postprocess.dark_times(linked)
+            d = d[np.isfinite(d) & (d > 0)]
+            all_dark.append(d)
+            dark.append(float(np.mean(d)) if len(d) else np.nan)
+        pooled = np.concatenate(all_dark) if all_dark else (
+            np.zeros(0)
+        )
+        self._pick_statistics = {
+            "n_picks": len(picked),
+            "locs_per_pick_mean": float(np.nanmean(n_locs)),
+            "locs_per_pick_std": float(np.nanstd(n_locs)),
+            "rmsd_mean": float(np.nanmean(rmsd)),
+            "rmsd_std": float(np.nanstd(rmsd)),
+            "rmsd_z_mean": (
+                float(np.nanmean(rmsd_z)) if rmsd_z else None
+            ),
+            "length_mean": float(np.nanmean(length)),
+            "dark_mean": float(np.nanmean(dark)),
+            "pooled dark": (
+                float(lib.estimate_kinetic_rate(pooled))
+                if len(pooled) else np.nan
+            ),
+        }
+        return self._pick_statistics
+
+    def calibrate_influx(self, units_per_pick: float = 1.0) -> float:
+        """Info dialog > Calibrate influx (gui/render.py:4754):
+        influx = 1 / (pooled dark time x units per pick). Requires
+        calculate_pick_info() first."""
+        stats = getattr(self, "_pick_statistics", None)
+        assert stats is not None, (
+            "Run calculate_pick_info() first."
+        )
+        self.influx_rate = 1.0 / (
+            stats["pooled dark"] * units_per_pick
+        )
+        return self.influx_rate
+
+    def n_units(self, influx_rate: float | None = None) -> float:
+        """Number of binding units per pick from its mean dark time
+        (gui/render.py:4762 calculate_n_units)."""
+        stats = getattr(self, "_pick_statistics", None)
+        assert stats is not None, (
+            "Run calculate_pick_info() first."
+        )
+        rate = influx_rate or getattr(self, "influx_rate", None)
+        assert rate, "No influx rate; run calibrate_influx() first."
+        return 1.0 / (rate * stats["dark_mean"])
+
     def save_picked_locs(self, path: str, channel: int | None = None):
         """Save the locs inside the current picks with the pick info
         appended to the yaml chain (reference gui/render.py:10588)."""

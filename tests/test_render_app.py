@@ -710,3 +710,29 @@ class TestExportLocsFormats:
             assert _os.path.getsize(path) > 0
         with pytest.raises(AssertionError, match="Unknown export"):
             app.export_locs(str(tmp_path / "x.bin"), "bin")
+
+
+class TestQPaintCalibration:
+    def test_pick_info_influx_units(self):
+        locs = _make_channel(seed=8)
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        app.pick_diameter = 1.5
+        for sy, sx in [(10, 10), (16, 16), (22, 22)]:
+            app.add_pick((float(sx), float(sy)))
+        stats = app.calculate_pick_info()
+        assert stats["n_picks"] == 3
+        assert stats["locs_per_pick_mean"] > 5
+        assert stats["rmsd_mean"] < 1.0
+        assert np.isfinite(stats["pooled dark"])
+        influx = app.calibrate_influx(units_per_pick=1.0)
+        assert influx == pytest.approx(
+            1.0 / stats["pooled dark"]
+        )
+        n = app.n_units()
+        # single binding site per pick at the calibration point:
+        # pooled dark ~ mean dark -> ~1 unit
+        assert 0.3 < n < 3.0
+        import matplotlib.pyplot as plt
+
+        plt.close(app.fig)
