@@ -292,8 +292,74 @@ class RenderApp(_PluginHost):
     def _visible_locs(self) -> pd.DataFrame:
         return self._display_locs(self.current_channel)
 
+    def set_render_property(
+        self,
+        parameter: str | None,
+        n_colors: int = 32,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        colormap: str = "viridis",
+    ):
+        """Display settings > Render by property (reference
+        gui/render.py:10814 activate_render_property +
+        render.split_locs_by_property): color the active channel's
+        localizations by a column value (frame, z, photons, …) in
+        ``n_colors`` bins of the given colormap. ``parameter=None``
+        deactivates."""
+        if parameter is not None:
+            assert parameter in self.locs.columns, parameter
+        self.render_property = (
+            None if parameter is None else {
+                "parameter": parameter,
+                "n_colors": int(n_colors),
+                "min_value": min_value,
+                "max_value": max_value,
+                "colormap": colormap,
+            }
+        )
+        self.redraw()
+
+    def clear_render_property(self):
+        self.set_render_property(None)
+
+    def _property_scene(self, prop):
+        """Render the active channel split into property bins as a
+        multi-channel composite."""
+        ch = self.channel
+        parts = render.split_locs_by_property(
+            self._display_locs(self.current_channel),
+            property_name=prop["parameter"],
+            n_colors=prop["n_colors"],
+            min_value=prop["min_value"],
+            max_value=prop["max_value"],
+        )
+        import matplotlib.pyplot as plt
+
+        cmap = plt.get_cmap(prop["colormap"])
+        colors = [
+            tuple(cmap(k / max(prop["n_colors"] - 1, 1))[:3])
+            for k in range(prop["n_colors"])
+        ]
+        pixelsize = lib.get_from_metadata(ch.info, "Pixelsize", 130)
+        rgb, n, self._contrast_limits = render.render_scene(
+            parts,
+            [ch.info] * len(parts),
+            colors=colors,
+            disp_px_size=pixelsize / self.oversampling,
+            viewport=self.viewport,
+            blur_method=self.blur_method,
+            min_blur_width=self.min_blur_width,
+            contrast=self.contrast,
+            invert_colors=self.invert_colors,
+            return_contrast_limits=True,
+        )
+        return rgb, n
+
     def render_scene(self) -> tuple[np.ndarray, int]:
         """Current view as an RGB uint8 array (render.render_scene)."""
+        prop = getattr(self, "render_property", None)
+        if prop is not None:
+            return self._property_scene(prop)
         vis = [
             i for i, ch in enumerate(self.channels) if ch.visible
         ] or [self.current_channel]

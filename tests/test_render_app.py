@@ -736,3 +736,29 @@ class TestQPaintCalibration:
         import matplotlib.pyplot as plt
 
         plt.close(app.fig)
+
+
+class TestRenderByProperty:
+    def test_frame_coloring_round_trip(self):
+        app = gui.RenderApp(
+            _make_channel(seed=9), list(INFO), blur_method=None
+        )
+        app.dynamic_oversampling = False
+        plain = app.render_scene()[0].copy()
+        app.set_render_property("frame", n_colors=8)
+        colored, n = app.render_scene()
+        assert colored.shape == plain.shape
+        assert n > 0
+        # property rendering actually colors: the composite is no
+        # longer a grayscale-equal-channels image
+        assert not np.array_equal(colored, plain)
+        app.clear_render_property()
+        back = app.render_scene()[0]
+        np.testing.assert_array_equal(back, plain)
+
+    def test_unknown_property_raises(self):
+        app = gui.RenderApp(
+            _make_channel(seed=9), list(INFO), blur_method=None
+        )
+        with pytest.raises(AssertionError):
+            app.set_render_property("nope")
