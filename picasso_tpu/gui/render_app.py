@@ -973,6 +973,15 @@ class RenderApp(_PluginHost):
         cols = ["x", "y"] + (["z"] if "z" in locs.columns else [])
         return locs[cols].to_numpy()
 
+    def open_rotation_window(self, pick_index: int = 0):
+        """View > Update rotation window (gui/render.py addAction
+        'Update rotation window'): open the 3D rotation viewer on the
+        locs of one pick. Requires a z column."""
+        from picasso_tpu.gui.apps import RotationApp
+
+        picked = self.picked_locs(add_group=False)[pick_index]
+        return RotationApp(picked.reset_index(drop=True), self.info)
+
     def show_pick(self, pick_index: int = 0, fig=None):
         """Tools > Select picks (XY scatter) for one pick
         (gui/render.py:9324 show_pick): 2D scatter of the picked

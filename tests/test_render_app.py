@@ -762,3 +762,18 @@ class TestRenderByProperty:
         )
         with pytest.raises(AssertionError):
             app.set_render_property("nope")
+
+
+class TestRotationWindowHandoff:
+    def test_open_rotation_window_on_pick(self):
+        import matplotlib.pyplot as plt
+
+        locs = _locs3d()
+        app = gui.RenderApp(locs, list(INFO), blur_method=None)
+        app.dynamic_oversampling = False
+        app.pick_diameter = 20.0
+        app.add_pick((16.0, 16.0))
+        rot = app.open_rotation_window(0)
+        assert rot.locs["z"].notna().all()
+        rot.rotate(dz=0.5)
+        plt.close("all")
