@@ -4,6 +4,7 @@ reference outputs."""
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 import pytest
@@ -616,3 +617,29 @@ class TestSeparableMaximaEquivalence:
             & (xx >= half) & (xx < 24 - half - 1)
         )
         np.testing.assert_array_equal(got, naive & eligible)
+
+
+class TestNetGradientMXUEquivalence:
+    @pytest.mark.parametrize(
+        "box,shape",
+        [(3, (2, 24, 24)), (7, (3, 32, 32)), (7, (2, 70, 130)),
+         (9, (2, 96, 64))],
+    )
+    def test_banded_matmul_matches_conv(self, box, shape):
+        """The accelerator net-gradient path (rank-3 banded matmuls,
+        ops/identify._net_gradient_mxu) must match the conv
+        formulation to f32 eps on arbitrary (non-multiple-of-tile)
+        frame shapes, including the roll-wraparound edge rows."""
+        from picasso_tpu.ops.identify import (
+            _net_gradient_conv, _net_gradient_mxu,
+        )
+
+        rng = np.random.default_rng(box + shape[1])
+        frames = rng.integers(80, 1100, shape).astype(np.float32)
+        gy = np.roll(frames, -1, axis=1) - np.roll(frames, 1, axis=1)
+        gx = np.roll(frames, -1, axis=2) - np.roll(frames, 1, axis=2)
+        ref = np.asarray(_net_gradient_conv(jnp.asarray(gy), jnp.asarray(gx), box))
+        got = np.asarray(_net_gradient_mxu(jnp.asarray(gy), jnp.asarray(gx), box))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-6 * scale)
