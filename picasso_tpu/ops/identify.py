@@ -300,22 +300,48 @@ def _identify_compact(frames, minimum_ng, box, size):
 
     Compaction is cumsum + searchsorted — the position of the j-th
     hit is the first index whose inclusive mask-cumsum reaches j+1 —
-    instead of ``jnp.nonzero(size=)``: both are row-major-order
-    exact, but nonzero's lowering cost 152 ms on a (256, 256², u16)
-    chunk on TPU v5e where the binary-search formulation is pure
-    gathers (~24 passes of (size,) lookups) over one log-pass scan."""
+    instead of ``jnp.nonzero(size=)``: both are order-exact, but
+    nonzero's lowering cost 152 ms on a (256, 256², u16) chunk on TPU
+    v5e where the binary-search formulation is pure gathers.
+
+    The scan runs over the (half+1)²-TILE grid, not pixels: hits are
+    local maxima with Chebyshev separation > half (the strict/
+    non-strict window split forbids two passing maxima within half of
+    each other), so every aligned (half+1)² tile holds AT MOST ONE
+    hit. Reducing mask/ng/position onto tiles first shrinks the
+    cumsum + binary-search problem 16× for box=7 (measured 34 ms →
+    ~8 ms on a (256, 256²) chunk, the dominant e2e-compute cost).
+    Hit order is (frame, tile-row, tile-col) — frame-major like the
+    row-major scan, with intra-frame order permuted only between
+    hits of the same 4-px band."""
     maxima, ng = identify_maps(frames, box)
     B, Y, X = ng.shape
     mask = maxima & (ng > minimum_ng)
-    c = jnp.cumsum(mask.ravel().astype(jnp.int32))
+    T = box // 2 + 1
+    Yp, Xp = -(-Y // T) * T, -(-X // T) * T
+    if (Yp, Xp) != (Y, X):
+        mask = jnp.pad(mask, ((0, 0), (0, Yp - Y), (0, Xp - X)))
+    Ty, Tx = Yp // T, Xp // T
+    m = mask.reshape(B, Ty, T, Tx, T)
+    # ≤1 hit per tile ⇒ plain sums recover the hit's local offset
+    tile_mask = m.any(axis=(2, 4)).ravel()
+    loc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) * T + \
+        jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    tile_loc = jnp.sum(
+        m * loc[None, None, :, None, :],
+        axis=(2, 4), dtype=jnp.int32,
+    ).ravel()
+
+    c = jnp.cumsum(tile_mask.astype(jnp.int32))
     count = c[-1]
     targets = jnp.arange(1, size + 1, dtype=jnp.int32)
     idx = jnp.searchsorted(c, targets, side="left")
     valid = targets <= count
-    f = jnp.where(valid, idx // (Y * X), -1)
-    rem = idx % (Y * X)
-    y = jnp.where(valid, rem // X, -1)
-    x = jnp.where(valid, rem % X, -1)
+    li = tile_loc[jnp.minimum(idx, c.shape[0] - 1)]
+    f = jnp.where(valid, idx // (Ty * Tx), -1)
+    rem = idx % (Ty * Tx)
+    y = jnp.where(valid, (rem // Tx) * T + li // T, -1)
+    x = jnp.where(valid, (rem % Tx) * T + li % T, -1)
     ng_vals = ng[
         jnp.maximum(f, 0), jnp.maximum(y, 0), jnp.maximum(x, 0)
     ]

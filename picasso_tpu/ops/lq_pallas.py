@@ -27,24 +27,22 @@ def _tile_kernel(spots_ref, theta_ref, *, max_it, ftol):
     theta_ref[:, :] = _lq._lm_core(spots_t, max_it, ftol)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_it", "ftol", "interpret")
-)
-def fit_pallas(
-    spots: jnp.ndarray,
+def fit_pallas_t(
+    spots_t: jnp.ndarray,
     max_it: int = 30,
     ftol: float = 1e-6,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """LM-fit an (N, S, S) spot batch with the tiled Pallas kernel;
-    N must be a multiple of TILE. Returns theta (N, 6)."""
-    n, s, _ = spots.shape
+    """Lanes-last entry: (S, S, N) f32 spots, N a multiple of TILE.
+    Returns theta (6, N). Composes inside larger jitted programs (the
+    fused identify+cut+fit chain feeds it directly — its ROIs are
+    already lanes-last, so no transpose happens on device)."""
+    s, _, n = spots_t.shape
     assert n % TILE == 0, f"batch must be a multiple of {TILE}"
-    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
     kernel = functools.partial(
         _tile_kernel, max_it=max_it, ftol=float(ftol)
     )
-    theta = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n // TILE,),
         in_specs=[
@@ -59,7 +57,23 @@ def fit_pallas(
         out_shape=jax.ShapeDtypeStruct((6, n), jnp.float32),
         interpret=interpret,
     )(spots_t)
-    return theta.T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_it", "ftol", "interpret")
+)
+def fit_pallas(
+    spots: jnp.ndarray,
+    max_it: int = 30,
+    ftol: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LM-fit an (N, S, S) spot batch with the tiled Pallas kernel;
+    N must be a multiple of TILE. Returns theta (N, 6)."""
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    return fit_pallas_t(
+        spots_t, max_it=max_it, ftol=ftol, interpret=interpret
+    ).T
 
 
 _PALLAS_OK: dict[int, bool] = {}

@@ -45,23 +45,19 @@ def _tile_kernel(spots_ref, theta_ref, crlb_ref, ll_ref, iters_ref,
     iters_ref[:, :] = iters[None, :].astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("eps", "max_it", "method", "interpret"),
-)
-def fit_pallas(
-    spots: jnp.ndarray,
+def fit_pallas_t(
+    spots_t: jnp.ndarray,
     eps: float,
     max_it: int,
     method: str = "sigmaxy",
     interpret: bool = False,
 ):
-    """Fit an (N, S, S) spot batch with the tiled Pallas kernel.
-    N must be a multiple of TILE. Returns (thetas (N, 6), CRLBs (N, 6),
-    log_likelihoods (N,), iterations (N,))."""
-    n, s, _ = spots.shape
+    """Lanes-last entry: (S, S, N) f32 spots, N a multiple of TILE.
+    Returns (theta (6, N), crlb (6, N), ll (N,), iters (N,)).
+    Composes inside larger jitted programs (the fused
+    identify+cut+fit chain feeds it directly)."""
+    s, _, n = spots_t.shape
     assert n % TILE == 0, f"batch must be a multiple of {TILE}"
-    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
     grid = (n // TILE,)
     kernel = functools.partial(
         _tile_kernel, eps=eps, max_it=max_it, method=method
@@ -102,7 +98,28 @@ def fit_pallas(
         ),
         interpret=interpret,
     )(spots_t)
-    return theta.T, crlb.T, ll[0], iters[0]
+    return theta, crlb, ll[0], iters[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "max_it", "method", "interpret"),
+)
+def fit_pallas(
+    spots: jnp.ndarray,
+    eps: float,
+    max_it: int,
+    method: str = "sigmaxy",
+    interpret: bool = False,
+):
+    """Fit an (N, S, S) spot batch with the tiled Pallas kernel.
+    N must be a multiple of TILE. Returns (thetas (N, 6), CRLBs (N, 6),
+    log_likelihoods (N,), iterations (N,))."""
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    theta, crlb, ll, iters = fit_pallas_t(
+        spots_t, eps, max_it, method=method, interpret=interpret
+    )
+    return theta.T, crlb.T, ll, iters
 
 
 _PALLAS_OK: dict[tuple[int, str], bool] = {}

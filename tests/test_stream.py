@@ -227,22 +227,27 @@ class TestStreamMemoryBounded:
 
         n_frames, size = 128, 1024  # 256 MiB of u16 frames
         movie = ProceduralMovie(n_frames, size)
-        # First pass establishes the pipeline's steady-state high-water
-        # mark (XLA transient buffers + in-flight chunks — ru_maxrss is
-        # a process-wide peak, so prior tests contribute arbitrary
-        # baselines). A second identical pass must not raise the peak:
-        # any growth means the stream accumulates per-run state
-        # proportional to the movie.
+        # The first two passes establish the pipeline's steady-state
+        # high-water mark (XLA transient buffers, allocator arenas,
+        # in-flight chunks — ru_maxrss is a process-wide peak, so prior
+        # tests and first-touch allocator growth contribute arbitrary
+        # baselines; measured: pass 2 can still raise the peak ~64 MB
+        # from arena ramp even with zero pipeline state). A further
+        # identical pass must then not raise the peak: any growth means
+        # the stream accumulates per-run state proportional to the
+        # movie.
         ids, spots = stream.identify_and_cut(movie, 4000, 7)
-        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         ids2, _ = stream.identify_and_cut(movie, 4000, 7)
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        ids3, _ = stream.identify_and_cut(movie, 4000, 7)
         rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         growth_mb = (rss1 - rss0) / 1024  # ru_maxrss is KiB on Linux
         movie_mb = n_frames * size * size * 2 / 1e6
         assert len(ids) >= n_frames  # one planted spot per frame
         assert len(ids2) == len(ids)
+        assert len(ids3) == len(ids)
         assert (ids.frame.values[:-1] <= ids.frame.values[1:]).all()
         assert growth_mb < 0.1 * movie_mb, (
-            f"second streamed pass grew peak RSS by {growth_mb:.0f} MB "
+            f"third streamed pass grew peak RSS by {growth_mb:.0f} MB "
             f"on a {movie_mb:.0f} MB virtual movie"
         )
