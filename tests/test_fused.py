@@ -154,3 +154,81 @@ class TestFusedParity:
             ids_l["x"].to_numpy(), ids_a["x"].to_numpy()
         )
         np.testing.assert_allclose(t_l, t_a, rtol=2e-4, atol=2e-4)
+
+
+class TestCutRoisT:
+    """cut_rois_t is the MXU one-hot column gather; its block-windowed
+    fast path (X % _BLOCK == 0) and full-width fallback must both
+    reproduce the plain numpy window cut exactly for integer camera
+    data, including spots at the eligible-border extremes."""
+
+    def _reference(self, frames, f, y, x, box):
+        r = box // 2
+        out = np.empty((box, box, len(f)), np.float32)
+        for n, (fn, yn, xn) in enumerate(zip(f, y, x)):
+            out[:, :, n] = frames[
+                fn, yn - r:yn + r + 1, xn - r:xn + r + 1
+            ].astype(np.float32)
+        return out
+
+    @pytest.mark.parametrize("X", [256, 96, 32])
+    def test_exact_vs_numpy(self, X):
+        rng = np.random.default_rng(3)
+        box, r = 7, 3
+        B, Y = 4, 48
+        frames = rng.integers(0, 65535, (B, Y, X), dtype=np.uint16)
+        n = 64
+        f = rng.integers(0, B, n).astype(np.int32)
+        y = rng.integers(r, Y - r, n).astype(np.int32)
+        x = rng.integers(r, X - r, n).astype(np.int32)
+        # force border extremes and block-boundary straddles
+        x[:6] = [r, X - r - 1, 63 % (X - r - 1 - r) + r,
+                 64 % (X - r - 1 - r) + r, 65 % (X - r - 1 - r) + r,
+                 (X // 2)]
+        import jax.numpy as jnp
+
+        got = np.asarray(
+            fused.cut_rois_t(jnp.asarray(frames), f, y, x, box)
+        )
+        np.testing.assert_array_equal(
+            got, self._reference(frames, f, y, x, box)
+        )
+
+    def test_exact_on_f32_integer_frames(self):
+        # the e2e-compute bench feeds f32 frames holding u16 values;
+        # the 3-term split must still be exact for 16-bit integers
+        rng = np.random.default_rng(4)
+        box, r = 7, 3
+        frames = rng.integers(
+            0, 65535, (2, 64, 128), dtype=np.uint16
+        ).astype(np.float32)
+        f = np.zeros(16, np.int32)
+        y = rng.integers(r, 64 - r, 16).astype(np.int32)
+        x = rng.integers(r, 128 - r, 16).astype(np.int32)
+        import jax.numpy as jnp
+
+        got = np.asarray(
+            fused.cut_rois_t(jnp.asarray(frames), f, y, x, box)
+        )
+        np.testing.assert_array_equal(
+            got, self._reference(frames, f, y, x, box)
+        )
+
+    def test_fill_rows_clamp(self):
+        import jax.numpy as jnp
+
+        frames = np.arange(2 * 64 * 64, dtype=np.uint16).reshape(
+            2, 64, 64)
+        f = np.array([-1, 0], np.int32)
+        y = np.array([-1, 10], np.int32)
+        x = np.array([-1, 10], np.int32)
+        got = np.asarray(
+            fused.cut_rois_t(jnp.asarray(frames), f, y, x, 7)
+        )
+        # fill row clamps to frame 0's top-left eligible window
+        np.testing.assert_array_equal(
+            got[:, :, 0], frames[0, 0:7, 0:7].astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            got[:, :, 1], frames[0, 7:14, 7:14].astype(np.float32)
+        )
