@@ -200,54 +200,88 @@ class ProceduralMovie:
         return self._n
 
     def _frame(self, i):
-        rng = np.random.default_rng(self._seed + i)
-        fr = rng.poisson(
-            30, (self._size, self._size)
-        ).astype(np.uint16)
-        fr[100:107, 100:107] += rng.poisson(
-            np.full((7, 7), 500)
-        ).astype(np.uint16)
+        # one stored noise tile, rolled per frame: generation must be
+        # negligible next to identify so the RSS test times the
+        # pipeline, not numpy's Poisson sampler
+        if not hasattr(self, "_noise"):
+            rng = np.random.default_rng(self._seed)
+            self._noise = rng.poisson(
+                30, (self._size, self._size)
+            ).astype(np.uint16)
+            self._spot = rng.poisson(
+                np.full((7, 7), 500)
+            ).astype(np.uint16)
+        fr = np.roll(self._noise, i, axis=0)
+        fr[100:107, 100:107] += self._spot
         return fr
 
     def __getitem__(self, it):
         if isinstance(it, slice):
             idx = range(*it.indices(self._n))
-            return np.stack([self._frame(i) for i in idx])
-        return self._frame(int(it))
+            out = np.stack([self._frame(i) for i in idx])
+        else:
+            out = self._frame(int(it))
+        if hasattr(self, "handed_out"):
+            import weakref
+
+            self.handed_out.append(
+                (weakref.ref(out), out.nbytes)
+            )
+        return out
+
+    def live_bytes(self):
+        """Bytes of handed-out frame arrays still referenced."""
+        return sum(
+            nb for ref, nb in self.handed_out if ref() is not None
+        )
 
 
 @pytest.mark.slow
 class TestStreamMemoryBounded:
     def test_rss_stays_far_below_movie_size(self):
         """VERDICT missing #6: the streamed path must handle movies
-        larger than RAM. Drive a 0.5 GB virtual movie (never
-        materialized) and assert the peak RSS growth stays well under
-        the movie size — only the in-flight chunks may be resident."""
-        import resource
-
-        n_frames, size = 128, 1024  # 256 MiB of u16 frames
+        larger than RAM. Drive a virtual movie (never materialized)
+        through one streamed pass and ACCOUNT for every chunk array
+        the movie hands out (weakref + nbytes): at every chunk
+        boundary only the in-flight window may be alive, and after the
+        pass nothing may be. Byte accounting is deterministic where
+        process-RSS deltas are not (measured: glibc arena noise is
+        +/-60 MB across identical passes — bigger than 7 chunks)."""
+        n_frames, size = 64, 1024  # 128 MiB of u16 frames
+        chunk = 4  # 8 MiB chunks: 16 chunks stream through
+        chunk_b = chunk * size * size * 2
         movie = ProceduralMovie(n_frames, size)
-        # The first two passes establish the pipeline's steady-state
-        # high-water mark (XLA transient buffers, allocator arenas,
-        # in-flight chunks — ru_maxrss is a process-wide peak, so prior
-        # tests and first-touch allocator growth contribute arbitrary
-        # baselines; measured: pass 2 can still raise the peak ~64 MB
-        # from arena ramp even with zero pipeline state). A further
-        # identical pass must then not raise the peak: any growth means
-        # the stream accumulates per-run state proportional to the
-        # movie.
-        ids, spots = stream.identify_and_cut(movie, 4000, 7)
-        ids2, _ = stream.identify_and_cut(movie, 4000, 7)
-        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-        ids3, _ = stream.identify_and_cut(movie, 4000, 7)
-        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-        growth_mb = (rss1 - rss0) / 1024  # ru_maxrss is KiB on Linux
-        movie_mb = n_frames * size * size * 2 / 1e6
+        movie.handed_out = []
+        live_at_boundary = []
+
+        def on_progress(done):
+            live_at_boundary.append(movie.live_bytes())
+
+        ids, spots = stream.identify_and_cut(
+            movie, 4000, 7, frame_chunk=chunk,
+            progress_callback=on_progress,
+        )
         assert len(ids) >= n_frames  # one planted spot per frame
-        assert len(ids2) == len(ids)
-        assert len(ids3) == len(ids)
         assert (ids.frame.values[:-1] <= ids.frame.values[1:]).all()
-        assert growth_mb < 0.1 * movie_mb, (
-            f"third streamed pass grew peak RSS by {growth_mb:.0f} MB "
-            f"on a {movie_mb:.0f} MB virtual movie"
+        assert len(live_at_boundary) >= 12
+        # (a) bounded in-flight window at every chunk boundary: the
+        # prefetch ring (depth 2) + one decoding + two in_flight
+        # pipeline entries + one handoff + the shape-probe frame
+        # (measured peak: 6 chunks + probe); a materializing path
+        # would hold every chunk seen so far (12+ x chunk_b by the
+        # late boundaries)
+        peak = max(live_at_boundary)
+        assert peak <= 7 * chunk_b, (
+            f"{peak / 1e6:.0f} MB of decoded chunks alive at a chunk "
+            f"boundary (expected <= {7 * chunk_b / 1e6:.0f} MB)"
+        )
+        # (b) nothing retained after the pass: identifications/spots
+        # are compacted copies, so every decoded chunk must be dead
+        del spots
+        import gc
+
+        gc.collect()
+        assert movie.live_bytes() == 0, (
+            f"{movie.live_bytes() / 1e6:.0f} MB of decoded chunks "
+            "still referenced after the streamed pass returned"
         )
