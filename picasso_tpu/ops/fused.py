@@ -58,42 +58,14 @@ _BUCKET_HINT: dict[tuple[int, ...], int] = {}
 _DEFAULT_BUCKET = 4096
 
 
-#: column-block width for the windowed row gather; 2·_BLOCK must be
-#: ≥ box and _BLOCK must divide the frame width for the fast path
+#: column-block width for the windowed row gather on wide frames;
+#: 2·_BLOCK must be ≥ box and _BLOCK must divide the frame width
 _BLOCK = 64
-
-
-def _onehot_select(rows: jnp.ndarray, cols: jnp.ndarray,
-                   exact_bits: int) -> jnp.ndarray:
-    """MXU column gather: patches[n, i, j] = rows[n, i, cols[n, j]].
-
-    The one-hot matrix is exact in bf16 (entries 0/1) and each output
-    element receives exactly ONE nonzero product, so splitting the
-    f32 rows into bf16 parts (t1 = bf16(v), t2 = bf16(v − t1), then
-    the Sterbenz-exact residual v − t1 − t2) and summing
-    DEFAULT-precision bf16 matmuls reconstructs the selected values
-    bit-exactly for ≤ 16-bit integer data (raw camera u16 — 2 MXU
-    passes) and to ≤ 1 ulp for general f32 (3 passes), instead of the
-    6 passes a Precision.HIGHEST f32 einsum costs."""
-    N, _, W = rows.shape
-    box = cols.shape[1]
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (N, W, box), 1)
-        == cols[:, None, :]
-    ).astype(jnp.bfloat16)
-
-    def dot(part):
-        return jnp.einsum(
-            "nix,nxj->nij", part.astype(jnp.bfloat16), onehot,
-            preferred_element_type=jnp.float32,
-        )
-
-    t1 = rows.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = rows - t1
-    if exact_bits <= 16:
-        return dot(t1) + dot(r1)
-    t2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    return (dot(t1) + dot(t2)) + dot(r1 - t2)
+#: frame width above which the block-windowed gather wins (measured
+#: on TPU v5e, 131k spots: full-width 12.7 ms vs block 22.7 ms at
+#: X=256, but 33.1 ms vs 22.7 ms at X=1024 — the block gather's cost
+#: is X-independent while full rows + one-hot scale with X)
+_BLOCK_MIN_X = 1024
 
 
 def cut_rois_t(
@@ -115,12 +87,6 @@ def cut_rois_t(
     N = fc.shape[0]
     B, Y, X = frames.shape
     offs = jnp.arange(-r, r + 1)
-    # raw camera data (u16/integer frames) is ≤ 16-bit exact, so the
-    # split selection needs one fewer MXU pass
-    exact_bits = (
-        min(frames.dtype.itemsize * 8, 16)
-        if jnp.issubdtype(frames.dtype, jnp.integer) else 24
-    )
 
     # out[i, j, n] = frames[f[n], y[n]+i-r, x[n]+j-r], in two stages
     # measured on TPU v5e (131k spots from (256, 256²) frames):
@@ -128,13 +94,16 @@ def cut_rois_t(
     #    X-contiguous lines, DMA-friendly (vs 90 ms for the one-shot
     #    elementwise gather and 310 ms for a vmapped dynamic_slice:
     #    XLA lowers both to slow scalar gathers);
-    # 2. the column window via an exact one-hot matmul — the MXU
-    #    performs the per-spot column gather (_onehot_select).
-    # When _BLOCK divides X, stage 1 gathers only the two aligned
-    # column blocks containing the window (frames viewed as
-    # (B, Y, X/_BLOCK, _BLOCK)), cutting both the gather traffic and
-    # the one-hot contraction from X to 2·_BLOCK.
-    if X % _BLOCK == 0 and X >= 2 * _BLOCK and box <= _BLOCK:
+    # 2. the column window via an exact f32 one-hot einsum — the MXU
+    #    performs the per-spot column gather.
+    # On wide frames (X ≥ _BLOCK_MIN_X) stage 1 instead gathers only
+    # the two aligned 64-px column blocks containing each window
+    # (frames viewed as (B, Y, X/64, 64)), capping the gather traffic
+    # and the one-hot contraction at 128 regardless of X. A manual
+    # bf16-split einsum (2 DEFAULT passes, exact for u16 data) was
+    # measured SLOWER than the HIGHEST f32 einsum at every width —
+    # the extra bf16 intermediates cost more than the saved passes.
+    if X >= _BLOCK_MIN_X and X % _BLOCK == 0 and box <= _BLOCK:
         nb = X // _BLOCK
         fr = frames.reshape(B, Y, nb, _BLOCK)
         bx = jnp.clip((xc - r) // _BLOCK, 0, nb - 2)  # (N,)
@@ -146,12 +115,21 @@ def cut_rois_t(
         ]  # (N, box, 2, _BLOCK)
         rows = rows.reshape(N, box, 2 * _BLOCK).astype(jnp.float32)
         cols = (xc - bx * _BLOCK)[:, None] + offs[None, :]
+        W = 2 * _BLOCK
     else:
         rows = frames[
             fc[:, None], yc[:, None] + offs[None, :], :
         ].astype(jnp.float32)  # (N, box, X)
         cols = xc[:, None] + offs[None, :]  # (N, box)
-    patches = _onehot_select(rows, cols, exact_bits)
+        W = X
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, W, box), 1)
+        == cols[:, None, :]
+    ).astype(jnp.float32)
+    patches = jnp.einsum(
+        "nix,nxj->nij", rows, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.transpose(patches, (1, 2, 0))
 
 

@@ -171,7 +171,7 @@ class TestCutRoisT:
             ].astype(np.float32)
         return out
 
-    @pytest.mark.parametrize("X", [256, 96, 32])
+    @pytest.mark.parametrize("X", [1024, 256, 96, 32])
     def test_exact_vs_numpy(self, X):
         rng = np.random.default_rng(3)
         box, r = 7, 3
@@ -196,7 +196,7 @@ class TestCutRoisT:
 
     def test_exact_on_f32_integer_frames(self):
         # the e2e-compute bench feeds f32 frames holding u16 values;
-        # the 3-term split must still be exact for 16-bit integers
+        # the HIGHEST-precision one-hot einsum must stay exact
         rng = np.random.default_rng(4)
         box, r = 7, 3
         frames = rng.integers(
