@@ -298,11 +298,14 @@ def _identify_compact(frames, minimum_ng, box, size):
     marked frame == -1). The caller retries with a bigger size iff
     count > size.
 
-    Compaction is cumsum + searchsorted — the position of the j-th
-    hit is the first index whose inclusive mask-cumsum reaches j+1 —
-    instead of ``jnp.nonzero(size=)``: both are order-exact, but
-    nonzero's lowering cost 152 ms on a (256, 256², u16) chunk on TPU
-    v5e where the binary-search formulation is pure gathers.
+    Compaction is cumsum + a sorted-unique scatter: hit tile t lands
+    at slot ``c[t] − 1`` of an int32 output (out-of-bounds slots for
+    non-hits are dropped), instead of ``jnp.nonzero(size=)`` or
+    cumsum + ``searchsorted``. All three are order-exact; measured on
+    a (256, 256², u16) chunk on TPU v5e the scatter's single pass
+    over the tile grid costs ~6 ms where the binary search pays ~21
+    (21 gather rounds × size targets at ~137M gathers/s) and
+    nonzero's lowering 152 ms.
 
     The scan runs over the (half+1)²-TILE grid, not pixels: hits are
     local maxima with Chebyshev separation > half (the strict/
@@ -334,10 +337,21 @@ def _identify_compact(frames, minimum_ng, box, size):
 
     c = jnp.cumsum(tile_mask.astype(jnp.int32))
     count = c[-1]
-    targets = jnp.arange(1, size + 1, dtype=jnp.int32)
-    idx = jnp.searchsorted(c, targets, side="left")
-    valid = targets <= count
-    li = tile_loc[jnp.minimum(idx, c.shape[0] - 1)]
+    # hit tiles scatter their index to slot c-1; non-hits (and hits
+    # beyond the bucket when count > size — the caller retries) aim
+    # out of bounds and are dropped. In-bounds slots are unique and
+    # written in ascending order.
+    pos = jnp.where(tile_mask, c - 1, size)
+    tile_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (c.shape[0], 1), 0
+    ).ravel()
+    idx = (
+        jnp.zeros(size, jnp.int32)
+        .at[pos]
+        .set(tile_idx, mode="drop", unique_indices=True)
+    )
+    valid = jnp.arange(1, size + 1, dtype=jnp.int32) <= count
+    li = tile_loc[idx]
     f = jnp.where(valid, idx // (Ty * Tx), -1)
     rem = idx % (Ty * Tx)
     y = jnp.where(valid, (rem // Tx) * T + li // T, -1)
