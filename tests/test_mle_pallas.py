@@ -50,9 +50,12 @@ def test_pallas_multi_tile():
     from picasso_tpu.ops.mle import _fit_chunk
     from picasso_tpu.ops.mle_pallas import TILE, fit_pallas
 
+    # interpret-mode Pallas executes iterations at Python speed:
+    # 12 iterations pin the same tile/early-exit schedule as 30 at
+    # a third of the wall time
     spots = _spots(2 * TILE, seed=1)
-    p = fit_pallas(jnp.asarray(spots), 1e-3, 30, interpret=True)
-    x = _fit_chunk(jnp.asarray(spots), 1e-3, 30)
+    p = fit_pallas(jnp.asarray(spots), 1e-3, 12, interpret=True)
+    x = _fit_chunk(jnp.asarray(spots), 1e-3, 12)
     # Per-tile early exit can stop iterating a tile before the global
     # batch would; converged thetas are frozen so results still agree.
     np.testing.assert_allclose(
@@ -69,10 +72,12 @@ def test_multiround_bit_identical_to_single_pass():
         TILE, fit_pallas, fit_pallas_multiround,
     )
 
+    # 16 iterations / round_it=8 still exercise two straggler
+    # rounds + the tail; interpret mode pays per-iteration Python
     spots = _spots(2 * TILE)
-    a = fit_pallas(jnp.asarray(spots), 1e-3, 40, interpret=True)
+    a = fit_pallas(jnp.asarray(spots), 1e-3, 16, interpret=True)
     b = fit_pallas_multiround(
-        jnp.asarray(spots), 1e-3, 40, round_it=8, interpret=True
+        jnp.asarray(spots), 1e-3, 16, round_it=8, interpret=True
     )
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
