@@ -401,7 +401,6 @@ def main():
             n_locs=len(locs), n_frames=info[0]["Frames"],
         )
 
-    run_stage('undrift', _stage_undrift)
 
     # ---- 4. render at 10x oversampling (hist + gaussian splat) ----
     def _stage_render():
@@ -449,7 +448,6 @@ def main():
             image_px=size,
         )
 
-    run_stage('render', _stage_render)
 
     # ---- 5. zfit z-scan + SMLM clustering ----
     def _stage_zfit_cluster():
@@ -520,7 +518,6 @@ def main():
             cluster_locs_per_s=round(n_c / dt_c),
         )
 
-    run_stage('zfit_cluster', _stage_zfit_cluster)
 
     # ---- 6. particle averaging over 5k groups (device batched FFT) --
     def _stage_average():
@@ -574,7 +571,6 @@ def main():
             n_groups=5000,
         )
 
-    run_stage('average', _stage_average)
 
     # ---- 6b. SPINNA batched candidate scoring (workflow P8) ----
     def _stage_spinna():
@@ -618,7 +614,6 @@ def main():
             batched_s=round(dt, 2),
         )
 
-    run_stage('spinna', _stage_spinna)
 
     # ---- 7. end-to-end localize (VERDICT r2 weak #1): fused
     # device-resident identify+cut+fit (ops/fused.py) over a streamed
@@ -692,7 +687,6 @@ def main():
             link_fraction=round((n_frames / dt) / ceiling, 3),
         )
 
-    run_stage('e2e_localize', _stage_e2e_localize)
 
     # ---- 7b. compute-bound end-to-end localize: frames resident in
     # HBM (no link in the loop), dense emitters — the pipeline's
@@ -709,35 +703,41 @@ def main():
         zero = jnp.float32(0.0)
         one = jnp.float32(1.0)
 
-        count0 = int(
-            fused_mod.identify_cut_fit(
-                dev, ng_t, zero, one, box=7, size=1 << 19,
-                eps=1e-3, max_it=30, method="lq",
-                use_pallas=use_pallas,
-            )[0]
-        )
-        bucket = max(512, 1 << (count0 - 1).bit_length())
+        # ONE compiled program for the whole stage: the fused
+        # scatter-compaction chain is the slowest server-side compile
+        # through the tunnel (two deadline expiries on compile alone),
+        # so the spot count rides along in the chain's output instead
+        # of a second program at a count-derived bucket. The bucket is
+        # fixed: this movie recipe yields ~118k spots deterministically
+        # (asserted below).
+        bucket = 1 << 17
 
         @jax.jit
         def e2e_chain(fr):
-            def body(i, acc):
+            def body(i, carry):
+                acc, _ = carry
                 out = fused_mod.identify_cut_fit(
                     fr + (acc * 1e-30).astype(fr.dtype), ng_t, zero,
                     one, box=7, size=bucket, eps=1e-3, max_it=30,
                     method="lq", use_pallas=use_pallas,
                 )
                 return (
-                    jnp.sum(out[5]) * 1e-9
-                    + out[0].astype(jnp.float32) * 0.0
-                    + 0.0 * acc
+                    jnp.sum(out[5]) * 1e-9 + 0.0 * acc, out[0]
                 )
 
-            return jax.lax.fori_loop(
-                0, CHAIN, body, jnp.float32(0.0)
+            acc, count = jax.lax.fori_loop(
+                0, CHAIN, body, (jnp.float32(0.0), jnp.int32(0))
             )
+            return acc + 0.0 * count.astype(jnp.float32), count
 
         devf = dev.astype(jnp.float32)
-        dt = (timed(e2e_chain, devf) - latency) / CHAIN
+
+        def chain_scalar(fr):
+            return e2e_chain(fr)[0]
+
+        count0 = int(e2e_chain(devf)[1])  # also warms the compile
+        assert 0 < count0 <= bucket, count0
+        dt = (timed(chain_scalar, devf) - latency) / CHAIN
         emit(
             "e2e_localize_compute", round(count0 / dt), "spots/s",
             (count0 / dt) / 1e6,
@@ -745,7 +745,18 @@ def main():
             frame_px=size,
         )
 
-    run_stage('e2e_compute', _stage_e2e_compute)
+    # Stage order = budget priority. e2e_compute goes first: its fused
+    # scatter+fit program is the slowest server-side compile through
+    # the tunnel (a 420 s deadline expired on compile alone once) and
+    # its metric answers VERDICT r2 #1c; the link-bound e2e_localize
+    # goes last (its number is tunnel-weather either way).
+    run_stage('e2e_compute', _stage_e2e_compute, deadline=600)
+    run_stage('undrift', _stage_undrift)
+    run_stage('render', _stage_render)
+    run_stage('zfit_cluster', _stage_zfit_cluster)
+    run_stage('average', _stage_average)
+    run_stage('spinna', _stage_spinna)
+    run_stage('e2e_localize', _stage_e2e_localize)
 
     # ---- headline last (drivers that keep only the tail still get
     # the north-star metric + selftest) ----
