@@ -643,3 +643,43 @@ class TestNetGradientMXUEquivalence:
         assert got.shape == ref.shape
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-6 * scale)
+
+
+class TestLocalize3D:
+    def test_localize_3d_adds_z_columns(self):
+        """localize_3D = 2D localize + astigmatism z fit in one call
+        (reference picasso/localize.py:1818): the result must carry
+        the 2D fit columns plus z/d_zcalib/lpz, with z finite for
+        well-formed spots."""
+        from tests.conftest import CALIB_3D
+        from picasso_tpu import localize, simulate
+
+        movie, _, _ = simulate.simulate_movie(
+            n_sites=15, imagesize=48, frames=40, taud=1500,
+            photonrate=70, seed=21,
+        )
+        movie = (movie + 100).astype(np.uint16)
+        movie_info = [{
+            "Frames": len(movie), "Width": 48, "Height": 48,
+            "Data Type": "uint16", "Byte Order": "<",
+        }]
+        camera = {
+            "Baseline": 100, "Sensitivity": 0.5, "Gain": 1,
+            "Pixelsize": 130,
+        }
+        locs, info = localize.localize_3D(
+            movie,
+            movie_info=movie_info,
+            camera_info=camera,
+            box=7,
+            minimum_ng=3000,
+            calibration_3d=CALIB_3D,
+            fitting_method="gaussmle",
+        )
+        assert len(locs) > 10
+        for col in ("x", "y", "z", "d_zcalib", "lpz"):
+            assert col in locs.columns, col
+        assert np.isfinite(locs["z"].to_numpy()).any()
+        # provenance chain gained the z-fit block
+        assert any("Generated by" in blk and isinstance(blk, dict)
+                   for blk in info)
