@@ -735,6 +735,28 @@ def main():
         def chain_scalar(fr):
             return e2e_chain(fr)[0]
 
+        # device-vs-CPU identify selftest on a 4-frame slice: the
+        # compaction is a TPU scatter — a wrong lowering must fail
+        # the stage, not silently mis-time garbage
+        from picasso_tpu.ops.identify import _identify_compact
+
+        sl = jnp.asarray(movie[:4])
+        got = jax.tree_util.tree_map(
+            np.asarray, _identify_compact(sl, ng_t, 7, 4096)
+        )
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            want = jax.tree_util.tree_map(
+                np.asarray,
+                _identify_compact(
+                    jax.device_put(np.asarray(movie[:4]), cpu0),
+                    jnp.float32(4000.0), 7, 4096,
+                ),
+            )
+        for g, w in zip(got[:4], want[:4]):
+            np.testing.assert_array_equal(g, w)
+        stage("identify-compact device/CPU parity ok")
+
         count0 = int(e2e_chain(devf)[1])  # also warms the compile
         assert 0 < count0 <= bucket, count0
         dt = (timed(chain_scalar, devf) - latency) / CHAIN
