@@ -323,16 +323,24 @@ def _identify_compact(frames, minimum_ng, box, size):
     T = box // 2 + 1
     Yp, Xp = -(-Y // T) * T, -(-X // T) * T
     if (Yp, Xp) != (Y, X):
-        mask = jnp.pad(mask, ((0, 0), (0, Yp - Y), (0, Xp - X)))
+        pad = ((0, 0), (0, Yp - Y), (0, Xp - X))
+        mask = jnp.pad(mask, pad)
+        ng = jnp.pad(ng, pad)
     Ty, Tx = Yp // T, Xp // T
     m = mask.reshape(B, Ty, T, Tx, T)
-    # ≤1 hit per tile ⇒ plain sums recover the hit's local offset
+    # ≤1 hit per tile ⇒ plain sums recover the hit's local offset,
+    # and reducing ng onto tiles here means the full-res ng map is
+    # only ever consumed by fused reductions — no 4·B·Y·X-byte
+    # materialization and no post-compaction gather from it
     tile_mask = m.any(axis=(2, 4)).ravel()
     loc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) * T + \
         jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     tile_loc = jnp.sum(
         m * loc[None, None, :, None, :],
         axis=(2, 4), dtype=jnp.int32,
+    ).ravel()
+    tile_ng = jnp.sum(
+        m * ng.reshape(B, Ty, T, Tx, T), axis=(2, 4),
     ).ravel()
 
     c = jnp.cumsum(tile_mask.astype(jnp.int32))
@@ -356,9 +364,9 @@ def _identify_compact(frames, minimum_ng, box, size):
     rem = idx % (Ty * Tx)
     y = jnp.where(valid, (rem // Tx) * T + li // T, -1)
     x = jnp.where(valid, (rem % Tx) * T + li % T, -1)
-    ng_vals = ng[
-        jnp.maximum(f, 0), jnp.maximum(y, 0), jnp.maximum(x, 0)
-    ]
+    # exactly one nonzero per hit tile, so the tile reduction IS the
+    # hit's ng value (fill rows read tile 0 — trimmed by `valid`)
+    ng_vals = tile_ng[idx]
     return count, f, y, x, ng_vals
 
 
