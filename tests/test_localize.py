@@ -683,3 +683,74 @@ class TestLocalize3D:
         # provenance chain gained the z-fit block
         assert any("Generated by" in blk and isinstance(blk, dict)
                    for blk in info)
+
+
+class TestCompactionBucket:
+    """The scatter compaction must behave exactly at the bucket
+    boundary: true count reported even when it exceeds the bucket,
+    the first `size` hits kept in scan order, and the public
+    identify retry recovering the full set."""
+
+    def _movie(self, n_spots):
+        rng = np.random.default_rng(9)
+        fr = rng.poisson(30, (1, 128, 128)).astype(np.uint16)
+        # plant spots on a grid with > box separation
+        k = 0
+        for yy in range(6, 122, 9):
+            for xx in range(6, 122, 9):
+                if k >= n_spots:
+                    break
+                fr[0, yy - 1:yy + 2, xx - 1:xx + 2] += 400
+                fr[0, yy, xx] += 1200
+                k += 1
+        return fr
+
+    def test_count_exceeds_bucket(self):
+        import jax.numpy as jnp
+
+        from picasso_tpu.ops.identify import _identify_compact
+
+        fr = self._movie(60)
+        full = _identify_compact(jnp.asarray(fr), 2000.0, 7, 256)
+        n_true = int(full[0])
+        assert n_true >= 60
+        small = _identify_compact(jnp.asarray(fr), 2000.0, 7, 32)
+        assert int(small[0]) == n_true  # true count, not clamped
+        # the 32 slots hold the FIRST 32 hits in scan order
+        for a, b in zip(small[1:4], full[1:4]):
+            np.testing.assert_array_equal(
+                np.asarray(a)[:32], np.asarray(b)[:32]
+            )
+
+    def test_exact_bucket_boundary(self):
+        import jax.numpy as jnp
+
+        from picasso_tpu.ops.identify import _identify_compact
+
+        fr = self._movie(200)
+        res = _identify_compact(jnp.asarray(fr), 2000.0, 7, 1024)
+        n_true = int(res[0])
+        size = 1 << (n_true - 1).bit_length()
+        if size == n_true:  # make the boundary exact regardless
+            exact = _identify_compact(
+                jnp.asarray(fr), 2000.0, 7, n_true
+            )
+        else:
+            exact = _identify_compact(
+                jnp.asarray(fr), 2000.0, 7, int(n_true)
+            )
+        assert int(exact[0]) == n_true
+        f = np.asarray(exact[1])
+        assert (f >= 0).all()  # no fill rows at an exact-fit bucket
+
+    def test_public_identify_retries_past_hint(self):
+        from picasso_tpu import localize
+        from picasso_tpu.ops import identify as ops_identify
+
+        fr = self._movie(120)
+        ops_identify._BUCKET_HINT[fr.shape] = 16  # force undershoot
+        try:
+            ids = localize.identify(fr, 2000, 7, return_info=False)
+        finally:
+            ops_identify._BUCKET_HINT.pop(fr.shape, None)
+        assert len(ids) >= 120
