@@ -120,6 +120,9 @@ class RenderApp(_PluginHost):
         self._rubber = None  # transient drag-overlay artist
         self._contrast_limits: tuple[float, float] | None = None
 
+        # FRC state (InfoDialog FRC group box :4480)
+        self.frc_result: dict = {}
+
         # slicer state (SlicerDialog :6610)
         self.slicer_on = False
         self.slice_thickness = 50.0  # nm
@@ -649,6 +652,54 @@ class RenderApp(_PluginHost):
 
     def show_metadata(self) -> list[dict]:
         return self.info
+
+    def calculate_frc(self, save_images: str | None = None) -> dict:
+        """FRC resolution of the current FOV (InfoDialog's FRC group
+        box, gui/render.py:4480-4497): split locs in view into random
+        halves, render, Fourier-ring-correlate, report the 1/7
+        crossing. Stores the curve for :meth:`plot_frc`."""
+        from picasso_tpu import postprocess
+
+        result = postprocess.frc(self.locs, self.info, self.viewport)
+        self.frc_result = result
+        res = result["resolution"]
+        if res is None:
+            self.status("FRC: no 1/7 threshold crossing found")
+        else:
+            self.status(f"FRC resolution = {res:.1f} nm")
+        if save_images:
+            im1, im2 = result["images"]
+            base, ext = os.path.splitext(save_images)
+            for tag, im in (("half1", im1), ("half2", im2)):
+                np.save(f"{base}_{tag}.npy", np.asarray(im))
+        return result
+
+    def plot_frc(self, fig=None):
+        """FRC curve window (FRCPlotWindow gui/render.py:4315):
+        raw + smoothed curve vs spatial frequency with the 1/7
+        threshold and the resolution crossing marked."""
+        if not getattr(self, "frc_result", None):
+            self.calculate_frc()
+        import matplotlib.pyplot as plt
+
+        result = self.frc_result
+        if fig is None:
+            fig = plt.figure(figsize=(6, 4))
+        ax = fig.add_subplot(111)
+        freqs = result["frequencies"]
+        ax.plot(freqs, result["frc_curve"], lw=0.8, alpha=0.5,
+                label="FRC")
+        ax.plot(freqs, result["frc_curve_smooth"], lw=1.5,
+                label="FRC (smoothed)")
+        ax.axhline(1 / 7, color="k", ls="--", lw=0.8, label="1/7")
+        res = result["resolution"]
+        if res is not None:
+            ax.axvline(1 / res, color="r", ls=":", lw=0.8)
+            ax.set_title(f"FRC resolution: {res:.1f} nm")
+        ax.set_xlabel("Spatial frequency (1/nm)")
+        ax.set_ylabel("FRC")
+        ax.legend(loc="upper right", fontsize=8)
+        return fig
 
     def calculate_nena(self) -> dict:
         """NeNA precision of the active channel (InfoDialog's

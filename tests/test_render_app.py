@@ -302,6 +302,45 @@ class TestDisplayAndChannels:
         assert info["Channels"] == 1
         assert "Median lpx (px)" in info
 
+    def test_calculate_and_plot_frc(self, tmp_path):
+        import matplotlib.pyplot as plt
+
+        # no fiducial: a 200-loc fixed point drives the NeNA lp (and
+        # with it the FRC render oversampling = 2/lp) to ~0
+        rng = np.random.default_rng(3)
+        sites = rng.uniform(4, 28, (60, 2))
+        f = np.repeat(np.arange(N_FRAMES), 3)
+        s = rng.integers(0, len(sites), len(f))
+        locs = pd.DataFrame(
+            {
+                "frame": f.astype(np.uint32),
+                "x": (sites[s, 1] + rng.normal(0, 0.1, len(f))
+                      ).astype(np.float32),
+                "y": (sites[s, 0] + rng.normal(0, 0.1, len(f))
+                      ).astype(np.float32),
+                "lpx": np.full(len(f), 0.1, np.float32),
+                "lpy": np.full(len(f), 0.1, np.float32),
+            }
+        )
+        app = gui.RenderApp(locs, INFO)
+        result = app.calculate_frc(
+            save_images=str(tmp_path / "frc.npy")
+        )
+        assert app.frc_result is result
+        n = len(result["frc_curve"])
+        assert n > 10 and len(result["frequencies"]) == n
+        # sites are 0.03 px tight -> a resolution crossing must exist
+        # and sit in the physically sensible range
+        assert result["resolution"] is not None
+        assert 1 < result["resolution"] < 500  # nm
+        assert (tmp_path / "frc_half1.npy").exists()
+        fig = app.plot_frc()
+        try:
+            assert "FRC resolution" in fig.axes[0].get_title()
+        finally:
+            plt.close(fig)
+        plt.close(app.fig)
+
 
 class TestSlicer:
     def test_slices_partition_z(self, tmp_path):
