@@ -198,6 +198,75 @@ class LocalizeApp(_PluginHost):
             return
         self.redraw()
 
+    def localize_movie_3d(
+        self,
+        calibration,
+        out_path: str | None = None,
+        fitting_method: str | None = None,
+        magnification_factor: float | None = None,
+    ):
+        """3D localize: 2D fit then astigmatism z fit against a
+        calibration (dict or yaml path) — the reference FitZWorker
+        chain (picasso/gui/localize.py:3067)."""
+        method = fitting_method or self.fitting_method
+        self.status(f"Localizing 3D ({method})...")
+        locs, new_info = localize.localize_3D(
+            self.movie,
+            movie_info=list(self.info),
+            camera_info=dict(self.camera_info),
+            box=self.box,
+            minimum_ng=self.min_net_gradient,
+            calibration_3d=calibration,
+            roi=self.roi,
+            fitting_method=method,
+        )
+        if out_path is not None:
+            io.save_locs(out_path, locs, new_info)
+            self.status(f"Saved {len(locs)} 3D locs to {out_path}")
+        return locs, new_info
+
+    def calibrate_z(
+        self,
+        d: float,
+        magnification_factor: float,
+        path: str | None = None,
+    ):
+        """'Calibrate 3D' on a z-stepped bead stack: 2D-fit the movie,
+        then fit the 6th-order sx/sy-vs-z polynomials (reference
+        FitZWorker calibration arm + zfit.calibrate_z,
+        picasso/gui/localize.py:3067, picasso/zfit.py:46)."""
+        from picasso_tpu import zfit
+
+        locs, new_info = self.localize_movie()
+        calibration = zfit.calibrate_z(
+            locs, new_info, d, magnification_factor, path=path
+        )
+        self.status(
+            "Z calibration done"
+            + (f" -> {path}" if path else "")
+        )
+        return calibration
+
+    def quality_check(self, locs, info) -> dict:
+        """Post-fit QC metrics — the reference QualityWorker
+        (picasso/gui/localize.py:3114): NeNA precision, mean binding
+        event length, mean RCC drift."""
+        drift_x, drift_y = localize.check_drift(locs, info)
+        out = {
+            "NeNA (px)": localize.check_nena(locs, info),
+            "Mean event length (frames)": localize.check_kinetics(
+                locs, info
+            ),
+            "Mean drift x (px)": drift_x,
+            "Mean drift y (px)": drift_y,
+        }
+        self.status(
+            "QC: " + ", ".join(
+                f"{k}={v:.4g}" for k, v in out.items()
+            )
+        )
+        return out
+
     def save_spots(self, path: str, camera_info: dict | None = None):
         """Identify the whole movie at the current parameters and save
         the cut ROIs (.npy/.tif + yaml), like the reference Localize

@@ -274,6 +274,73 @@ class TestLocalizeAppWorkflow:
         app.clear_roi()
         assert app.redraw() == n_full
 
+    def test_localize_movie_3d(self, movie, movie_info, tmp_path):
+        from tests.conftest import CALIB_3D
+
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        out = str(tmp_path / "app_locs3d.hdf5")
+        locs, new_info = app.localize_movie_3d(CALIB_3D, out)
+        assert "z" in locs.columns and "d_zcalib" in locs.columns
+        assert np.isfinite(locs["z"]).all()
+        from picasso_tpu import io as _io
+
+        back, _ = _io.load_locs(out)
+        assert len(back) == len(locs)
+
+    def test_calibrate_z_wiring(self, movie, movie_info, tmp_path,
+                                monkeypatch):
+        """calibrate_z composes localize_movie + zfit.calibrate_z;
+        wire-test it with a simulated z-stack substituted for the fit
+        result (the numeric arm is pinned in test_zfit)."""
+        from tests.conftest import CALIB_3D
+
+        rng = np.random.default_rng(3)
+        n_frames, d = 201, 5.0
+        cx = np.asarray(CALIB_3D["X Coefficients"])
+        cy = np.asarray(CALIB_3D["Y Coefficients"])
+        f = np.repeat(np.arange(n_frames), 10)
+        z = ((n_frames - 1) / 2 - f) * d
+        stack = pd.DataFrame(
+            {
+                "frame": f.astype(np.uint32),
+                "x": rng.uniform(5, 27, len(f)).astype(np.float32),
+                "y": rng.uniform(5, 27, len(f)).astype(np.float32),
+                "sx": (np.polyval(cx, z)
+                       + rng.normal(0, 0.01, len(f))
+                       ).astype(np.float32),
+                "sy": (np.polyval(cy, z)
+                       + rng.normal(0, 0.01, len(f))
+                       ).astype(np.float32),
+            }
+        )
+        info = [dict(movie_info[0], Frames=n_frames)]
+        app = gui.LocalizeApp(movie, movie_info)
+        monkeypatch.setattr(
+            app, "localize_movie", lambda: (stack, info)
+        )
+        path = str(tmp_path / "calib.yaml")
+        calib = app.calibrate_z(d, 0.79, path=path)
+        assert len(calib["X Coefficients"]) == 7
+        assert (tmp_path / "calib.yaml").exists()
+        assert "calibration" in app.status.last.lower()
+
+    def test_quality_check(self, movie, movie_info):
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        locs, new_info = app.localize_movie()
+        qc = app.quality_check(locs, new_info)
+        assert set(qc) == {
+            "NeNA (px)",
+            "Mean event length (frames)",
+            "Mean drift x (px)",
+            "Mean drift y (px)",
+        }
+        assert qc["Mean event length (frames)"] >= 1.0
+        assert app.status.last.startswith("QC:")
+
     def test_localize_movie_saves_locs(self, movie, movie_info,
                                        tmp_path):
         from picasso_tpu import io
