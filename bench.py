@@ -792,5 +792,80 @@ def main():
     )
 
 
+def supervised_main():
+    """Run ``main()`` in a child process under a hard wall-clock
+    deadline, relaying its JSON lines as they arrive.
+
+    The tunneled device backend can hang INSIDE a compile or transfer
+    (CLAUDE.md); SIGALRM (run_stage's guard) only fires at a Python
+    bytecode boundary, so a hang in a blocking C call is
+    uninterruptible from within the process. A supervising parent is
+    the only reliable bound: on deadline it kills the child by PID
+    and — if nothing was relayed — emits one diagnostic JSON line so
+    the recorded artifact documents the outage instead of being
+    empty."""
+    import os
+    import signal
+    import subprocess
+
+    budget = float(os.environ.get("PICASSO_BENCH_BUDGET_S", "1500"))
+    deadline = budget * 1.2 + 120
+    child = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__), "--inner"],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    lines = 0
+    t0 = time.monotonic()
+
+    def _alarm(signum, frame):
+        raise TimeoutError
+
+    signal.signal(signal.SIGALRM, _alarm)
+    try:
+        assert child.stdout is not None
+        while True:
+            remaining = deadline - (time.monotonic() - t0)
+            if remaining <= 0:
+                raise TimeoutError
+            signal.alarm(int(remaining) + 1)
+            line = child.stdout.readline()
+            signal.alarm(0)
+            if not line:
+                break
+            print(line, end="", flush=True)
+            lines += 1
+        rc = child.wait()
+        if rc != 0 and lines == 0:
+            print(json.dumps({
+                "metric": "mle_fit_throughput", "value": 0,
+                "unit": "spots/s", "vs_baseline": 0.0,
+                "error": f"bench child exited rc={rc} with no output",
+            }), flush=True)
+    except TimeoutError:
+        child.kill()
+        stage(
+            f"DEADLINE ({deadline:.0f}s): killed bench child "
+            f"pid {child.pid} after {lines} metric lines"
+        )
+        if lines == 0:
+            print(json.dumps({
+                "metric": "mle_fit_throughput", "value": 0,
+                "unit": "spots/s", "vs_baseline": 0.0,
+                "error": (
+                    "device backend unresponsive: no metric emitted "
+                    f"within {deadline:.0f}s (tunnel hang — see "
+                    "CLAUDE.md); rerun when the tunnel recovers"
+                ),
+            }), flush=True)
+    finally:
+        signal.alarm(0)
+        if child.poll() is None:
+            child.kill()
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        supervised_main()
