@@ -182,6 +182,78 @@ class TestIdentifySharded:
         assert len(f) > 16
 
 
+class TestLocalizeFusedSharded:
+    @staticmethod
+    def _movie(n_frames=37, size=48, seed=0):
+        rng = np.random.default_rng(seed)
+        frames = rng.poisson(
+            30, (n_frames, size, size)
+        ).astype(np.uint16)
+        yy, xx = np.mgrid[-3:4, -3:4]
+        psf = np.exp(-(yy**2 + xx**2) / 2.4)
+        for i in range(n_frames):
+            for cy, cx in ((10, 10), (30, 20), (40, 40)):
+                frames[i, cy - 3:cy + 4, cx - 3:cx + 4] += (
+                    rng.poisson(psf * 600).astype(np.uint16)
+                )
+        return frames
+
+    @pytest.mark.parametrize("method", ["lq", "sigmaxy"])
+    def test_bit_identical_to_single_device(self, method):
+        import jax.numpy as jnp
+
+        from picasso_tpu.ops import fused
+        from picasso_tpu.parallel import mesh as pmesh
+
+        frames = self._movie()
+        cam = {"Baseline": 10, "Sensitivity": 0.5, "Gain": 1}
+        f2, y2, x2, ng2, th2, cr2, ll2, it2 = (
+            pmesh.localize_fused_sharded(
+                frames, 2000, 7, cam, method=method, max_it=40
+            )
+        )
+        count, f1, y1, x1, ng1, th1, cr1, ll1, it1 = map(
+            np.asarray,
+            fused.identify_cut_fit(
+                jnp.asarray(frames), jnp.float32(2000),
+                jnp.float32(10), jnp.float32(0.5),
+                box=7, size=4096, eps=1e-3, max_it=40,
+                method=method,
+            ),
+        )
+        n = int(count)
+        o1 = np.lexsort((x1[:n], y1[:n], f1[:n]))
+        o2 = np.lexsort((x2, y2, f2))
+        assert len(f2) == n
+        np.testing.assert_array_equal(f1[:n][o1], f2[o2])
+        np.testing.assert_array_equal(y1[:n][o1], y2[o2])
+        np.testing.assert_array_equal(x1[:n][o1], x2[o2])
+        # spot fits freeze on convergence -> grouping cannot change
+        # them: sharded == single-device bitwise for theta/ll; the
+        # CRLB contraction compiles with different FMA choices under
+        # shard_map (measured: <=2 ULP) so it gets f32-rounding slack
+        np.testing.assert_array_equal(th1[:, :n].T[o1], th2[o2])
+        np.testing.assert_allclose(
+            cr1[:, :n].T[o1], cr2[o2], rtol=1e-5
+        )
+        np.testing.assert_array_equal(ll1[:n][o1], ll2[o2])
+
+    def test_empty_and_bucket_growth(self):
+        from picasso_tpu.parallel import mesh as pmesh
+
+        cam = {"Baseline": 0, "Sensitivity": 1, "Gain": 1}
+        flat = np.zeros((16, 32, 32), np.uint16)
+        out = pmesh.localize_fused_sharded(flat, 100.0, 5, cam)
+        assert len(out[0]) == 0 and out[4].shape == (0, 6)
+        dense = np.zeros((8, 32, 32), np.uint16)
+        dense[:, 4:28:4, 4:28:4] = 1000
+        out = pmesh.localize_fused_sharded(
+            dense, 10.0, 3, cam, bucket=2
+        )
+        assert len(out[0]) > 16
+        assert out[4].shape == (len(out[0]), 6)
+
+
 class TestSpinnaScoreSharded:
     def test_bit_identical_to_unsharded(self, mesh8):
         import jax.numpy as jnp
