@@ -226,6 +226,22 @@ def _round_bucket(size: int, use_pallas: bool) -> int:
     return size
 
 
+def _mesh_or_none():
+    """Production mesh routing: shard the streamed fused chain over
+    all devices of the default backend when there is more than one
+    (the flagship multi-chip path; disable with
+    PICASSO_TPU_FUSED_MESH=off)."""
+    import os
+
+    if jax.device_count() > 1 and os.environ.get(
+        "PICASSO_TPU_FUSED_MESH", "auto"
+    ) != "off":
+        from picasso_tpu.parallel.mesh import default_mesh
+
+        return default_mesh()
+    return None
+
+
 def _dispatch_chunk(
     dev_frames: jnp.ndarray,
     ng_thresh,
@@ -235,51 +251,100 @@ def _dispatch_chunk(
     eps: float,
     max_it: int,
     method: str,
+    mesh=None,
 ):
-    use_pallas = _pallas_ok(box, method)
+    use_pallas = mesh is None and _pallas_ok(box, method)
     size = _round_bucket(
         _BUCKET_HINT.get(dev_frames.shape, _DEFAULT_BUCKET),
         use_pallas,
     )
-    result = identify_cut_fit(
-        dev_frames, ng_thresh, baseline, factor,
-        box=box, size=size, eps=eps, max_it=max_it, method=method,
-        use_pallas=use_pallas,
+    result = _run_chain(
+        dev_frames, ng_thresh, baseline, factor, box, eps, max_it,
+        method, size, use_pallas, mesh,
     )
     return (dev_frames, ng_thresh, baseline, factor, box, eps,
-            max_it, method, size, result, use_pallas)
+            max_it, method, size, result, use_pallas, mesh)
+
+
+def _run_chain(
+    dev, ng_thresh, baseline, factor, box, eps, max_it, method,
+    size, use_pallas, mesh,
+):
+    if mesh is None:
+        return identify_cut_fit(
+            dev, ng_thresh, baseline, factor,
+            box=box, size=size, eps=eps, max_it=max_it,
+            method=method, use_pallas=use_pallas,
+        )
+    # the sharded chain runs the XLA fit cores (use_pallas=False):
+    # per-shard Mosaic kernels inside shard_map are unverified on
+    # multi-chip hardware here; the XLA fallback is the certified path
+    from picasso_tpu.parallel.mesh import fused_chain_program
+
+    per_dev = dev.shape[0] // mesh.devices.size
+    prog = fused_chain_program(
+        mesh, per_dev, box, size, eps, max_it, method
+    )
+    return prog(dev, ng_thresh, baseline, factor)
 
 
 def _finalize_chunk(handle):
     (dev, ng_thresh, baseline, factor, box, eps, max_it, method,
-     size, result, use_pallas) = handle
+     size, result, use_pallas, mesh) = handle
     while True:
-        count = int(result[0])
+        count = int(np.max(np.asarray(result[0])))
         if count <= size:
             break
         size = _round_bucket(
             1 << (count - 1).bit_length(), use_pallas
         )
-        result = identify_cut_fit(
-            dev, ng_thresh, baseline, factor,
-            box=box, size=size, eps=eps, max_it=max_it,
-            method=method, use_pallas=use_pallas,
+        result = _run_chain(
+            dev, ng_thresh, baseline, factor, box, eps, max_it,
+            method, size, use_pallas, mesh,
         )
     _BUCKET_HINT[dev.shape] = max(
         _BUCKET_HINT.get(dev.shape, 0), size
     )
     _, f, y, x, ng, theta, crlb, ll, iters = result
-    n = count
-    return (
-        np.asarray(f)[:n].astype(np.int64),
-        np.asarray(y)[:n].astype(np.int64),
-        np.asarray(x)[:n].astype(np.int64),
-        np.asarray(ng)[:n].astype(np.float32),
-        np.asarray(theta)[:, :n].T,
-        np.asarray(crlb)[:, :n].T,
-        np.asarray(ll)[:n],
-        np.asarray(iters)[:n],
+    if mesh is None:
+        n = count
+        return (
+            np.asarray(f)[:n].astype(np.int64),
+            np.asarray(y)[:n].astype(np.int64),
+            np.asarray(x)[:n].astype(np.int64),
+            np.asarray(ng)[:n].astype(np.float32),
+            np.asarray(theta)[:, :n].T,
+            np.asarray(crlb)[:, :n].T,
+            np.asarray(ll)[:n],
+            np.asarray(iters)[:n],
+        )
+    # sharded: per-device buckets; shards hold contiguous frame
+    # blocks, so device-major concatenation stays frame-sorted
+    counts = np.asarray(result[0])
+    f, y, x, ng, theta, crlb, ll, iters = map(
+        np.asarray, (f, y, x, ng, theta, crlb, ll, iters)
     )
+    parts: list[list] = [[] for _ in range(8)]
+    for d in range(len(counts)):
+        n = int(counts[d])
+        if n == 0:
+            continue
+        parts[0].append(f[d, :n].astype(np.int64))
+        parts[1].append(y[d, :n].astype(np.int64))
+        parts[2].append(x[d, :n].astype(np.int64))
+        parts[3].append(ng[d, :n].astype(np.float32))
+        parts[4].append(theta[d, :, :n].T)
+        parts[5].append(crlb[d, :, :n].T)
+        parts[6].append(ll[d, :n])
+        parts[7].append(iters[d, :n])
+    if not parts[0]:
+        return (
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), np.zeros(0, np.float32),
+            np.zeros((0, 6), np.float32), np.zeros((0, 6), np.float32),
+            np.zeros(0, np.float32), np.zeros(0, np.int32),
+        )
+    return tuple(np.concatenate(p) for p in parts)
 
 
 def localize_fused(
@@ -361,12 +426,18 @@ def localize_fused(
     if roi is not None:
         (y0, x0), (y1, x1) = roi
         height, width = y1 - y0, x1 - x0
+    mesh = _mesh_or_none()
+    n_dev = mesh.devices.size if mesh is not None else 1
     if frame_chunk is None:
         base = _id_frame_chunk(height, width)
         n_chunks = max(1, -(-len(frames_idx) // base))
         frame_chunk = -(-len(frames_idx) // n_chunks)
         if n_chunks > 1:
             frame_chunk = -(-frame_chunk // 32) * 32
+    if mesh is not None:
+        # every chunk (including a lone short one) pads to a device
+        # multiple so shards stay equal-sized
+        frame_chunk = -(-frame_chunk // n_dev) * n_dev
     bounds = [
         (frames_idx[s], frames_idx[
             min(s + frame_chunk, len(frames_idx)) - 1
@@ -417,7 +488,13 @@ def localize_fused(
                     batch = batch[:, y0:y1, x0:x1]
                 n_real = len(batch)
                 pad = frame_chunk - n_real
-                padded_tail = pad > 0 and not first_chunk
+                if mesh is not None and first_chunk and pad:
+                    # a lone short chunk still pads to a device
+                    # multiple (zero frames produce no hits)
+                    pad = (-n_real) % n_dev
+                    padded_tail = pad > 0
+                else:
+                    padded_tail = pad > 0 and not first_chunk
                 if padded_tail:
                     # zero frames produce no hits; one chunk shape
                     # ever compiles
@@ -427,12 +504,24 @@ def localize_fused(
                             (pad, *batch.shape[1:]), batch.dtype
                         ),
                     ])
-                dev = jnp.asarray(batch)
+                if mesh is not None:
+                    from jax.sharding import (
+                        NamedSharding, PartitionSpec,
+                    )
+
+                    dev = jax.device_put(
+                        batch,
+                        NamedSharding(
+                            mesh, PartitionSpec("spots", None, None)
+                        ),
+                    )
+                else:
+                    dev = jnp.asarray(batch)
                 in_flight.append((
                     offset, n_real, padded_tail,
                     _dispatch_chunk(
                         dev, ng_thresh, baseline, factor, box,
-                        eps, max_it, method,
+                        eps, max_it, method, mesh,
                     ),
                 ))
                 first_chunk = False

@@ -360,6 +360,67 @@ def fit_g5m_clusters_sharded(
     return tuple(np.asarray(o)[:G] for o in out)
 
 
+_FUSED_CHAIN_CACHE: dict = {}
+
+
+def fused_chain_program(
+    mesh: Mesh,
+    per_dev: int,
+    box: int,
+    size: int,
+    eps: float,
+    max_it: int,
+    method: str,
+):
+    """Jitted dispatch-only fused chain over the mesh: every device
+    runs identify+cut+fit (ops/fused.identify_cut_fit) on its local
+    frame shard; no collectives, no host sync. Cached per
+    configuration so streamed callers (ops/fused.localize_fused) pay
+    one compile per chunk shape.
+
+    Call as ``prog(frames_dev, ng_thresh, baseline, factor)`` with
+    ``frames_dev`` placed as P('spots', None, None); returns
+    per-device stacked ``(count, f, y, x, ng, theta, crlb, ll,
+    iters)`` with global frame indices and the per-shard hit buckets
+    padded to ``size``.
+    """
+    key = (mesh, per_dev, box, size, eps, max_it, method)
+    prog = _FUSED_CHAIN_CACHE.get(key)
+    if prog is not None:
+        return prog
+
+    from picasso_tpu.ops.fused import identify_cut_fit
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("spots", None, None), P(), P(), P()),
+        out_specs=(
+            (P("spots"),) * 5
+            + (P("spots", None, None),) * 2
+            + (P("spots"),) * 2
+        ),
+    )
+    def _shard_chain(f_shard, ng_thresh, baseline, factor):
+        count, f, y, x, ng, theta, crlb, ll, iters = (
+            identify_cut_fit(
+                f_shard, ng_thresh, baseline, factor,
+                box=box, size=size, eps=eps, max_it=max_it,
+                method=method, use_pallas=False,
+            )
+        )
+        offset = jax.lax.axis_index("spots") * per_dev
+        f = jnp.where(f >= 0, f + offset, -1)
+        return (
+            count[None], f[None], y[None], x[None], ng[None],
+            theta[None], crlb[None], ll[None], iters[None],
+        )
+
+    prog = jax.jit(_shard_chain)
+    _FUSED_CHAIN_CACHE[key] = prog
+    return prog
+
+
 def localize_fused_sharded(
     frames: np.ndarray,
     minimum_ng: float,
@@ -387,8 +448,6 @@ def localize_fused_sharded(
     (the Fisher contraction compiles with different FMA choices under
     shard_map; measured <=2 ULP).
     """
-    from picasso_tpu.ops.fused import identify_cut_fit
-
     if mesh is None:
         mesh = default_mesh()
     n_dev = mesh.devices.size
@@ -411,32 +470,10 @@ def localize_fused_sharded(
 
     size = bucket
     while True:
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P("spots", None, None),),
-            out_specs=(
-                (P("spots"),) * 5
-                + (P("spots", None, None),) * 2
-                + (P("spots"),) * 2
-            ),
+        prog = fused_chain_program(
+            mesh, per_dev, box, size, eps, max_it, method
         )
-        def _shard_chain(f_shard):
-            count, f, y, x, ng, theta, crlb, ll, iters = (
-                identify_cut_fit(
-                    f_shard, ng_thresh, baseline, factor,
-                    box=box, size=size, eps=eps, max_it=max_it,
-                    method=method, use_pallas=False,
-                )
-            )
-            offset = jax.lax.axis_index("spots") * per_dev
-            f = jnp.where(f >= 0, f + offset, -1)
-            return (
-                count[None], f[None], y[None], x[None], ng[None],
-                theta[None], crlb[None], ll[None], iters[None],
-            )
-
-        res = jax.jit(_shard_chain)(frames_dev)
+        res = prog(frames_dev, ng_thresh, baseline, factor)
         counts = np.asarray(res[0])
         if counts.max(initial=0) <= size:
             break

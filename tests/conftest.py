@@ -14,6 +14,12 @@ from __future__ import annotations
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The streamed fused chain auto-routes over the mesh when >1 device is
+# visible (production multi-chip behavior). On the 8-virtual-CPU test
+# env that doubles every localize-path test's wall time for no extra
+# signal, so default it off; dedicated tests (test_fused mesh-routing
+# parity, test_parallel sharded-chain equivalence) opt back in.
+os.environ.setdefault("PICASSO_TPU_FUSED_MESH", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

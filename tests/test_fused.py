@@ -79,6 +79,28 @@ class TestFusedParity:
         assert len(ids_f) == len(ids_s)
         np.testing.assert_allclose(t_f, t_s, rtol=2e-4, atol=2e-4)
 
+    def test_mesh_routing_matches_single_device(
+        self, sim_movie, monkeypatch
+    ):
+        """Production mesh routing (auto when >1 device visible) must
+        deliver the same hits and fits as the single-device chain."""
+        ids_1, (t_1, c_1, ll_1, it_1) = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA, fitting_method="gaussmle",
+        )
+        monkeypatch.setenv("PICASSO_TPU_FUSED_MESH", "auto")
+        ids_m, (t_m, c_m, ll_m, it_m) = fused.localize_fused(
+            sim_movie, 3000, 7, CAMERA, fitting_method="gaussmle",
+        )
+        assert len(ids_m) == len(ids_1) > 50
+        for col in ("frame", "x", "y"):
+            np.testing.assert_array_equal(
+                ids_m[col].to_numpy(), ids_1[col].to_numpy()
+            )
+        np.testing.assert_allclose(t_m, t_1, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(c_m, c_1, rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(ll_m, ll_1, rtol=2e-4, atol=2e-3)
+        np.testing.assert_array_equal(it_m, it_1)
+
     def test_roi_and_frame_bounds(self, sim_movie):
         roi = ((8, 8), (56, 56))
         bounds = (10, 40)
