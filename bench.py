@@ -14,11 +14,25 @@ Metrics (BASELINE.json `configs`):
                            of 1M locs at 10x oversampling
   zfit_cluster_throughput  locs/s, astigmatism z-grid scan of 1M locs
                            + SMLM clustering of 100k locs
+plus the end-to-end rows: `e2e_localize_compute` (fused chain, frames
+in HBM), `localize_fused_e2e` (the PUBLIC localize() on an in-RAM
+movie, including compaction readback, host trim and locs assembly)
+and `e2e_localize` (streamed lazy movie — link-bound).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so
 throughputs are reported against the driver's 1M spots-or-locs/s
 north star (value / 1e6) and the undrift wall-clock against a nominal
 60 s budget (60 / value) — >1.0 always means better.
+
+Resilience (VERDICT r3 missing #1/#2): the tunneled backend is
+intermittently unavailable and can hang inside a blocking C call, so
+``main()`` runs in a child process under a supervising parent with a
+hard wall-clock deadline. The child (a) waits for backend init with
+bounded retries instead of dying on the first UNAVAILABLE, and
+(b) records every completed stage in a state file; when the parent
+restarts a failed child, completed stages are skipped (their metric
+lines were already relayed) and a stage that failed twice is skipped
+permanently, so one hung stage can never empty the artifact.
 
 Timing discipline (see CLAUDE.md): device compute is timed by chaining
 CHAIN data-dependent evaluations inside one program and consuming the
@@ -30,6 +44,7 @@ report honest wall-clock.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -160,8 +175,103 @@ def emit(metric, value, unit, vs_baseline, **extra):
     stage(f"emitted {metric}")
 
 
+# ---------------------------------------------------------------------------
+# Stage-completion state (shared with restarted children via a file the
+# supervising parent owns).
+# ---------------------------------------------------------------------------
+
+_STATE_PATH = os.environ.get("PICASSO_BENCH_STATE")
+
+
+def _load_state() -> dict:
+    if _STATE_PATH and os.path.exists(_STATE_PATH):
+        try:
+            with open(_STATE_PATH) as fh:
+                return json.load(fh)
+        except Exception:
+            pass
+    return {"done": [], "attempts": {}, "data": {}}
+
+
+def _save_state(state: dict) -> None:
+    if not _STATE_PATH:
+        return
+    tmp = _STATE_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _STATE_PATH)
+
+
+def _hard_watchdog(limit_s: float, label: str):
+    """Hard bound on a possibly-hanging section. The tunnel can hang
+    INSIDE a blocking C call, where SIGALRM never fires (the handler
+    needs the interpreter); a watchdog thread hard-exits the child
+    instead, so the supervising parent restarts it immediately rather
+    than burning the whole run deadline on one hang. Returns a
+    cancel() callable — call it when the section completes."""
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(limit_s):
+            stage(
+                f"WATCHDOG: {label} hung > {limit_s:.0f}s; "
+                "hard-exiting child for restart"
+            )
+            os._exit(6)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done.set
+
+
+def _wait_for_backend(budget_s: float):
+    """Bounded retry on backend init: the tunnel's UNAVAILABLE clears
+    with time (CLAUDE.md). Returns the device list or raises after
+    min(budget/3, 600) s of retries; a HANGING init (no error, no
+    return) hard-exits via the watchdog so the parent restarts."""
+    import jax
+
+    deadline = time.monotonic() + min(budget_s / 3.0, 600.0)
+    attempt = 0
+    while True:
+        attempt += 1
+        cancel = _hard_watchdog(180.0, "backend init")
+        try:
+            devs = jax.devices()
+            stage(f"backend up: {devs[0].device_kind} x{len(devs)}")
+            return devs
+        except RuntimeError as exc:
+            if time.monotonic() >= deadline:
+                stage(f"backend init gave up after {attempt} tries")
+                raise
+            stage(
+                f"backend unavailable (try {attempt}): "
+                f"{str(exc)[:120]}; retrying in 45 s"
+            )
+            time.sleep(45)
+        finally:
+            cancel()
+
+
 def main():
     import jax
+
+    budget = float(os.environ.get("PICASSO_BENCH_BUDGET_S", "1500"))
+    if os.environ.get("PICASSO_BENCH_TEST_CRASH"):
+        # test hook: die once so tests can exercise the supervisor's
+        # restart + state-resume path without a real outage
+        crash_state = _load_state()
+        if "test_crash" not in crash_state["done"]:
+            crash_state["done"].append("test_crash")
+            _save_state(crash_state)
+            sys.exit(7)
+    # the axon plugin re-registers itself over the JAX_PLATFORMS env
+    # var (CLAUDE.md); the config update is the reliable override
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats:
+        jax.config.update("jax_platforms", plats)
+    _wait_for_backend(budget)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update(
@@ -169,110 +279,69 @@ def main():
     )
     import jax.numpy as jnp
 
-    from picasso_tpu.ops import lq_pallas, mle_pallas
-    from picasso_tpu.ops import render_ops
-    from picasso_tpu.ops.lq import _fit_chunk as lq_fit_chunk
-    from picasso_tpu.ops.mle import _fit_chunk as mle_fit_chunk
+    state = _load_state()
+    data = state["data"]
 
+    def run_stage(name, fn, deadline=420, tries=2):
+        """Run one recorded stage. Skips when already completed by a
+        previous child (its metric lines were already relayed), when
+        it has failed/hung `tries` times (a restart must not re-hang
+        on the same stage), or when over budget; bounds the body with
+        SIGALRM so one runaway compile cannot starve later stages.
+        SIGALRM cannot interrupt a blocked C call — that case kills
+        the whole child via the parent's deadline, and the restarted
+        child's attempt counter retires the stage."""
+        import signal
+
+        if name in state["done"]:
+            stage(f"SKIP {name}: already completed")
+            return
+        if state["attempts"].get(name, 0) >= tries:
+            stage(f"SKIP {name}: failed {tries} attempts")
+            return
+        elapsed = time.monotonic() - _T0
+        if elapsed > budget:
+            stage(f"SKIP {name}: bench budget exceeded")
+            return
+        state["attempts"][name] = state["attempts"].get(name, 0) + 1
+        _save_state(state)
+        limit = int(min(max(budget - elapsed, 1), deadline))
+
+        def _alarm(signum, frame):
+            raise TimeoutError(f"stage deadline ({limit}s)")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(limit)
+        # a C-level hang is immune to SIGALRM: the watchdog thread
+        # hard-exits the child 60 s past the stage deadline and the
+        # restarted child's attempt counter retires this stage
+        cancel = _hard_watchdog(limit + 60.0, f"stage {name}")
+        try:
+            fn()
+        except Exception as exc:
+            stage(f"{name} FAILED: {exc!r}")
+        else:
+            state["done"].append(name)
+            _save_state(state)
+        finally:
+            cancel()
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    # --- lazy shared context (restarted children only rebuild what
+    # their remaining stages need) ---
     n = 262144  # one device batch
-    spots = jnp.asarray(make_spots(n))
     CHAIN = 8
+    ctx: dict = {}
 
-    # ---- selftest: the Pallas and XLA paths must be numerically
-    # equivalent on the actual device before anything is timed (a
-    # wrong Mosaic lowering must fail the artifact, not silently
-    # mis-time). Bitwise equality is NOT the right gate: both are the
-    # same fixed-point iteration, and single-ULP fp reordering can
-    # flip a convergence test one iteration early/late — bounded by
-    # the eps=1e-3 stopping rule itself. Measured deviations on this
-    # workload: xy max 7.5e-5 px, photons max 1e-3 rel, ll max 0.014
-    # (vs CRLB lpx ~4e-3 px); the gates below give ~10x headroom
-    # while catching any real lowering bug by orders of magnitude. --
-    selftest = "skipped-no-pallas"
-    selftest_paths = {}
-    max_dxy = None
-    if mle_pallas.pallas_supported() and lq_pallas.pallas_supported():
-        st_spots = spots[:8192]
-        t_p, c_p, ll_p, _ = map(
-            np.asarray, mle_pallas.fit_pallas(st_spots, 0.001, 100)
-        )
-        t_x, c_x, ll_x, _ = map(
-            np.asarray,
-            mle_fit_chunk(st_spots, 0.001, 100, method="sigmaxy"),
-        )
-        l_p = np.asarray(lq_pallas.fit_pallas(st_spots))
-        l_x = np.asarray(lq_fit_chunk(st_spots))
-
-        def dev(a, b, rel=False):
-            d = np.abs(a - b)
-            if rel:
-                d = d / np.maximum(np.abs(b), 1e-12)
-            return float(np.nanmax(d))
-
-        checks = {
-            "mle_xy": (dev(t_p[:, :2], t_x[:, :2]), 2e-3),
-            "mle_photons": (dev(t_p[:, 2], t_x[:, 2], True), 5e-3),
-            "mle_sigma": (dev(t_p[:, 4:], t_x[:, 4:]), 5e-3),
-            "mle_ll": (dev(ll_p, ll_x), 0.05),
-            "mle_crlb": (dev(c_p, c_x, True), 2e-2),
-            "lq_xy": (dev(l_p[:, :2], l_x[:, :2]), 2e-3),
-            "lq_photons": (dev(l_p[:, 2], l_x[:, 2], True), 5e-3),
-        }
-        # isotropic-sigma Newton method on device (VERDICT r2 weak #8)
-        if mle_pallas.pallas_supported(method="sigma"):
-            t_ps, _, _, _ = map(
-                np.asarray,
-                mle_pallas.fit_pallas(
-                    st_spots, 0.001, 100, method="sigma"
-                ),
-            )
-            t_xs, _, _, _ = map(
-                np.asarray,
-                mle_fit_chunk(st_spots, 0.001, 100, method="sigma"),
-            )
-            checks["sigma_xy"] = (
-                dev(t_ps[:, :2], t_xs[:, :2]), 2e-3
-            )
-            checks["sigma_s"] = (dev(t_ps[:, 4], t_xs[:, 4]), 5e-3)
-        failed = {
-            k: f"{got:.2e}>{lim:.0e}"
-            for k, (got, lim) in checks.items()
-            if not got <= lim
-        }
-
-        def _verdict(prefix):
-            bad = {k: v for k, v in failed.items()
-                   if k.startswith(prefix)}
-            return "ok" if not bad else f"FAIL({bad})"
-
-        selftest_paths = {
-            "selftest_mle_sigmaxy": _verdict("mle"),
-            "selftest_mle_sigma": (
-                _verdict("sigma")
-                if "sigma_xy" in checks else "skipped"
-            ),
-            "selftest_lq": _verdict("lq"),
-        }
-        max_dxy = max(
-            checks["mle_xy"][0], checks["lq_xy"][0]
-        )
-        selftest = "ok" if not failed else f"FAIL({failed})"
-
-    use_pallas = selftest == "ok"
-    mle_fit = (
-        (lambda s: mle_pallas.fit_pallas(s, 0.001, 100))
-        if use_pallas
-        else (
-            lambda s: mle_fit_chunk(s, 0.001, 100, method="sigmaxy")
-        )
-    )
-    lq_fit = (
-        lq_pallas.fit_pallas if use_pallas else lq_fit_chunk
-    )
+    def get_spots():
+        if "spots" not in ctx:
+            ctx["spots"] = jnp.asarray(make_spots(n))
+        return ctx["spots"]
 
     @jax.jit
     def noop(s):
-        return jnp.sum(s[0, 0])
+        return jnp.sum(s[0])
 
     def timed(f, arg, reps=3):
         float(f(arg))  # compile + warm
@@ -283,7 +352,10 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    latency = timed(noop, spots)
+    def get_latency():
+        if "latency" not in ctx:
+            ctx["latency"] = timed(noop, jnp.zeros((256, 256)))
+        return ctx["latency"]
 
     def chain_fit(fit, reduce_fn):
         @jax.jit
@@ -297,329 +369,204 @@ def main():
 
         return chained
 
+    # ---- selftest: the Pallas and XLA paths must be numerically
+    # equivalent on the actual device before anything is timed (a
+    # wrong Mosaic lowering must fail the artifact, not silently
+    # mis-time). Bitwise equality is NOT the right gate: both are the
+    # same fixed-point iteration, and single-ULP fp reordering can
+    # flip a convergence test one iteration early/late — bounded by
+    # the eps=1e-3 stopping rule itself. Measured deviations on this
+    # workload: xy max 7.5e-5 px, photons max 1e-3 rel, ll max 0.014
+    # (vs CRLB lpx ~4e-3 px); the gates below give ~10x headroom
+    # while catching any real lowering bug by orders of magnitude. --
+    def _stage_selftest():
+        from picasso_tpu.ops import lq_pallas, mle_pallas
+        from picasso_tpu.ops.lq import _fit_chunk as lq_fit_chunk
+        from picasso_tpu.ops.mle import _fit_chunk as mle_fit_chunk
+
+        selftest = "skipped-no-pallas"
+        selftest_paths = {}
+        max_dxy = None
+        if (
+            mle_pallas.pallas_supported()
+            and lq_pallas.pallas_supported()
+        ):
+            st_spots = get_spots()[:8192]
+            t_p, c_p, ll_p, _ = map(
+                np.asarray, mle_pallas.fit_pallas(st_spots, 0.001, 100)
+            )
+            t_x, c_x, ll_x, _ = map(
+                np.asarray,
+                mle_fit_chunk(st_spots, 0.001, 100, method="sigmaxy"),
+            )
+            l_p = np.asarray(lq_pallas.fit_pallas(st_spots))
+            l_x = np.asarray(lq_fit_chunk(st_spots))
+
+            def dev(a, b, rel=False):
+                d = np.abs(a - b)
+                if rel:
+                    d = d / np.maximum(np.abs(b), 1e-12)
+                return float(np.nanmax(d))
+
+            checks = {
+                "mle_xy": (dev(t_p[:, :2], t_x[:, :2]), 2e-3),
+                "mle_photons": (dev(t_p[:, 2], t_x[:, 2], True), 5e-3),
+                "mle_sigma": (dev(t_p[:, 4:], t_x[:, 4:]), 5e-3),
+                "mle_ll": (dev(ll_p, ll_x), 0.05),
+                "mle_crlb": (dev(c_p, c_x, True), 2e-2),
+                "lq_xy": (dev(l_p[:, :2], l_x[:, :2]), 2e-3),
+                "lq_photons": (dev(l_p[:, 2], l_x[:, 2], True), 5e-3),
+            }
+            # isotropic-sigma Newton method on device
+            if mle_pallas.pallas_supported(method="sigma"):
+                t_ps, _, _, _ = map(
+                    np.asarray,
+                    mle_pallas.fit_pallas(
+                        st_spots, 0.001, 100, method="sigma"
+                    ),
+                )
+                t_xs, _, _, _ = map(
+                    np.asarray,
+                    mle_fit_chunk(st_spots, 0.001, 100, method="sigma"),
+                )
+                checks["sigma_xy"] = (
+                    dev(t_ps[:, :2], t_xs[:, :2]), 2e-3
+                )
+                checks["sigma_s"] = (dev(t_ps[:, 4], t_xs[:, 4]), 5e-3)
+            failed = {
+                k: f"{got:.2e}>{lim:.0e}"
+                for k, (got, lim) in checks.items()
+                if not got <= lim
+            }
+
+            def _verdict(prefix):
+                bad = {k: v for k, v in failed.items()
+                       if k.startswith(prefix)}
+                return "ok" if not bad else f"FAIL({bad})"
+
+            selftest_paths = {
+                "selftest_mle_sigmaxy": _verdict("mle"),
+                "selftest_mle_sigma": (
+                    _verdict("sigma")
+                    if "sigma_xy" in checks else "skipped"
+                ),
+                "selftest_lq": _verdict("lq"),
+            }
+            max_dxy = max(
+                checks["mle_xy"][0], checks["lq_xy"][0]
+            )
+            selftest = "ok" if not failed else f"FAIL({failed})"
+        data["selftest"] = selftest
+        data["selftest_paths"] = selftest_paths
+        data["max_dxy"] = max_dxy
+        data["use_pallas"] = selftest == "ok"
+
+    run_stage("selftest", _stage_selftest, deadline=600, tries=3)
+    use_pallas = bool(data.get("use_pallas", False))
+
+    def make_mle_fit():
+        from picasso_tpu.ops import mle_pallas
+        from picasso_tpu.ops.mle import _fit_chunk as mle_fit_chunk
+
+        if use_pallas:
+            return lambda s: mle_pallas.fit_pallas(s, 0.001, 100)
+        return lambda s: mle_fit_chunk(
+            s, 0.001, 100, method="sigmaxy"
+        )
+
     # ---- 1. LQ fit throughput ----
-    lq_chain = chain_fit(lq_fit, lambda th: jnp.sum(th))
-    dt = (timed(lq_chain, spots) - latency) / CHAIN
-    emit(
-        "lq_fit_throughput", round(n / dt), "spots/s",
-        (n / dt) / 1e6,
-    )
+    def _stage_lq():
+        from picasso_tpu.ops import lq_pallas
+        from picasso_tpu.ops.lq import _fit_chunk as lq_fit_chunk
 
-    # ---- 2. MLE fit throughput (headline; emitted LAST) ----
-    mle_chain = chain_fit(
-        mle_fit, lambda out: jnp.sum(out[0]) + jnp.sum(out[2])
-    )
-    dt = (timed(mle_chain, spots) - latency) / CHAIN
-    mle_throughput = n / dt
-
-    # ---- roofline accounting (VERDICT r2 weak #2): iterations
-    # actually executed x analytic FLOPs/spot/iter -> achieved
-    # TFLOP/s vs the chip's (estimated) VPU f32 peak. "Executed"
-    # counts the whole lane budget: the Pallas kernel runs each
-    # 512-lane tile until ITS slowest spot converges, the XLA
-    # fallback runs the batch until the global slowest converges;
-    # frozen lanes still occupy VPU issue slots. "Useful" counts
-    # only per-spot iterations until own convergence. ----
-    iters = np.asarray(mle_fit(spots)[3])
-    mean_iters = float(iters.mean())
-    if use_pallas:
-        tiles = iters[: n - n % 512].reshape(-1, 512)
-        exec_iters = float(tiles.max(axis=1).mean())
-    else:
-        exec_iters = float(iters.max())
-    f_iter = mle_flops_per_spot_iter(spots.shape[-1])
-    achieved_tflops = mle_throughput * exec_iters * f_iter / 1e12
-    useful_tflops = mle_throughput * mean_iters * f_iter / 1e12
-    kind = jax.devices()[0].device_kind
-    peak = _PEAKS.get(kind, {}).get("vpu_f32")
-    roofline = {
-        "achieved_tflops": round(achieved_tflops, 3),
-        "useful_tflops": round(useful_tflops, 3),
-        "flops_per_spot_iter": round(f_iter),
-        "mean_iters": round(mean_iters, 1),
-        "exec_iters": round(exec_iters, 1),
-        "device_kind": kind,
-    }
-    if peak:
-        roofline["vpu_peak_tflops_est"] = peak
-        roofline["peak_fraction"] = round(achieved_tflops / peak, 3)
-
-
-    import os as _os
-
-    _budget = float(
-        _os.environ.get("PICASSO_BENCH_BUDGET_S", "1500")
-    )
-
-    def run_stage(name, fn, deadline=420):
-        """Optional stages must never cost the headline metric: skip
-        when over budget (the driver may time the whole run out),
-        swallow backend hiccups (the tunnel's server-side compile
-        latency is unpredictable — see CLAUDE.md), and bound each
-        stage with SIGALRM so one runaway compile cannot starve the
-        stages after it."""
-        import signal
-
-        elapsed = time.monotonic() - _T0
-        if elapsed > _budget:
-            stage(f"SKIP {name}: bench budget exceeded")
-            return
-        limit = int(min(max(_budget - elapsed, 1), deadline))
-
-        def _alarm(signum, frame):
-            raise TimeoutError(f"stage deadline ({limit}s)")
-
-        old = signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(limit)
-        try:
-            fn()
-        except Exception as exc:
-            stage(f"{name} FAILED: {exc!r}")
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
-
-    # ---- 3. RCC + AIM undrift wall-clock ----
-    def _stage_undrift():
-        from picasso_tpu import aim as aim_mod
-        from picasso_tpu import postprocess
-
-        locs, info = make_drifted_locs()
-        # warm all device programs at the benchmark shapes (compile time
-        # must not contaminate the steady-state wall-clock)
-        postprocess.undrift(locs, info, 500, display=False)
-        aim_mod.aim(locs, info, segmentation=500)
-        t0 = time.perf_counter()
-        drift, _ = postprocess.undrift(locs, info, 500, display=False)
-        locs_aim, _, _ = aim_mod.aim(locs, info, segmentation=500)
-        undrift_s = time.perf_counter() - t0
-        assert np.isfinite(drift.to_numpy()).all()
-        assert len(locs_aim) == len(locs)
+        lq_fit = lq_pallas.fit_pallas if use_pallas else lq_fit_chunk
+        lq_chain = chain_fit(lq_fit, lambda th: jnp.sum(th))
+        dt = (timed(lq_chain, get_spots()) - get_latency()) / CHAIN
         emit(
-            "undrift_rcc_aim_s", round(undrift_s, 3), "s",
-            60.0 / undrift_s,
-            n_locs=len(locs), n_frames=info[0]["Frames"],
+            "lq_fit_throughput", round(n / dt), "spots/s",
+            (n / dt) / 1e6,
         )
 
+    run_stage("lq_fit", _stage_lq, deadline=600, tries=3)
 
-    # ---- 4. render at 10x oversampling (hist + gaussian splat) ----
-    def _stage_render():
-        n_r = 1_000_000
-        rng = np.random.default_rng(3)
-        fov, oversampling = 256, 10
-        size = fov * oversampling
-        xr = jnp.asarray(
-            rng.uniform(0, size, n_r).astype(np.float32)
-        )
-        yr = jnp.asarray(
-            rng.uniform(0, size, n_r).astype(np.float32)
-        )
-        s_r = jnp.asarray(
-            rng.uniform(0.6, 0.9, n_r).astype(np.float32)
-        )  # blur sigma in display px (oversampling * lp)
+    # ---- 2. MLE fit throughput (headline; emitted LAST) + roofline
+    # accounting: iterations actually executed x analytic FLOPs/spot/
+    # iter -> achieved TFLOP/s vs the chip's (estimated) VPU f32 peak,
+    # PLUS the HBM-bandwidth bound so the binding roof is named
+    # (VERDICT r3 weak #2). "Executed" counts the whole lane budget:
+    # the Pallas kernel runs each 512-lane tile until ITS slowest spot
+    # converges, the XLA fallback runs the batch until the global
+    # slowest converges; frozen lanes still occupy VPU issue slots.
+    # "Useful" counts only per-spot iterations until own convergence.
+    def _stage_mle_measure():
+        import jax as _jax
 
-        # static tile-kernel geometry at the benchmark density
-        TILE = render_ops._SPLAT_TILE
-        mc = int(
-            render_ops._splat_tile_max_count(
-                xr, yr, s_r, s_r, size, size, TILE
+        spots = get_spots()
+        mle_fit = make_mle_fit()
+        mle_chain = chain_fit(
+            mle_fit, lambda out: jnp.sum(out[0]) + jnp.sum(out[2])
+        )
+        dt = (timed(mle_chain, spots) - get_latency()) / CHAIN
+        mle_throughput = n / dt
+
+        iters = np.asarray(mle_fit(spots)[3])
+        mean_iters = float(iters.mean())
+        if use_pallas:
+            tiles = iters[: n - n % 512].reshape(-1, 512)
+            exec_iters = float(tiles.max(axis=1).mean())
+        else:
+            exec_iters = float(iters.max())
+        box = spots.shape[-1]
+        f_iter = mle_flops_per_spot_iter(box)
+        achieved_tflops = mle_throughput * exec_iters * f_iter / 1e12
+        useful_tflops = mle_throughput * mean_iters * f_iter / 1e12
+        kind = _jax.devices()[0].device_kind
+        peaks = _PEAKS.get(kind, {})
+        peak = peaks.get("vpu_f32")
+        roofline = {
+            "achieved_tflops": round(achieved_tflops, 3),
+            "useful_tflops": round(useful_tflops, 3),
+            "flops_per_spot_iter": round(f_iter),
+            "mean_iters": round(mean_iters, 1),
+            "exec_iters": round(exec_iters, 1),
+            "device_kind": kind,
+        }
+        # HBM bound: the Pallas kernel streams each spot tile from
+        # HBM exactly once (iterations run in VMEM) and writes 14 f32
+        # outputs; the XLA fallback re-reads the batch every
+        # iteration. bytes/spot -> spots/s roof at the chip's HBM BW.
+        spot_bytes = box * box * 4
+        out_bytes = 14 * 4
+        hbm_bytes = (
+            spot_bytes + out_bytes if use_pallas
+            else spot_bytes * exec_iters + out_bytes
+        )
+        roofline["hbm_bytes_per_spot"] = round(hbm_bytes)
+        hbm = peaks.get("hbm")
+        if hbm:
+            hbm_roof = hbm * 1e9 / hbm_bytes
+            roofline["hbm_roof_spots_per_s"] = round(hbm_roof)
+        if peak:
+            vpu_roof = peak * 1e12 / (f_iter * exec_iters)
+            roofline["vpu_peak_tflops_est"] = peak
+            roofline["vpu_roof_spots_per_s"] = round(vpu_roof)
+            roofline["peak_fraction"] = round(
+                achieved_tflops / peak, 3
             )
-        )
-        K = 1 << max(int(np.ceil(np.log2(max(mc, 16)))), 4)
-        K = min(K, render_ops._SPLAT_K_CAP)
-        TC = max(8, 1 << int(np.log2(max(32e6 / (K * TILE), 8))))
-
-        @jax.jit
-        def render_chain(x):
-            def body(i, acc):
-                xx = x + acc * 1e-30
-                hist = render_ops._hist2d_device(xx, yr, size, size)
-                img, _ = render_ops._splat_tiles_kernel(
-                    xx, yr, s_r, s_r, size, size, K, TILE, TC
+            if hbm:
+                binding = (
+                    "vpu_f32" if vpu_roof < hbm_roof else "hbm"
                 )
-                return jnp.sum(hist) + jnp.sum(img) + 0.0 * acc
-
-            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
-
-        dt = (timed(render_chain, xr) - latency) / CHAIN
-        emit(
-            "render_gaussian_10x", round(n_r / dt), "locs/s",
-            (n_r / dt) / 1e6,
-            image_px=size,
-        )
-
-
-    # ---- 5. zfit z-scan + SMLM clustering ----
-    def _stage_zfit_cluster():
-        from picasso_tpu import zfit as zfit_mod
-
-        rng = np.random.default_rng(5)
-        n_z = 1_000_000
-        z_true = rng.uniform(-400, 400, n_z)
-        cx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_true)
-        cy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_true)
-        sx = jnp.asarray(
-            (cx + rng.normal(0, 0.02, n_z)).astype(np.float32)
-        )
-        sy = jnp.asarray(
-            (cy + rng.normal(0, 0.02, n_z)).astype(np.float32)
-        )
-        z_grid = np.linspace(-1000.0, 1000.0, 2001)
-        wx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_grid)
-        wy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_grid)
-        u = jnp.asarray(np.sqrt(np.maximum(wx, 0)).astype(np.float32))
-        v = jnp.asarray(np.sqrt(np.maximum(wy, 0)).astype(np.float32))
-        c = jnp.asarray((wx + wy).astype(np.float32))
-        zg = jnp.asarray(z_grid.astype(np.float32))
-
-        @jax.jit
-        def zfit_chain(sx_in):
-            def body(i, acc):
-                z, tgt = zfit_mod._fit_z_batched(
-                    sx_in + acc * 1e-30, sy, u, v, c, zg
+                roofline["binding_roof"] = binding
+                roofline["fraction_of_binding_roof"] = round(
+                    mle_throughput / min(vpu_roof, hbm_roof), 3
                 )
-                return jnp.sum(z) * 1e-6 + 0.0 * acc
+        data["mle_throughput"] = mle_throughput
+        data["roofline"] = roofline
 
-            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+    run_stage("mle_measure", _stage_mle_measure, deadline=600, tries=3)
 
-        dt_z = (timed(zfit_chain, sx) - latency) / CHAIN
-
-        from picasso_tpu import clusterer
-        import pandas as pd
-
-        n_c = 100_000
-        centers = rng.uniform(5, 59, (2000, 2))
-        which = rng.integers(0, 2000, n_c)
-        clocs = pd.DataFrame(
-            {
-                "frame": rng.integers(0, 5000, n_c).astype(np.uint32),
-                "x": (
-                    centers[which, 0] + rng.normal(0, 0.03, n_c)
-                ).astype(np.float32),
-                "y": (
-                    centers[which, 1] + rng.normal(0, 0.03, n_c)
-                ).astype(np.float32),
-            }
-        )
-        clusterer.cluster(
-            clocs.iloc[:10000], radius_xy=0.15, min_locs=10,
-            frame_analysis=False,
-        )  # warm
-        t0 = time.perf_counter()
-        clusterer.cluster(
-            clocs, radius_xy=0.15, min_locs=10, frame_analysis=False
-        )
-        dt_c = time.perf_counter() - t0
-        total = (n_z + n_c) / (dt_z + dt_c)
-        emit(
-            "zfit_cluster_throughput", round(total), "locs/s",
-            total / 1e6,
-            zfit_locs_per_s=round(n_z / dt_z),
-            cluster_locs_per_s=round(n_c / dt_c),
-        )
-
-
-    # ---- 6. particle averaging over 5k groups (device batched FFT) --
-    def _stage_average():
-        import pandas as pd
-
-        from picasso_tpu import average as avg_mod
-
-        rng = np.random.default_rng(7)
-        template = np.array(
-            [[0.0, 0.0], [0.4, 0.0], [0.8, 0.0], [0.0, 0.4], [0.0, 0.8]]
-        )
-        template -= template.mean(0)
-        parts = []
-        for g in range(5000):
-            ang = rng.uniform(0, 2 * np.pi)
-            R = np.array(
-                [
-                    [np.cos(ang), -np.sin(ang)],
-                    [np.sin(ang), np.cos(ang)],
-                ]
-            )
-            pts = template @ R.T + rng.uniform(-0.2, 0.2, 2)
-            pp = np.repeat(pts, 10, axis=0) + rng.normal(
-                0, 0.02, (len(pts) * 10, 2)
-            )
-            parts.append(
-                np.column_stack([np.full(len(pp), g), pp])
-            )
-        arr = np.vstack(parts)
-        alocs = pd.DataFrame(
-            {
-                "frame": np.arange(len(arr), dtype=np.uint32) % 100,
-                "x": (arr[:, 1] + 32).astype(np.float32),
-                "y": (arr[:, 2] + 32).astype(np.float32),
-                "group": arr[:, 0].astype(np.int32),
-            }
-        )
-        ainfo = [
-            {"Frames": 100, "Height": 64, "Width": 64, "Pixelsize": 130}
-        ]
-        avg_mod.average(
-            alocs, ainfo, display_pixel_size=10.0, iterations=1
-        )  # warm
-        t0 = time.perf_counter()
-        avg_mod.average(
-            alocs, ainfo, display_pixel_size=10.0, iterations=1
-        )
-        avg_s = time.perf_counter() - t0
-        emit(
-            "average_5k_groups_s", round(avg_s, 3), "s", 60.0 / avg_s,
-            n_groups=5000,
-        )
-
-
-    # ---- 6b. SPINNA batched candidate scoring (workflow P8) ----
-    def _stage_spinna():
-        import os as _os
-
-        from picasso_tpu import spinna as spinna_mod
-
-        dimer = spinna_mod.Structure("dimer")
-        dimer.define_coordinates(
-            "A", [-10.0, 10.0], [0.0, 0.0], [0.0, 0.0]
-        )
-        monomer = spinna_mod.Structure("monomer")
-        monomer.define_coordinates("A", [0.0], [0.0], [0.0])
-        mixer = spinna_mod.StructureMixer(
-            [monomer, dimer], label_unc={"A": 2.0},
-            le={"A": 0.9}, width=4000.0, height=4000.0,
-        )
-        np.random.seed(0)
-        gt = mixer.run_simulation([300, 250])
-        sp = spinna_mod.SPINNA(mixer, gt, N_sim=4)
-        N = np.array(
-            [[a * 16, b * 14] for a in range(33) for b in range(33)]
-        )
-        sp.NN_scorer(N[:16])  # compile
-        sp.NN_scorer(N)  # absorb per-shape warmup
-        t0 = time.perf_counter()
-        _, scores = sp.NN_scorer(N)
-        dt = time.perf_counter() - t0
-        _os.environ["PICASSO_TPU_SPINNA"] = "host"
-        try:
-            t0 = time.perf_counter()
-            sp.NN_scorer(N[:24])
-            dt_host = (time.perf_counter() - t0) / 24 * len(N)
-        finally:
-            del _os.environ["PICASSO_TPU_SPINNA"]
-        assert np.isfinite(scores).all()
-        emit(
-            "spinna_score_throughput", round(len(N) / dt),
-            "candidates/s", dt_host / dt,
-            n_candidates=len(N), serial_s=round(dt_host, 2),
-            batched_s=round(dt, 2),
-        )
-
-
-    # ---- 7. end-to-end localize (VERDICT r2 weak #1): fused
-    # device-resident identify+cut+fit (ops/fused.py) over a streamed
-    # movie, with the host->device link ceiling MEASURED so
-    # "transfer-bound" is a number, not an inference; plus a
-    # compute-bound config with the frames already in HBM. ----
+    # ---- end-to-end localize helpers ----
     def _make_movie(n_frames, size, n_sites, p_on, rng):
         movie = rng.poisson(
             30, (n_frames, size, size)
@@ -635,60 +582,7 @@ def main():
                 )
         return movie
 
-    def _stage_e2e_localize():
-        from picasso_tpu.ops import fused as fused_mod
-
-        rng = np.random.default_rng(11)
-        n_frames, size = 400, 256
-        movie = _make_movie(n_frames, size, 600, 0.08, rng)
-
-        class _Lazy:
-            """Frame-indexable view (forces the streamed path)."""
-
-            dtype = movie.dtype
-
-            def __len__(self):
-                return n_frames
-
-            def __getitem__(self, it):
-                return movie[it]
-
-        camera = {"Baseline": 0, "Sensitivity": 1.0, "Gain": 1}
-
-        def run_once():
-            return fused_mod.localize_fused(
-                _Lazy(), 4000, 7, camera, fitting_method="gausslq",
-            )
-
-        ids, _ = run_once()  # warm compiles
-        t0 = time.perf_counter()
-        ids, (theta, *_rest) = run_once()
-        dt = time.perf_counter() - t0
-
-        # measured link rate at this transfer size -> the
-        # transfer-bound frames/s ceiling for this config
-        frame_mb = size * size * movie.itemsize / 1e6
-        up = jnp.asarray(movie[:100])
-        float(jnp.max(up[:, 0, 0]))  # warm
-        t0 = time.perf_counter()
-        up = jnp.asarray(movie)
-        float(jnp.max(up[:, 0, 0]))
-        link_mbps = n_frames * frame_mb / (time.perf_counter() - t0)
-        del up
-        ceiling = link_mbps / frame_mb
-        emit(
-            "e2e_localize", round(n_frames / dt, 1), "frames/s",
-            (len(ids) / dt) / 1e6,
-            n_spots=len(ids),
-            spots_per_s=round(len(ids) / dt),
-            frame_px=size,
-            link_mbps=round(link_mbps, 1),
-            transfer_ceiling_frames_s=round(ceiling, 1),
-            link_fraction=round((n_frames / dt) / ceiling, 3),
-        )
-
-
-    # ---- 7b. compute-bound end-to-end localize: frames resident in
+    # ---- 3. compute-bound end-to-end localize: frames resident in
     # HBM (no link in the loop), dense emitters — the pipeline's
     # compute ceiling (identify maps + compaction + ROI gather + LM
     # fit as ONE program). ----
@@ -759,7 +653,7 @@ def main():
 
         count0 = int(e2e_chain(devf)[1])  # also warms the compile
         assert 0 < count0 <= bucket, count0
-        dt = (timed(chain_scalar, devf) - latency) / CHAIN
+        dt = (timed(chain_scalar, devf) - get_latency()) / CHAIN
         emit(
             "e2e_localize_compute", round(count0 / dt), "spots/s",
             (count0 / dt) / 1e6,
@@ -767,29 +661,376 @@ def main():
             frame_px=size,
         )
 
-    # Stage order = budget priority. e2e_compute goes first: its fused
-    # scatter+fit program is the slowest server-side compile through
-    # the tunnel (a 420 s deadline expired on compile alone once) and
-    # its metric answers VERDICT r2 #1c; the link-bound e2e_localize
-    # goes last (its number is tunnel-weather either way).
-    run_stage('e2e_compute', _stage_e2e_compute, deadline=600)
-    run_stage('undrift', _stage_undrift)
-    run_stage('render', _stage_render)
-    run_stage('zfit_cluster', _stage_zfit_cluster)
-    run_stage('average', _stage_average)
-    run_stage('spinna', _stage_spinna)
-    run_stage('e2e_localize', _stage_e2e_localize)
+    run_stage("e2e_compute", _stage_e2e_compute, deadline=600)
+
+    # ---- 3b. the PUBLIC localize() on an in-RAM movie (VERDICT r3
+    # next #4): same fused production path users hit, measured
+    # honestly end-to-end — chunk uploads, compaction readback, host
+    # trim, locs-recarray assembly, everything. Reported next to
+    # e2e_localize_compute so the chain-kernel vs production delta is
+    # pinned in the artifact. ----
+    def _stage_fused_e2e():
+        from picasso_tpu.localize import localize
+
+        rng = np.random.default_rng(17)
+        n_frames, size = 256, 256
+        movie = _make_movie(n_frames, size, 1200, 0.5, rng)
+        camera = {
+            "Baseline": 0, "Sensitivity": 1.0, "Gain": 1,
+            "Pixelsize": 130,
+        }
+        params = {"Min. Net Gradient": 4000.0, "Box Size": 7}
+
+        def run_once():
+            return localize(
+                movie, camera, params, fitting_method="gausslq",
+            )
+
+        locs = run_once()  # warm compiles + bucket hints
+        t0 = time.perf_counter()
+        locs = run_once()
+        dt = time.perf_counter() - t0
+        n_spots = len(locs)
+        assert n_spots > 0
+        emit(
+            "localize_fused_e2e", round(n_spots / dt), "spots/s",
+            (n_spots / dt) / 1e6,
+            n_spots=n_spots, frames_per_s=round(n_frames / dt, 1),
+            frame_px=size, wall_s=round(dt, 3),
+        )
+
+    run_stage("fused_e2e", _stage_fused_e2e, deadline=600)
+
+    # ---- 4. RCC + AIM undrift wall-clock ----
+    def _stage_undrift():
+        from picasso_tpu import aim as aim_mod
+        from picasso_tpu import postprocess
+
+        locs, info = make_drifted_locs()
+        # warm all device programs at the benchmark shapes (compile
+        # time must not contaminate the steady-state wall-clock)
+        postprocess.undrift(locs, info, 500, display=False)
+        aim_mod.aim(locs, info, segmentation=500)
+        t0 = time.perf_counter()
+        drift, _ = postprocess.undrift(locs, info, 500, display=False)
+        locs_aim, _, _ = aim_mod.aim(locs, info, segmentation=500)
+        undrift_s = time.perf_counter() - t0
+        assert np.isfinite(drift.to_numpy()).all()
+        assert len(locs_aim) == len(locs)
+        emit(
+            "undrift_rcc_aim_s", round(undrift_s, 3), "s",
+            60.0 / undrift_s,
+            n_locs=len(locs), n_frames=info[0]["Frames"],
+        )
+
+    run_stage("undrift", _stage_undrift)
+
+    # ---- 5. render at 10x oversampling (hist + gaussian splat) ----
+    def _stage_render():
+        from picasso_tpu.ops import render_ops
+
+        n_r = 1_000_000
+        rng = np.random.default_rng(3)
+        fov, oversampling = 256, 10
+        size = fov * oversampling
+        xr = jnp.asarray(
+            rng.uniform(0, size, n_r).astype(np.float32)
+        )
+        yr = jnp.asarray(
+            rng.uniform(0, size, n_r).astype(np.float32)
+        )
+        s_r = jnp.asarray(
+            rng.uniform(0.6, 0.9, n_r).astype(np.float32)
+        )  # blur sigma in display px (oversampling * lp)
+
+        # static tile-kernel geometry at the benchmark density
+        TILE = render_ops._SPLAT_TILE
+        mc = int(
+            render_ops._splat_tile_max_count(
+                xr, yr, s_r, s_r, size, size, TILE
+            )
+        )
+        K = 1 << max(int(np.ceil(np.log2(max(mc, 16)))), 4)
+        K = min(K, render_ops._SPLAT_K_CAP)
+        TC = max(8, 1 << int(np.log2(max(32e6 / (K * TILE), 8))))
+
+        @jax.jit
+        def render_chain(x):
+            def body(i, acc):
+                xx = x + acc * 1e-30
+                hist = render_ops._hist2d_device(xx, yr, size, size)
+                img, _ = render_ops._splat_tiles_kernel(
+                    xx, yr, s_r, s_r, size, size, K, TILE, TC
+                )
+                return jnp.sum(hist) + jnp.sum(img) + 0.0 * acc
+
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+        dt = (timed(render_chain, xr) - get_latency()) / CHAIN
+        emit(
+            "render_gaussian_10x", round(n_r / dt), "locs/s",
+            (n_r / dt) / 1e6,
+            image_px=size,
+        )
+
+    run_stage("render", _stage_render)
+
+    # ---- 6. zfit z-scan + SMLM clustering ----
+    def _stage_zfit_cluster():
+        from picasso_tpu import zfit as zfit_mod
+
+        rng = np.random.default_rng(5)
+        n_z = 1_000_000
+        z_true = rng.uniform(-400, 400, n_z)
+        cx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_true)
+        cy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_true)
+        sx = jnp.asarray(
+            (cx + rng.normal(0, 0.02, n_z)).astype(np.float32)
+        )
+        sy = jnp.asarray(
+            (cy + rng.normal(0, 0.02, n_z)).astype(np.float32)
+        )
+        z_grid = np.linspace(-1000.0, 1000.0, 2001)
+        wx = np.polyval([6e-8, 1e-4, 2e-3, 1.2], z_grid)
+        wy = np.polyval([-6e-8, 1e-4, -2e-3, 1.2], z_grid)
+        u = jnp.asarray(np.sqrt(np.maximum(wx, 0)).astype(np.float32))
+        v = jnp.asarray(np.sqrt(np.maximum(wy, 0)).astype(np.float32))
+        c = jnp.asarray((wx + wy).astype(np.float32))
+        zg = jnp.asarray(z_grid.astype(np.float32))
+
+        @jax.jit
+        def zfit_chain(sx_in):
+            def body(i, acc):
+                z, tgt = zfit_mod._fit_z_batched(
+                    sx_in + acc * 1e-30, sy, u, v, c, zg
+                )
+                return jnp.sum(z) * 1e-6 + 0.0 * acc
+
+            return jax.lax.fori_loop(0, CHAIN, body, jnp.float32(0.0))
+
+        dt_z = (timed(zfit_chain, sx) - get_latency()) / CHAIN
+
+        import pandas as pd
+
+        from picasso_tpu import clusterer
+
+        n_c = 100_000
+        centers = rng.uniform(5, 59, (2000, 2))
+        which = rng.integers(0, 2000, n_c)
+        clocs = pd.DataFrame(
+            {
+                "frame": rng.integers(0, 5000, n_c).astype(np.uint32),
+                "x": (
+                    centers[which, 0] + rng.normal(0, 0.03, n_c)
+                ).astype(np.float32),
+                "y": (
+                    centers[which, 1] + rng.normal(0, 0.03, n_c)
+                ).astype(np.float32),
+            }
+        )
+        clusterer.cluster(
+            clocs.iloc[:10000], radius_xy=0.15, min_locs=10,
+            frame_analysis=False,
+        )  # warm
+        t0 = time.perf_counter()
+        clusterer.cluster(
+            clocs, radius_xy=0.15, min_locs=10, frame_analysis=False
+        )
+        dt_c = time.perf_counter() - t0
+        total = (n_z + n_c) / (dt_z + dt_c)
+        emit(
+            "zfit_cluster_throughput", round(total), "locs/s",
+            total / 1e6,
+            zfit_locs_per_s=round(n_z / dt_z),
+            cluster_locs_per_s=round(n_c / dt_c),
+        )
+
+    run_stage("zfit_cluster", _stage_zfit_cluster)
+
+    # ---- 7. particle averaging over 5k groups (device batched FFT) --
+    def _stage_average():
+        import pandas as pd
+
+        from picasso_tpu import average as avg_mod
+
+        rng = np.random.default_rng(7)
+        template = np.array(
+            [[0.0, 0.0], [0.4, 0.0], [0.8, 0.0], [0.0, 0.4], [0.0, 0.8]]
+        )
+        template -= template.mean(0)
+        parts = []
+        for g in range(5000):
+            ang = rng.uniform(0, 2 * np.pi)
+            R = np.array(
+                [
+                    [np.cos(ang), -np.sin(ang)],
+                    [np.sin(ang), np.cos(ang)],
+                ]
+            )
+            pts = template @ R.T + rng.uniform(-0.2, 0.2, 2)
+            pp = np.repeat(pts, 10, axis=0) + rng.normal(
+                0, 0.02, (len(pts) * 10, 2)
+            )
+            parts.append(
+                np.column_stack([np.full(len(pp), g), pp])
+            )
+        arr = np.vstack(parts)
+        alocs = pd.DataFrame(
+            {
+                "frame": np.arange(len(arr), dtype=np.uint32) % 100,
+                "x": (arr[:, 1] + 32).astype(np.float32),
+                "y": (arr[:, 2] + 32).astype(np.float32),
+                "group": arr[:, 0].astype(np.int32),
+            }
+        )
+        ainfo = [
+            {"Frames": 100, "Height": 64, "Width": 64, "Pixelsize": 130}
+        ]
+        avg_mod.average(
+            alocs, ainfo, display_pixel_size=10.0, iterations=1
+        )  # warm
+        t0 = time.perf_counter()
+        avg_mod.average(
+            alocs, ainfo, display_pixel_size=10.0, iterations=1
+        )
+        avg_s = time.perf_counter() - t0
+        emit(
+            "average_5k_groups_s", round(avg_s, 3), "s", 60.0 / avg_s,
+            n_groups=5000,
+        )
+
+    run_stage("average", _stage_average)
+
+    # ---- 8. SPINNA batched candidate scoring (workflow P8) ----
+    def _stage_spinna():
+        from picasso_tpu import spinna as spinna_mod
+
+        dimer = spinna_mod.Structure("dimer")
+        dimer.define_coordinates(
+            "A", [-10.0, 10.0], [0.0, 0.0], [0.0, 0.0]
+        )
+        monomer = spinna_mod.Structure("monomer")
+        monomer.define_coordinates("A", [0.0], [0.0], [0.0])
+        mixer = spinna_mod.StructureMixer(
+            [monomer, dimer], label_unc={"A": 2.0},
+            le={"A": 0.9}, width=4000.0, height=4000.0,
+        )
+        np.random.seed(0)
+        gt = mixer.run_simulation([300, 250])
+        sp = spinna_mod.SPINNA(mixer, gt, N_sim=4)
+        N = np.array(
+            [[a * 16, b * 14] for a in range(33) for b in range(33)]
+        )
+        sp.NN_scorer(N[:16])  # compile
+        sp.NN_scorer(N)  # absorb per-shape warmup
+        t0 = time.perf_counter()
+        _, scores = sp.NN_scorer(N)
+        dt = time.perf_counter() - t0
+        os.environ["PICASSO_TPU_SPINNA"] = "host"
+        try:
+            t0 = time.perf_counter()
+            sp.NN_scorer(N[:24])
+            dt_host = (time.perf_counter() - t0) / 24 * len(N)
+        finally:
+            del os.environ["PICASSO_TPU_SPINNA"]
+        assert np.isfinite(scores).all()
+        emit(
+            "spinna_score_throughput", round(len(N) / dt),
+            "candidates/s", dt_host / dt,
+            n_candidates=len(N), serial_s=round(dt_host, 2),
+            batched_s=round(dt, 2),
+        )
+
+    run_stage("spinna", _stage_spinna)
+
+    # ---- 9. streamed end-to-end localize over a LAZY movie: fused
+    # device-resident identify+cut+fit (ops/fused.py) with the
+    # host->device link ceiling MEASURED so "transfer-bound" is a
+    # number, not an inference. Last in budget order: its number is
+    # tunnel-weather either way. ----
+    def _stage_e2e_localize():
+        from picasso_tpu.ops import fused as fused_mod
+
+        rng = np.random.default_rng(11)
+        n_frames, size = 400, 256
+        movie = _make_movie(n_frames, size, 600, 0.08, rng)
+
+        class _Lazy:
+            """Frame-indexable view (forces the streamed path)."""
+
+            dtype = movie.dtype
+
+            def __len__(self):
+                return n_frames
+
+            def __getitem__(self, it):
+                return movie[it]
+
+        camera = {"Baseline": 0, "Sensitivity": 1.0, "Gain": 1}
+
+        def run_once():
+            return fused_mod.localize_fused(
+                _Lazy(), 4000, 7, camera, fitting_method="gausslq",
+            )
+
+        ids, _ = run_once()  # warm compiles
+        t0 = time.perf_counter()
+        ids, (theta, *_rest) = run_once()
+        dt = time.perf_counter() - t0
+
+        # measured link rate at this transfer size -> the
+        # transfer-bound frames/s ceiling for this config
+        frame_mb = size * size * movie.itemsize / 1e6
+        up = jnp.asarray(movie[:100])
+        float(jnp.max(up[:, 0, 0]))  # warm
+        t0 = time.perf_counter()
+        up = jnp.asarray(movie)
+        float(jnp.max(up[:, 0, 0]))
+        link_mbps = n_frames * frame_mb / (time.perf_counter() - t0)
+        del up
+        ceiling = link_mbps / frame_mb
+        emit(
+            "e2e_localize", round(n_frames / dt, 1), "frames/s",
+            (len(ids) / dt) / 1e6,
+            n_spots=len(ids),
+            spots_per_s=round(len(ids) / dt),
+            frame_px=size,
+            link_mbps=round(link_mbps, 1),
+            transfer_ceiling_frames_s=round(ceiling, 1),
+            link_fraction=round((n_frames / dt) / ceiling, 3),
+        )
+
+    run_stage("e2e_localize", _stage_e2e_localize)
 
     # ---- headline last (drivers that keep only the tail still get
     # the north-star metric + selftest) ----
-    extra = {"selftest": selftest, **selftest_paths, **roofline}
-    if max_dxy is not None:
-        extra["selftest_max_dxy_px"] = float(f"{max_dxy:.2e}")
-    emit(
-        "mle_fit_throughput", round(mle_throughput), "spots/s",
-        mle_throughput / 1e6,
-        **extra,
-    )
+    if "headline" in state["done"]:
+        return
+    extra = {
+        "selftest": data.get("selftest", "skipped-selftest-failed"),
+        **data.get("selftest_paths", {}),
+        **data.get("roofline", {}),
+    }
+    if data.get("max_dxy") is not None:
+        extra["selftest_max_dxy_px"] = float(
+            f"{data['max_dxy']:.2e}"
+        )
+    mle_throughput = data.get("mle_throughput")
+    if mle_throughput is None:
+        emit(
+            "mle_fit_throughput", 0, "spots/s", 0.0,
+            error="mle_measure stage never completed "
+                  "(backend outage outlasted the bench budget)",
+            **extra,
+        )
+    else:
+        emit(
+            "mle_fit_throughput", round(mle_throughput), "spots/s",
+            mle_throughput / 1e6,
+            **extra,
+        )
+    state["done"].append("headline")
+    _save_state(state)
 
 
 def supervised_main():
@@ -800,68 +1041,116 @@ def supervised_main():
     (CLAUDE.md); SIGALRM (run_stage's guard) only fires at a Python
     bytecode boundary, so a hang in a blocking C call is
     uninterruptible from within the process. A supervising parent is
-    the only reliable bound: on deadline it kills the child by PID
-    and — if nothing was relayed — emits one diagnostic JSON line so
-    the recorded artifact documents the outage instead of being
-    empty."""
-    import os
+    the only reliable bound — and, because the tunnel's outages CLEAR
+    with time, a failed or hung child is restarted with backoff while
+    deadline remains. The shared state file makes restarts cheap:
+    completed stages are skipped (their lines were already relayed)
+    and a stage that hung twice is retired, so progress is monotone.
+    If the headline never lands, one diagnostic JSON line documents
+    the outage instead of an empty artifact."""
     import signal
     import subprocess
+    import tempfile
 
     budget = float(os.environ.get("PICASSO_BENCH_BUDGET_S", "1500"))
     deadline = budget * 1.2 + 120
-    child = subprocess.Popen(
-        [sys.executable, "-u", os.path.abspath(__file__), "--inner"],
-        stdout=subprocess.PIPE,
-        text=True,
+    state_fd, state_path = tempfile.mkstemp(
+        prefix="picasso_bench_state_", suffix=".json"
     )
-    lines = 0
+    os.close(state_fd)
+    os.unlink(state_path)  # child creates it on first save
     t0 = time.monotonic()
+    total_lines = 0
+    headline_done = False
+    attempts = 0
+    child = None
 
     def _alarm(signum, frame):
         raise TimeoutError
 
     signal.signal(signal.SIGALRM, _alarm)
     try:
-        assert child.stdout is not None
-        while True:
+        while attempts < 8:
             remaining = deadline - (time.monotonic() - t0)
-            if remaining <= 0:
-                raise TimeoutError
-            signal.alarm(int(remaining) + 1)
-            line = child.stdout.readline()
-            signal.alarm(0)
-            if not line:
+            if remaining <= 60:
                 break
-            print(line, end="", flush=True)
-            lines += 1
-        rc = child.wait()
-        if rc != 0 and lines == 0:
-            print(json.dumps({
-                "metric": "mle_fit_throughput", "value": 0,
-                "unit": "spots/s", "vs_baseline": 0.0,
-                "error": f"bench child exited rc={rc} with no output",
-            }), flush=True)
-    except TimeoutError:
-        child.kill()
-        stage(
-            f"DEADLINE ({deadline:.0f}s): killed bench child "
-            f"pid {child.pid} after {lines} metric lines"
-        )
-        if lines == 0:
-            print(json.dumps({
-                "metric": "mle_fit_throughput", "value": 0,
-                "unit": "spots/s", "vs_baseline": 0.0,
-                "error": (
-                    "device backend unresponsive: no metric emitted "
-                    f"within {deadline:.0f}s (tunnel hang — see "
-                    "CLAUDE.md); rerun when the tunnel recovers"
-                ),
-            }), flush=True)
+            attempts += 1
+            env = dict(os.environ)
+            env["PICASSO_BENCH_STATE"] = state_path
+            # the child budgets against what is actually left (never
+            # more than the requested budget)
+            env["PICASSO_BENCH_BUDGET_S"] = str(
+                min(budget, max(remaining - 90.0, 60.0))
+            )
+            child = subprocess.Popen(
+                [
+                    sys.executable, "-u",
+                    os.path.abspath(__file__), "--inner",
+                ],
+                stdout=subprocess.PIPE,
+                text=True,
+                env=env,
+            )
+            timed_out = False
+            try:
+                assert child.stdout is not None
+                while True:
+                    rem = deadline - (time.monotonic() - t0)
+                    if rem <= 0:
+                        raise TimeoutError
+                    signal.alarm(int(rem) + 1)
+                    line = child.stdout.readline()
+                    signal.alarm(0)
+                    if not line:
+                        break
+                    print(line, end="", flush=True)
+                    total_lines += 1
+                    if '"metric": "mle_fit_throughput"' in line:
+                        headline_done = True
+                rc = child.wait()
+            except TimeoutError:
+                child.kill()
+                child.wait()
+                rc = -1
+                timed_out = True
+            finally:
+                signal.alarm(0)
+            if rc == 0 or headline_done:
+                break
+            rem = deadline - (time.monotonic() - t0)
+            stage(
+                f"bench child attempt {attempts} failed "
+                f"(rc={rc}, timeout={timed_out}, "
+                f"{total_lines} lines so far)"
+            )
+            if rem <= 60:
+                break
+            base = float(
+                os.environ.get("PICASSO_BENCH_RETRY_BACKOFF_S", "45")
+            )
+            backoff = min(base * attempts, max(rem - 90.0, 0.0))
+            if backoff > 0:
+                stage(f"retrying in {backoff:.0f}s")
+                time.sleep(backoff)
     finally:
         signal.alarm(0)
-        if child.poll() is None:
+        if child is not None and child.poll() is None:
             child.kill()
+        try:
+            os.unlink(state_path)
+        except OSError:
+            pass
+    if not headline_done:
+        print(json.dumps({
+            "metric": "mle_fit_throughput", "value": 0,
+            "unit": "spots/s", "vs_baseline": 0.0,
+            "error": (
+                "device backend unresponsive across "
+                f"{attempts} child attempts within {deadline:.0f}s "
+                "(tunnel outage — see CLAUDE.md); rerun when the "
+                "tunnel recovers"
+            ),
+        }), flush=True)
 
 
 if __name__ == "__main__":
