@@ -66,23 +66,24 @@ def locs_from_fits(
     lpy = gausslq.localization_precision(
         theta[:, 2], theta[:, 5], theta[:, 4], theta[:, 3], em=em
     )
-    a = np.maximum(theta[:, 4], theta[:, 5])
-    b = np.minimum(theta[:, 4], theta[:, 5])
-    ellipticity = (a - b) / a
+    ellipticity = np.abs(theta[:, 4] - theta[:, 5]) / np.maximum(
+        theta[:, 4], theta[:, 5]
+    )
+    f32 = lambda v: np.asarray(v, dtype=np.float32)  # noqa: E731
     data = {
         "frame": identifications["frame"].to_numpy().astype(np.uint32),
-        "x": x.astype(np.float32),
-        "y": y.astype(np.float32),
-        "photons": theta[:, 2].astype(np.float32),
-        "sx": theta[:, 4].astype(np.float32),
-        "sy": theta[:, 5].astype(np.float32),
-        "bg": theta[:, 3].astype(np.float32),
-        "lpx": lpx.astype(np.float32),
-        "lpy": lpy.astype(np.float32),
-        "ellipticity": ellipticity.astype(np.float32),
-        "net_gradient": identifications["net_gradient"]
-        .to_numpy()
-        .astype(np.float32),
+        "x": f32(x),
+        "y": f32(y),
+        "photons": f32(theta[:, 2]),
+        "sx": f32(theta[:, 4]),
+        "sy": f32(theta[:, 5]),
+        "bg": f32(theta[:, 3]),
+        "lpx": f32(lpx),
+        "lpy": f32(lpy),
+        "ellipticity": f32(ellipticity),
+        "net_gradient": f32(
+            identifications["net_gradient"].to_numpy()
+        ),
     }
     if "n_id" in identifications.columns:
         data["n_id"] = (

@@ -403,19 +403,34 @@ def hdbscan(
 
 
 def _count_binding_events(group_arr, frame_arr):
-    """Events per cluster: a new event starts when consecutive frames
-    in a cluster are >3 apart (picasso/clusterer.py:728)."""
-    order = np.argsort(group_arr, kind="stable")
+    """Events per cluster: within a cluster's frame-ordered
+    localizations, a gap of more than 3 frames opens a new binding
+    event (semantics of picasso/clusterer.py:728).
+
+    Sorts by (group, frame) — a lexsort, so clusters whose rows arrive
+    frame-shuffled still count correctly — then segments the sorted
+    run once: an event starts at every cluster boundary and at every
+    intra-cluster frame gap > 3, and ``np.add.reduceat`` over the
+    cluster boundaries totals the starts per cluster.
+
+    Returns ``(n_events, order, group_sorted)``; ``order`` is reused
+    by the caller for the per-cluster convex-hull pass.
+    """
+    m = len(group_arr)
+    if m == 0:
+        return (
+            np.zeros(0, np.int64), np.zeros(0, np.intp),
+            np.asarray(group_arr),
+        )
+    order = np.lexsort((frame_arr, group_arr))
     group_s = group_arr[order]
     frame_s = frame_arr[order]
-    new_event = np.empty(len(frame_s), dtype=bool)
-    new_event[0] = True
-    new_event[1:] = (group_s[1:] != group_s[:-1]) | (
-        (frame_s[1:] - frame_s[:-1]) > 3
+    boundary = np.flatnonzero(
+        np.diff(group_s, prepend=group_s[0] - 1) != 0
     )
-    n_events = (
-        pd.Series(new_event).groupby(group_s, sort=True).sum().to_numpy()
-    )
+    event_start = np.diff(frame_s, prepend=frame_s[0]) > 3
+    event_start[boundary] = True
+    n_events = np.add.reduceat(event_start.astype(np.int64), boundary)
     return n_events, order, group_s
 
 

@@ -76,37 +76,35 @@ def locs_from_fits(
     box_offset = int(box / 2)
     x = theta[:, 0] + identifications["x"].to_numpy() - box_offset
     y = theta[:, 1] + identifications["y"].to_numpy() - box_offset
+    # one vectorized sqrt turns the CRLB diagonal into per-parameter
+    # 1-sigma uncertainties (column order y, x, photons, bg, sx, sy)
     with np.errstate(invalid="ignore"):
-        lpx = np.sqrt(CRLBs[:, 0])
-        lpy = np.sqrt(CRLBs[:, 1])
-        a = np.maximum(theta[:, 4], theta[:, 5])
-        b = np.minimum(theta[:, 4], theta[:, 5])
-        ellipticity = (a - b) / a
-        photons_unc = np.sqrt(CRLBs[:, 2])
-        bg_unc = np.sqrt(CRLBs[:, 3])
-        sx_unc = np.sqrt(CRLBs[:, 4])
-        sy_unc = np.sqrt(CRLBs[:, 5])
+        unc = np.sqrt(CRLBs.astype(np.float32))
+        ellipticity = np.abs(theta[:, 4] - theta[:, 5]) / np.maximum(
+            theta[:, 4], theta[:, 5]
+        )
+    f32 = lambda v: np.asarray(v, dtype=np.float32)  # noqa: E731
     locs = pd.DataFrame(
         {
             "frame": identifications["frame"].to_numpy(dtype=np.uint32),
-            "x": x.astype(np.float32),
-            "y": y.astype(np.float32),
-            "photons": theta[:, 2].astype(np.float32),
-            "sx": theta[:, 4].astype(np.float32),
-            "sy": theta[:, 5].astype(np.float32),
-            "bg": theta[:, 3].astype(np.float32),
-            "lpx": lpx.astype(np.float32),
-            "lpy": lpy.astype(np.float32),
-            "ellipticity": ellipticity.astype(np.float32),
-            "net_gradient": identifications["net_gradient"]
-            .to_numpy()
-            .astype(np.float32),
-            "log_likelihood": log_likelihoods.astype(np.float32),
+            "x": f32(x),
+            "y": f32(y),
+            "photons": f32(theta[:, 2]),
+            "sx": f32(theta[:, 4]),
+            "sy": f32(theta[:, 5]),
+            "bg": f32(theta[:, 3]),
+            "lpx": unc[:, 0],
+            "lpy": unc[:, 1],
+            "ellipticity": f32(ellipticity),
+            "net_gradient": f32(
+                identifications["net_gradient"].to_numpy()
+            ),
+            "log_likelihood": f32(log_likelihoods),
             "iterations": iterations.astype(np.uint32),
-            "photons_unc": photons_unc.astype(np.float32),
-            "bg_unc": bg_unc.astype(np.float32),
-            "sx_unc": sx_unc.astype(np.float32),
-            "sy_unc": sy_unc.astype(np.float32),
+            "photons_unc": unc[:, 2],
+            "bg_unc": unc[:, 3],
+            "sx_unc": unc[:, 4],
+            "sy_unc": unc[:, 5],
         }
     )
     if "n_id" in identifications.columns:

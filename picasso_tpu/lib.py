@@ -366,38 +366,47 @@ def calculate_optimal_bins(
     max_n_bins: int | None = None,
     sample_size: int = 1_000_000,
 ) -> np.ndarray:
-    """Freedman–Diaconis display bins (picasso/lib.py:1540)."""
+    """Display bin edges sized by the Freedman–Diaconis rule
+    (width = 2·IQR·n^(-1/3); picasso/lib.py:1540 uses the same rule).
+
+    The IQR is estimated from a fixed-seed subsample above
+    ``sample_size`` rows (quantiles sort; min/max stay O(n) over the
+    full data). Integer data never bins finer than 1 unit, and the
+    first edge sits half a bin below the minimum so the smallest
+    value falls inside the first bin rather than on its edge.
+    """
     data = np.asarray(data)
     n = len(data)
     if n == 0:
         return np.array([0.0, 1.0])
-    if data.dtype.kind == "f":
-        data_min, data_max = np.nanmin(data), np.nanmax(data)
-    else:
-        data_min, data_max = data.min(), data.max()
+    is_float = data.dtype.kind == "f"
+    lo = np.nanmin(data) if is_float else data.min()
+    hi = np.nanmax(data) if is_float else data.max()
+    sample = data
     if n > sample_size:
-        rng = np.random.default_rng(0)
-        sample = data[rng.choice(n, sample_size, replace=False)]
-    else:
-        sample = data
-    if sample.dtype.kind == "f":
+        idx = np.random.default_rng(0).choice(
+            n, sample_size, replace=False
+        )
+        sample = data[idx]
+    if is_float:
         sample = sample[np.isfinite(sample)]
-    if len(sample) == 0:
-        return np.array([data_min - 1.0, data_max + 1.0])
-    iqr = np.subtract(*np.percentile(sample, [75, 25]))
+        if not len(sample):
+            return np.array([lo - 1.0, hi + 1.0])
+    q1, q3 = np.quantile(sample, [0.25, 0.75])
+    iqr = q3 - q1
     if iqr == 0:
         return np.array([data[0] - 1.0, data[0] + 1.0])
-    bin_size = 2 * iqr * n ** (-1 / 3)
-    if data.dtype.kind in ("u", "i") and bin_size < 1:
-        bin_size = 1
-    bin_min = data_min - bin_size / 2
+    width = 2.0 * iqr / np.cbrt(n)
+    if data.dtype.kind in "ui":
+        width = max(width, 1)
+    start = lo - width / 2
     try:
-        n_bins = int((data_max - bin_min) / bin_size)
+        n_bins = int((hi - start) / width)
     except Exception:
         n_bins = 10
-    if max_n_bins and n_bins > max_n_bins:
-        n_bins = max_n_bins
-    return np.linspace(bin_min, data_max, n_bins)
+    if max_n_bins:
+        n_bins = min(n_bins, max_n_bins)
+    return np.linspace(start, hi, n_bins)
 
 
 def hist2d(
@@ -829,11 +838,10 @@ def remove_from_rec(rec_array, name):
     from numpy.lib.recfunctions import drop_fields
 
     deprecation_warning(
-        "Removing columns from recarrays is deprecated and will be"
-        " removed in Picasso 1.0. Since 0.9.0, Picasso uses pandas"
-        " DataFrames instead of recarrays. Simply use"
-        " locs.drop('new_column', axis=1) to remove a column from the"
-        " DataFrame."
+        "remove_from_rec is deprecated: localization tables are pandas"
+        " DataFrames now, so drop columns with"
+        " locs.drop(columns='name') instead. The recarray helper will"
+        " go away in a future release."
     )
     return drop_fields(rec_array, name, usemask=False, asrecarray=True)
 
@@ -843,10 +851,9 @@ def unpack_calibration(calibration, pixelsize):
     width/height from the polynomial coefficients, the z grid in camera
     pixels, and the magnification factor (picasso/lib.py:1488)."""
     deprecation_warning(
-        "The function 'unpack_calibration' is deprecated and will be"
-        " removed in Picasso 0.11.0. 3D G5M, for which this function"
-        " was originally implemented, only requires x and y"
-        " coefficients."
+        "unpack_calibration is deprecated and slated for removal:"
+        " 3D G5M now consumes the x/y polynomial coefficients"
+        " directly and no longer needs the unpacked grid."
     )
     cx = calibration["X Coefficients"]
     cy = calibration["Y Coefficients"]

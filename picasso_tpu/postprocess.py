@@ -788,16 +788,19 @@ def _frc(locs1, locs2, pixelsize, lp, viewport):
     im2 = im2 * mask
     f1 = np.fft.fftshift(np.fft.fft2(im1))
     f2 = np.fft.fftshift(np.fft.fft2(im2))
-    frc_num = np.real(imageprocess.radial_sum(f1 * np.conj(f2)))
-    frc_denom = np.sqrt(
-        np.abs(
-            imageprocess.radial_sum(np.abs(f1) ** 2)
-            * imageprocess.radial_sum(np.abs(f2) ** 2)
-        )
+    # FRC(q) = Re Σ_ring F1·F2* / sqrt(Σ_ring |F1|² · Σ_ring |F2|²).
+    # radial_sum is linear, so the real part can be taken per-pixel
+    # before ring-summing; |F|² expands to re²+im² (exact, no abs).
+    cross = imageprocess.radial_sum(
+        f1.real * f2.real + f1.imag * f2.imag
     )
+    power1 = imageprocess.radial_sum(f1.real**2 + f1.imag**2)
+    power2 = imageprocess.radial_sum(f2.real**2 + f2.imag**2)
     with np.errstate(divide="ignore", invalid="ignore"):
-        frc_curve = frc_num / frc_denom
-    frc_curve[np.isnan(frc_curve)] = 0
+        frc_curve = np.nan_to_num(
+            cross / np.sqrt(power1 * power2),
+            nan=0.0, posinf=0.0, neginf=0.0,
+        )
     sspan = max(int(np.ceil(int(im1.shape[0] / 2) / 20)), 5)
     frc_smooth = masking.loess_smooth(frc_curve, sspan)
     freqs = (
@@ -1307,19 +1310,24 @@ def undrift_from_fiducials(
     pixelsize = lib.get_from_metadata(
         info, "Pixelsize", raise_error=True
     )
-    if picks is None:
+    auto_detect = picks is None
+    if auto_detect:
         picks, box = imageprocess.find_fiducials(locs, info)
         pick_radius = box / 2
+        # any caller-supplied spatial index was built for a different
+        # radius than the auto-detected one — rebuild inside picked_locs
         index_blocks = None
+    elif pick_size is None:
+        raise ValueError(
+            "explicit pick coordinates need a pick_size "
+            "(the pick radius, in camera pixels)"
+        )
     else:
-        if pick_size is None:
-            raise ValueError(
-                "pick_size (radius in camera pixels) must be provided "
-                "when picks are given as a list of coordinates."
-            )
         pick_radius = pick_size
-    if len(picks) == 0:
-        raise ValueError("No picks found for drift correction.")
+    if not len(picks):
+        raise ValueError(
+            "no fiducial picks available — cannot estimate drift"
+        )
     pl = picked_locs(
         locs, info, picks, "Circle", pick_size=pick_radius,
         add_group=False, index_blocks=index_blocks,
