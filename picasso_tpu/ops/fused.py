@@ -50,6 +50,7 @@ from picasso_tpu.ops.identify import _identify_compact
 __all__ = [
     "identify_cut_fit",
     "cut_rois_t",
+    "cut_rois_t_blocks",
     "localize_fused",
 ]
 
@@ -133,10 +134,82 @@ def cut_rois_t(
     return jnp.transpose(patches, (1, 2, 0))
 
 
+def cut_rois_t_blocks(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Tile-block formulation of :func:`cut_rois_t` (same contract:
+    (box, box, N) lanes-last ROIs).
+
+    The row-gather form moves box rows x full frame width per spot
+    (box=7, X=256: ~7 KB of f32 per 196-byte window — 97% waste).
+    Here the frame is viewed as aligned (T, T) blocks (T = box//2+1,
+    the compaction tile), and each window is covered by the 3x3 block
+    patch that contains it: one (N, 9) gather of T*T-element
+    contiguous rows in the movie's NATIVE dtype (~300 B/spot for u16),
+    then the (box, box) window is sliced out of the assembled
+    (3T, 3T) superpatch with two per-spot one-hot contractions of
+    static shape (3T -> box on each axis, MXU work).
+
+    Eligible hits satisfy r <= y < Y-r-1 (ops/identify bounds), so a
+    window never leaves the frame; the block-row index only needs the
+    usual fill-row clamps. Padding Y/X up to block multiples is
+    gather-only (padded blocks are never addressed by real hits)."""
+    r = box // 2
+    T = r + 1
+    S = 3 * T  # superpatch side; box <= 2T+1 <= S always holds
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, frames.shape[1] - r - 1)
+    xc = jnp.clip(x, r, frames.shape[2] - r - 1)
+    N = fc.shape[0]
+    B, Y, X = frames.shape
+    Yp, Xp = -(-Y // T) * T, -(-X // T) * T
+    if (Yp, Xp) != (Y, X):
+        frames = jnp.pad(frames, ((0, 0), (0, Yp - Y), (0, Xp - X)))
+    nby, nbx = Yp // T, Xp // T
+    blocks = (
+        frames.reshape(B, nby, T, nbx, T)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B * nby * nbx, T * T)
+    )
+    b0y = jnp.clip((yc - r) // T, 0, nby - 3)
+    b0x = jnp.clip((xc - r) // T, 0, nbx - 3)
+    base = (fc * nby + b0y) * nbx + b0x
+    offs = (
+        jnp.arange(3, dtype=base.dtype)[:, None] * nbx
+        + jnp.arange(3, dtype=base.dtype)[None, :]
+    ).ravel()
+    gathered = blocks[base[:, None] + offs[None, :]]  # (N, 9, T*T)
+    sup = (
+        gathered.reshape(N, 3, 3, T, T)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(N, S, S)
+        .astype(jnp.float32)
+    )
+    dy = (yc - r - b0y * T)[:, None]  # in [0, 2T-2]
+    dx = (xc - r - b0x * T)[:, None]
+    hp = jax.lax.Precision.HIGHEST
+    oh_y = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, S, box), 1)
+        == dy[:, :, None] + jnp.arange(box)[None, None, :]
+    ).astype(jnp.float32)
+    oh_x = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, S, box), 1)
+        == dx[:, :, None] + jnp.arange(box)[None, None, :]
+    ).astype(jnp.float32)
+    rows7 = jnp.einsum("nyi,nyx->nix", oh_y, sup, precision=hp)
+    patches = jnp.einsum("nix,nxj->nij", rows7, oh_x, precision=hp)
+    return jnp.transpose(patches, (1, 2, 0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "box", "size", "eps", "max_it", "method", "use_pallas"
+        "box", "size", "eps", "max_it", "method", "use_pallas",
+        "pallas_interpret",
     ),
 )
 def identify_cut_fit(
@@ -151,6 +224,7 @@ def identify_cut_fit(
     max_it: int,
     method: str,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> tuple:
     """One fused device program over a frame chunk.
 
@@ -166,7 +240,7 @@ def identify_cut_fit(
     count, f, y, x, ng = _identify_compact(
         frames, ng_thresh, box, size
     )
-    spots_t = cut_rois_t(frames, f, y, x, box)
+    spots_t = _select_cut()(frames, f, y, x, box)
     photons = (spots_t.astype(jnp.float32) - baseline) * factor
     # use_pallas routes the fit through the tiled Mosaic kernels
     # (per-512-lane-tile early exit; certified against the XLA path
@@ -178,7 +252,9 @@ def identify_cut_fit(
         if use_pallas:
             from picasso_tpu.ops import lq_pallas
 
-            theta = lq_pallas.fit_pallas_t(photons, max_it, 1e-6)
+            theta = lq_pallas.fit_pallas_t(
+                photons, max_it, 1e-6, interpret=pallas_interpret
+            )
         else:
             theta = _lq._lm_core(photons, max_it, 1e-6)  # (6, N)
         zeros6 = jnp.zeros_like(theta)
@@ -191,7 +267,8 @@ def identify_cut_fit(
         from picasso_tpu.ops import mle_pallas
 
         thetas6, crlb6, ll, iters = mle_pallas.fit_pallas_t(
-            photons, eps, max_it, method=method
+            photons, eps, max_it, method=method,
+            interpret=pallas_interpret,
         )
     else:
         thetas6, crlb6, ll, iters = _mle._fit_core(
@@ -200,22 +277,46 @@ def identify_cut_fit(
     return count, f, y, x, ng, thetas6, crlb6, ll, iters
 
 
-def _pallas_ok(box: int, method: str) -> bool:
-    """Route fused fits through the Mosaic kernels on accelerator
-    backends (compile-probed per shape; always False on CPU where
-    only interpret mode exists)."""
+def _select_cut():
+    """ROI-cut formulation for the fused chain. ``rows`` (default)
+    is the measured round-3 production path; ``blocks`` is the
+    tile-block candidate (25x less gather traffic — pending on-chip
+    measurement before it can take the default). Read at trace time:
+    set PICASSO_TPU_ROI_CUT before the first fused call."""
+    import os
+
+    mode = os.environ.get("PICASSO_TPU_ROI_CUT", "rows")
+    return cut_rois_t_blocks if mode == "blocks" else cut_rois_t
+
+
+def _pallas_mode(box: int, method: str) -> str | None:
+    """Pallas routing for the fused fit cores: ``"mosaic"`` on
+    accelerator backends when the compile probe passes, ``None`` on
+    CPU (only interpret mode exists there — far slower than the XLA
+    cores). ``PICASSO_TPU_PALLAS=interpret`` forces interpret mode
+    (how the CPU dryrun/tests certify the sharded Pallas chain) and
+    ``=off`` disables the kernels entirely."""
+    import os
+
+    env = os.environ.get("PICASSO_TPU_PALLAS", "auto")
+    if env == "off":
+        return None
+    if env == "interpret":
+        return "interpret"
     if jax.default_backend() == "cpu":
-        return False
+        return None
     try:
         if method == "lq":
             from picasso_tpu.ops import lq_pallas
 
-            return lq_pallas.pallas_supported(box)
-        from picasso_tpu.ops import mle_pallas
+            ok = lq_pallas.pallas_supported(box)
+        else:
+            from picasso_tpu.ops import mle_pallas
 
-        return mle_pallas.pallas_supported(box, method)
+            ok = mle_pallas.pallas_supported(box, method)
     except Exception:
-        return False
+        ok = False
+    return "mosaic" if ok else None
 
 
 def _round_bucket(size: int, use_pallas: bool) -> int:
@@ -253,54 +354,60 @@ def _dispatch_chunk(
     method: str,
     mesh=None,
 ):
-    use_pallas = mesh is None and _pallas_ok(box, method)
+    # the Mosaic kernels run under shard_map too (each device fits its
+    # local bucket; zero collectives), so the mesh path no longer
+    # forces the XLA fallback — dryrun_multichip certifies the sharded
+    # Pallas chain in interpret mode on the virtual CPU mesh
+    mode = _pallas_mode(box, method)
+    use_pallas = mode is not None
     size = _round_bucket(
         _BUCKET_HINT.get(dev_frames.shape, _DEFAULT_BUCKET),
         use_pallas,
     )
     result = _run_chain(
         dev_frames, ng_thresh, baseline, factor, box, eps, max_it,
-        method, size, use_pallas, mesh,
+        method, size, mode, mesh,
     )
     return (dev_frames, ng_thresh, baseline, factor, box, eps,
-            max_it, method, size, result, use_pallas, mesh)
+            max_it, method, size, result, mode, mesh)
 
 
 def _run_chain(
     dev, ng_thresh, baseline, factor, box, eps, max_it, method,
-    size, use_pallas, mesh,
+    size, pallas_mode, mesh,
 ):
+    use_pallas = pallas_mode is not None
+    interpret = pallas_mode == "interpret"
     if mesh is None:
         return identify_cut_fit(
             dev, ng_thresh, baseline, factor,
             box=box, size=size, eps=eps, max_it=max_it,
             method=method, use_pallas=use_pallas,
+            pallas_interpret=interpret,
         )
-    # the sharded chain runs the XLA fit cores (use_pallas=False):
-    # per-shard Mosaic kernels inside shard_map are unverified on
-    # multi-chip hardware here; the XLA fallback is the certified path
     from picasso_tpu.parallel.mesh import fused_chain_program
 
     per_dev = dev.shape[0] // mesh.devices.size
     prog = fused_chain_program(
-        mesh, per_dev, box, size, eps, max_it, method
+        mesh, per_dev, box, size, eps, max_it, method,
+        use_pallas=use_pallas, pallas_interpret=interpret,
     )
     return prog(dev, ng_thresh, baseline, factor)
 
 
 def _finalize_chunk(handle):
     (dev, ng_thresh, baseline, factor, box, eps, max_it, method,
-     size, result, use_pallas, mesh) = handle
+     size, result, pallas_mode, mesh) = handle
     while True:
         count = int(np.max(np.asarray(result[0])))
         if count <= size:
             break
         size = _round_bucket(
-            1 << (count - 1).bit_length(), use_pallas
+            1 << (count - 1).bit_length(), pallas_mode is not None
         )
         result = _run_chain(
             dev, ng_thresh, baseline, factor, box, eps, max_it,
-            method, size, use_pallas, mesh,
+            method, size, pallas_mode, mesh,
         )
     _BUCKET_HINT[dev.shape] = max(
         _BUCKET_HINT.get(dev.shape, 0), size

@@ -371,6 +371,8 @@ def fused_chain_program(
     eps: float,
     max_it: int,
     method: str,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Jitted dispatch-only fused chain over the mesh: every device
     runs identify+cut+fit (ops/fused.identify_cut_fit) on its local
@@ -384,7 +386,10 @@ def fused_chain_program(
     iters)`` with global frame indices and the per-shard hit buckets
     padded to ``size``.
     """
-    key = (mesh, per_dev, box, size, eps, max_it, method)
+    key = (
+        mesh, per_dev, box, size, eps, max_it, method, use_pallas,
+        pallas_interpret,
+    )
     prog = _FUSED_CHAIN_CACHE.get(key)
     if prog is not None:
         return prog
@@ -400,13 +405,18 @@ def fused_chain_program(
             + (P("spots", None, None),) * 2
             + (P("spots"),) * 2
         ),
+        # pallas_call outputs carry no varying-mesh-axes annotation;
+        # the chain is purely data-parallel (no collectives), so the
+        # vma check adds nothing here and would reject the kernels
+        check_vma=False,
     )
     def _shard_chain(f_shard, ng_thresh, baseline, factor):
         count, f, y, x, ng, theta, crlb, ll, iters = (
             identify_cut_fit(
                 f_shard, ng_thresh, baseline, factor,
                 box=box, size=size, eps=eps, max_it=max_it,
-                method=method, use_pallas=False,
+                method=method, use_pallas=use_pallas,
+                pallas_interpret=pallas_interpret,
             )
         )
         offset = jax.lax.axis_index("spots") * per_dev
@@ -431,6 +441,8 @@ def localize_fused_sharded(
     method: str = "lq",
     eps: float = 1e-3,
     max_it: int = 100,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """The flagship fused identify+cut+fit chain (ops/fused.py) with
     the FRAME batch sharded over the mesh: every device runs the whole
@@ -469,15 +481,20 @@ def localize_fused_sharded(
     )
 
     size = bucket
+    if use_pallas:
+        size = max(512, size)  # Pallas buckets are 512-lane multiples
     while True:
         prog = fused_chain_program(
-            mesh, per_dev, box, size, eps, max_it, method
+            mesh, per_dev, box, size, eps, max_it, method,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         res = prog(frames_dev, ng_thresh, baseline, factor)
         counts = np.asarray(res[0])
         if counts.max(initial=0) <= size:
             break
         size = 1 << (int(counts.max()) - 1).bit_length()
+        if use_pallas:
+            size = max(size, 512)  # Pallas tiles are 512 lanes
 
     _, f, y, x, ng, theta, crlb, ll, iters = map(np.asarray, res)
     out: list[list] = [[] for _ in range(8)]

@@ -254,3 +254,82 @@ class TestCutRoisT:
         np.testing.assert_array_equal(
             got[:, :, 1], frames[0, 7:14, 7:14].astype(np.float32)
         )
+
+
+class TestCutRoisTBlocks:
+    """The tile-block ROI cut must reproduce the plain numpy window
+    cut exactly: any window of an ELIGIBLE hit (r <= y < Y-r-1) is
+    covered by the 3x3 aligned (T, T) block patch, and the two
+    one-hot extractions at HIGHEST precision are exact for integer
+    camera data."""
+
+    def _reference(self, frames, f, y, x, box):
+        r = box // 2
+        out = np.empty((box, box, len(f)), np.float32)
+        for n, (fn, yn, xn) in enumerate(zip(f, y, x)):
+            out[:, :, n] = frames[
+                fn, yn - r:yn + r + 1, xn - r:xn + r + 1
+            ].astype(np.float32)
+        return out
+
+    @pytest.mark.parametrize("box", [5, 7, 9])
+    @pytest.mark.parametrize("shape", [(48, 64), (50, 98), (32, 256)])
+    def test_exact_vs_numpy(self, box, shape):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        r = box // 2
+        B = 3
+        Y, X = shape
+        frames = rng.integers(0, 65535, (B, Y, X), dtype=np.uint16)
+        n = 96
+        f = rng.integers(0, B, n).astype(np.int32)
+        y = rng.integers(r, Y - r - 1, n).astype(np.int32)
+        x = rng.integers(r, X - r - 1, n).astype(np.int32)
+        # border extremes of the eligible interior + block straddles
+        y[:4] = [r, Y - r - 2, r + 1, (Y - r - 2)]
+        x[:4] = [r, X - r - 2, X - r - 2, r]
+        got = np.asarray(
+            fused.cut_rois_t_blocks(jnp.asarray(frames), f, y, x, box)
+        )
+        np.testing.assert_array_equal(
+            got, self._reference(frames, f, y, x, box)
+        )
+
+    def test_fill_rows_and_f32_frames(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(8)
+        frames = rng.integers(
+            0, 65535, (2, 64, 64), dtype=np.uint16
+        ).astype(np.float32)
+        f = np.array([-1, 1], np.int32)
+        y = np.array([-1, 30], np.int32)
+        x = np.array([-1, 33], np.int32)
+        got = np.asarray(
+            fused.cut_rois_t_blocks(jnp.asarray(frames), f, y, x, 7)
+        )
+        # fill row clamps to frame 0's top-left eligible window
+        np.testing.assert_array_equal(
+            got[:, :, 0], frames[0, :7, :7].astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            got[:, :, 1], frames[1, 27:34, 30:37].astype(np.float32)
+        )
+
+    def test_agrees_with_row_cut(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 65535, (4, 96, 96), dtype=np.uint16)
+        n = 128
+        f = rng.integers(0, 4, n).astype(np.int32)
+        y = rng.integers(3, 92, n).astype(np.int32)
+        x = rng.integers(3, 92, n).astype(np.int32)
+        a = np.asarray(
+            fused.cut_rois_t(jnp.asarray(frames), f, y, x, 7)
+        )
+        b = np.asarray(
+            fused.cut_rois_t_blocks(jnp.asarray(frames), f, y, x, 7)
+        )
+        np.testing.assert_array_equal(a, b)

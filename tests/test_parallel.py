@@ -253,6 +253,78 @@ class TestLocalizeFusedSharded:
         assert len(out[0]) > 16
         assert out[4].shape == (len(out[0]), 6)
 
+    def test_pallas_cores_match_xla_under_mesh(self):
+        """The fused chain with the Pallas fit kernels inside
+        shard_map (interpret mode on the CPU mesh; Mosaic on real
+        chips) must reproduce the XLA fit cores — per-spot convergence
+        freezing makes tile grouping irrelevant (VERDICT r3 #3)."""
+        from picasso_tpu.parallel import mesh as pmesh
+
+        frames = self._movie()
+        cam = {"Baseline": 10, "Sensitivity": 0.5, "Gain": 1}
+        xla = pmesh.localize_fused_sharded(
+            frames, 2000, 7, cam, method="lq", max_it=40,
+        )
+        pal = pmesh.localize_fused_sharded(
+            frames, 2000, 7, cam, method="lq", max_it=40,
+            use_pallas=True, pallas_interpret=True,
+        )
+        for a, b in zip(xla[:4], pal[:4]):
+            np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(
+            pal[4], xla[4], rtol=1e-5, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    @pytest.mark.parametrize("n_frames", [5, 13])
+    def test_uneven_remainders_and_submeshes(self, n_dev, n_frames):
+        """Frame counts that don't divide the device count (remainder
+        pad) on 2- and 8-device meshes must still match the
+        single-device fused chain exactly (VERDICT r3 #9)."""
+        import jax.numpy as jnp
+
+        from picasso_tpu.ops import fused
+        from picasso_tpu.parallel import mesh as pmesh
+
+        if len(jax.devices()) < n_dev:
+            pytest.skip(f"needs {n_dev} devices")
+        mesh = pmesh.default_mesh(jax.devices()[:n_dev])
+        frames = self._movie()[:n_frames]
+        cam = {"Baseline": 10, "Sensitivity": 0.5, "Gain": 1}
+        f2, y2, x2, ng2, th2, *_ = pmesh.localize_fused_sharded(
+            frames, 2000, 7, cam, method="lq", max_it=40, mesh=mesh,
+        )
+        count, f1, y1, x1, ng1, th1, *_ = map(
+            np.asarray,
+            fused.identify_cut_fit(
+                jnp.asarray(frames), jnp.float32(2000),
+                jnp.float32(10), jnp.float32(0.5),
+                box=7, size=4096, eps=1e-3, max_it=40, method="lq",
+            ),
+        )
+        n = int(count)
+        assert len(f2) == n
+        o1 = np.lexsort((x1[:n], y1[:n], f1[:n]))
+        o2 = np.lexsort((x2, y2, f2))
+        np.testing.assert_array_equal(f1[:n][o1], f2[o2])
+        np.testing.assert_array_equal(th1[:, :n].T[o1], th2[o2])
+
+    def test_empty_shard_chunk(self):
+        """A device whose frame shard contains no hits must not
+        disturb the others (VERDICT r3 #9)."""
+        from picasso_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.default_mesh(jax.devices()[:2])
+        frames = self._movie()[:8].copy()
+        frames[4:] = 0  # second device's shard: no spots at all
+        cam = {"Baseline": 10, "Sensitivity": 0.5, "Gain": 1}
+        f, y, x, ng, th, *_ = pmesh.localize_fused_sharded(
+            frames, 2000, 7, cam, method="lq", max_it=40, mesh=mesh,
+        )
+        assert len(f) > 0
+        assert (f < 4).all()
+        assert np.isfinite(th).all()
+
 
 class TestSpinnaScoreSharded:
     def test_bit_identical_to_unsharded(self, mesh8):
