@@ -38,10 +38,15 @@ def erf(x: jnp.ndarray) -> jnp.ndarray:
 
 def integrated_gaussian(d: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Integral of a unit Gaussian over one pixel (deltaE, eq. 4a/b):
-    0.5 * (erf((d+.5)/(sqrt(2) sigma)) - erf((d-.5)/(sqrt(2) sigma))).
+    0.5 * (erf((d+.5)/(sqrt(2) sigma)) - erf((d-.5)/(sqrt(2) sigma))),
+    evaluated tail-stably via the complement form (see _psf_from_exp).
     (picasso/gaussmle.py:269)"""
-    sq_norm = _INV_SQRT2 / sigma
-    return 0.5 * (erf((d + 0.5) * sq_norm) - erf((d - 0.5) * sq_norm))
+    inv_s = 1.0 / sigma
+    ap = (d + 0.5) * inv_s
+    am = (d - 0.5) * inv_s
+    ea = jnp.exp(-0.5 * ap * ap)
+    eb = jnp.exp(-0.5 * am * am)
+    return _psf_from_exp(ap, am, ea, eb)
 
 
 def derivative_integrated_gaussian(
@@ -99,9 +104,11 @@ def iso_sigma_axis_terms(
     return dPSF, d2PSF
 
 
-def _erf_from_exp(a, e):
-    """erf(a/sqrt(2)) given e == exp(-(a/sqrt(2))^2) — reuses the
-    exponential already computed for the derivative factors."""
+def _erfc_from_exp(a, e):
+    """erfc(|a|/sqrt(2)) given e == exp(-(a/sqrt(2))^2) — reuses the
+    exponential already computed for the derivative factors. The
+    complement form carries the exp factor explicitly, so it keeps
+    RELATIVE accuracy deep in the tail where 1 - erfc rounds to 1."""
     x = jnp.abs(a) * _INV_SQRT2
     t = 1.0 / (1.0 + 0.3275911 * x)
     poly = t * (
@@ -112,7 +119,32 @@ def _erf_from_exp(a, e):
             + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
         )
     )
-    return jnp.sign(a) * (1.0 - poly * e)
+    return poly * e
+
+
+def _psf_from_exp(ap, am, ea, eb):
+    """0.5*(erf(ap/sqrt2) - erf(am/sqrt2)) evaluated tail-stably.
+
+    The naive difference of erf values computed as sign*(1 - erfc)
+    collapses in float32 once erfc < 2^-24: both operands round to
+    ±1 and the pixel's PSF value cancels to 0. That loses the dim
+    pixels of bright spots — at photons ~1e6 over bg ~0.01 the CRLB's
+    1/model weights were off by ~6% (the bg row worst). Rewriting the
+    difference per sign region keeps only complement terms:
+
+      both >= 0:  0.5*(erfc(am) - erfc(ap))     (right tail)
+      both <= 0:  0.5*(erfc(-ap) - erfc(-am))   (left tail)
+      straddling: 0.5*(2 - erfc(ap) - erfc(-am))
+
+    Exactly equal in real arithmetic; float32-relative-accurate in
+    the tails. Mosaic-safe (selects + the shared exponentials)."""
+    qa = _erfc_from_exp(ap, ea)
+    qb = _erfc_from_exp(am, eb)
+    return jnp.where(
+        am >= 0,
+        0.5 * (qb - qa),
+        jnp.where(ap <= 0, 0.5 * (qa - qb), 0.5 * (2.0 - qa - qb)),
+    )
 
 
 def fused_axis_terms(
@@ -132,7 +164,7 @@ def fused_axis_terms(
     ea = jnp.exp(-0.5 * ap * ap)
     eb = jnp.exp(-0.5 * am * am)
 
-    psf = 0.5 * (_erf_from_exp(ap, ea) - _erf_from_exp(am, eb))
+    psf = _psf_from_exp(ap, am, ea, eb)
     norm = inv_s / _SQRT_2PI
     dmu = (eb - ea) * norm
     g1 = ((d - 0.5) * eb - (d + 0.5) * ea) * norm  # sigma * G(2,1)
@@ -158,7 +190,7 @@ def fused_axis_terms_iso(
     ea = jnp.exp(-0.5 * ap * ap)
     eb = jnp.exp(-0.5 * am * am)
 
-    psf = 0.5 * (_erf_from_exp(ap, ea) - _erf_from_exp(am, eb))
+    psf = _psf_from_exp(ap, am, ea, eb)
     norm = inv_s / _SQRT_2PI
     dmu = (eb - ea) * norm
     d2mu = ((d - 0.5) * eb - (d + 0.5) * ea) * norm * inv_s * inv_s
