@@ -41,18 +41,26 @@ def _configure_jax_defaults():
         jax.config.jax_compilation_cache_dir is None
         and "JAX_COMPILATION_CACHE_DIR" not in os.environ
     ):
-        # key the cache by a host-CPU fingerprint: XLA:CPU AOT results
-        # are machine-code and can SIGILL if reused on a host with
-        # different vector extensions (shared home dirs across fleets)
+        # key the cache by a host fingerprint: XLA:CPU AOT results are
+        # machine-code and can SIGILL if reused on a host with
+        # different vector extensions (shared home dirs across
+        # fleets). Flags alone are too weak — XLA derives extra
+        # tuning pseudo-features (prefer-no-gather/scatter) from the
+        # CPU MODEL, and blobs from another jaxlib don't reload — so
+        # model name and jaxlib version join the hash.
         import hashlib
 
         try:
             with open("/proc/cpuinfo") as f:
-                flags = [
-                    line for line in f if line.startswith("flags")
-                ][:1]
+                keep = [
+                    line for line in f
+                    if line.startswith(("flags", "model name"))
+                ][:2]
+            import jaxlib
+
+            keep.append(getattr(jaxlib, "__version__", "?"))
             fingerprint = hashlib.sha1(
-                "".join(flags).encode()
+                "".join(keep).encode()
             ).hexdigest()[:8]
         except Exception:
             fingerprint = "generic"

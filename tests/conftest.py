@@ -30,15 +30,16 @@ import numpy as np
 import pandas as pd
 import pytest
 
-# Persistent XLA compilation cache: first-compile of the fit kernels is
-# tens of seconds; cached compiles are instant across test runs.
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # The environment's TPU plugin re-registers itself ahead of the env
 # var; force the CPU mesh explicitly so tests run on 8 virtual devices.
+import jax
+
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache: first-compile of the fit kernels is
+# tens of seconds; cached compiles are instant across test runs. The
+# package picks a host-fingerprinted dir (AOT blobs are machine code —
+# a shared path would SIGILL or spam loader errors on other hosts).
+import picasso_tpu  # noqa: F401  (sets jax_compilation_cache_dir)
 
 _LOCAL_DATA = os.path.join(os.path.dirname(__file__), "data")
 _REFERENCE_DATA = "/root/reference/tests/data"
