@@ -183,6 +183,35 @@ class LocalizeApp(_PluginHost):
             self.status(f"Saved {len(locs)} locs to {out_path}")
         return locs, new_info
 
+    def fit_from_identifications(
+        self,
+        path: str,
+        out_path: str | None = None,
+        fitting_method: str | None = None,
+    ):
+        """File > Load locs as identifications (gui/localize.py):
+        refit the CURRENT movie at spot positions loaded from a saved
+        identifications/locs HDF5 — e.g. to refit with a different
+        method or camera parameters without re-identifying."""
+        ids, ids_info = io.load_identifications(path)
+        method = fitting_method or self.fitting_method
+        self.status(
+            f"Fitting {len(ids)} loaded identifications ({method})..."
+        )
+        locs, new_info = localize.fit2D(
+            self.movie,
+            list(self.info) + list(ids_info),
+            dict(self.camera_info),
+            ids,
+            self.box,
+            fitting_method=method,
+        )
+        new_info = list(self.info) + [new_info]
+        if out_path is not None:
+            io.save_locs(out_path, locs, new_info)
+            self.status(f"Saved {len(locs)} locs to {out_path}")
+        return locs, new_info
+
     def _on_key(self, event):
         if event.key == "right":
             self.frame_number = min(
@@ -493,4 +522,9 @@ class FilterApp(_PluginHost):
                 ],
             }
         ]
-        io.save_locs(path, self.locs, new_info)
+        if path.lower().endswith(".csv"):
+            # File > Export as CSV (gui/filter.py): ThunderSTORM-
+            # compatible table, same exporter as Render's
+            io.export_ts(path, self.locs, new_info)
+        else:
+            io.save_locs(path, self.locs, new_info)

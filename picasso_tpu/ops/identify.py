@@ -251,8 +251,15 @@ def _net_gradient_mxu(gy, gx, box: int):
     B, Y, X = gy.shape
 
     def tile_plan(n):
+        # Band width trades MXU-contraction depth against dense-band
+        # waste: a (S, S+2h) band does S+2h MACs per output element
+        # for a true bandwidth of 2h+1. PICASSO_TPU_NG_TILE caps S
+        # for on-chip A/B (read at trace time).
+        import os
+
+        cap = int(os.environ.get("PICASSO_TPU_NG_TILE", "256"))
         npad = -(-n // 64) * 64
-        S = npad if npad <= 256 else 64
+        S = npad if npad <= cap else 64
         # S must divide npad: round npad up to a multiple of S
         npad = -(-npad // S) * S
         return npad, S

@@ -91,6 +91,31 @@ class TestLocalizeApp:
         assert spots.shape[1:] == (7, 7)
         assert info[-1]["Box Size"] == 7
 
+    def test_fit_from_identifications(
+        self, movie, movie_info, tmp_path
+    ):
+        """File > Load locs as identifications: refit the movie at
+        positions loaded from a saved identifications file."""
+        from picasso_tpu import io, localize
+
+        ids, info = localize.identify(
+            movie, 5000, 7, return_info=True
+        )
+        ids_path = str(tmp_path / "movie_ids.hdf5")
+        io.save_identifications(
+            ids_path, ids, list(movie_info) + [info]
+        )
+        app = gui.LocalizeApp(
+            movie, movie_info, min_net_gradient=5000, box=7
+        )
+        out = str(tmp_path / "refit_locs.hdf5")
+        locs, new_info = app.fit_from_identifications(
+            ids_path, out_path=out, fitting_method="gausslq"
+        )
+        assert len(locs) == len(ids) > 0
+        back, _ = io.load_locs(out)
+        assert len(back) == len(locs)
+
 
 class TestFilterApp:
     def test_filter_and_save(self, tmp_path):
@@ -108,6 +133,18 @@ class TestFilterApp:
         assert info[-1]["Filters"][0]["Column"] == "photons"
         app.undo_all()
         assert len(app.locs) == 2000
+
+    def test_save_csv_thunderstorm(self, tmp_path):
+        """Filter > Export as CSV writes a ThunderSTORM table."""
+        import pandas as pd
+
+        app = gui.FilterApp(_locs(), INFO)
+        app.apply_filter("photons", 1000, 3000)
+        path = str(tmp_path / "filtered.csv")
+        app.save(path)
+        table = pd.read_csv(path)
+        assert len(table) == len(app.locs)
+        assert any("x" in c for c in table.columns)
 
 
 class TestPlugins:
