@@ -414,3 +414,54 @@ class TestG5MClustersSharded:
             sharded[0], ref[0], rtol=1e-4, atol=1e-4
         )  # weights
         assert sharded[7].all() == ref[7].all()
+
+
+def test_sixteen_device_mesh_subprocess():
+    """n_devices=16 (VERDICT r3 #9): the conftest mesh is pinned at 8
+    virtual devices for the whole process, so the 16-device check runs
+    in a subprocess with its own XLA_FLAGS. Uneven 22-frame movie on
+    16 devices, fused sharded chain vs single-device — exact."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from picasso_tpu.ops import fused
+from picasso_tpu.parallel import mesh as pmesh
+
+assert len(jax.devices()) == 16
+mesh = pmesh.default_mesh(jax.devices())
+rng = np.random.default_rng(2)
+frames = rng.poisson(30, (22, 48, 48)).astype(np.uint16)
+yy, xx = np.mgrid[-3:4, -3:4]
+psf = np.exp(-(yy**2 + xx**2) / 2.4)
+for i in range(22):
+    for cy, cx in ((10, 10), (30, 20), (40, 40)):
+        frames[i, cy-3:cy+4, cx-3:cx+4] += rng.poisson(psf*600).astype(np.uint16)
+cam = {"Baseline": 10, "Sensitivity": 0.5, "Gain": 1}
+f2, y2, x2, ng2, th2, *_ = pmesh.localize_fused_sharded(
+    frames, 2000, 7, cam, method="lq", max_it=40, mesh=mesh)
+count, f1, y1, x1, ng1, th1, *_ = map(np.asarray, fused.identify_cut_fit(
+    jnp.asarray(frames), jnp.float32(2000), jnp.float32(10),
+    jnp.float32(0.5), box=7, size=4096, eps=1e-3, max_it=40, method="lq"))
+n = int(count)
+assert len(f2) == n and n > 0
+o1 = np.lexsort((x1[:n], y1[:n], f1[:n]))
+o2 = np.lexsort((x2, y2, f2))
+np.testing.assert_array_equal(f1[:n][o1], f2[o2])
+np.testing.assert_array_equal(th1[:, :n].T[o1], th2[o2])
+print("OK16")
+"""
+    import os
+
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True,
+        text=True, env=env, timeout=900,
+    )
+    assert "OK16" in out.stdout, out.stderr[-3000:]
