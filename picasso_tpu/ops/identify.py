@@ -324,31 +324,47 @@ def _identify_compact(frames, minimum_ng, box, size):
     Hit order is (frame, tile-row, tile-col) — frame-major like the
     row-major scan, with intra-frame order permuted only between
     hits of the same 4-px band."""
-    maxima, ng = identify_maps(frames, box)
-    B, Y, X = ng.shape
-    mask = maxima & (ng > minimum_ng)
+    B, Y, X = frames.shape
     T = box // 2 + 1
-    Yp, Xp = -(-Y // T) * T, -(-X // T) * T
-    if (Yp, Xp) != (Y, X):
-        pad = ((0, 0), (0, Yp - Y), (0, Xp - X))
-        mask = jnp.pad(mask, pad)
-        ng = jnp.pad(ng, pad)
-    Ty, Tx = Yp // T, Xp // T
-    m = mask.reshape(B, Ty, T, Tx, T)
-    # ≤1 hit per tile ⇒ plain sums recover the hit's local offset,
-    # and reducing ng onto tiles here means the full-res ng map is
-    # only ever consumed by fused reductions — no 4·B·Y·X-byte
-    # materialization and no post-compaction gather from it
-    tile_mask = m.any(axis=(2, 4)).ravel()
-    loc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) * T + \
-        jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    tile_loc = jnp.sum(
-        m * loc[None, None, :, None, :],
-        axis=(2, 4), dtype=jnp.int32,
-    ).ravel()
-    tile_ng = jnp.sum(
-        m * ng.reshape(B, Ty, T, Tx, T), axis=(2, 4),
-    ).ravel()
+    Ty, Tx = -(-Y // T), -(-X // T)
+    from picasso_tpu.ops import identify_pallas as _idp
+
+    mode = _idp.identify_mode()
+    if mode is not None and (
+        mode == "interpret" or _idp.pallas_supported(frames.shape, box)
+    ):
+        # fused Mosaic kernel: maxima + net gradient + threshold +
+        # tile reduction in one VMEM pass (ops/identify_pallas.py)
+        tm, tl, tn = _idp.identify_tiles_pallas(
+            frames, minimum_ng, box,
+            interpret=mode == "interpret",
+        )
+        tile_mask = (tm > 0.5).ravel()
+        tile_loc = jnp.round(tl).astype(jnp.int32).ravel()
+        tile_ng = tn.ravel()
+    else:
+        maxima, ng = identify_maps(frames, box)
+        mask = maxima & (ng > minimum_ng)
+        Yp, Xp = Ty * T, Tx * T
+        if (Yp, Xp) != (Y, X):
+            pad = ((0, 0), (0, Yp - Y), (0, Xp - X))
+            mask = jnp.pad(mask, pad)
+            ng = jnp.pad(ng, pad)
+        m = mask.reshape(B, Ty, T, Tx, T)
+        # ≤1 hit per tile ⇒ plain sums recover the hit's local
+        # offset, and reducing ng onto tiles here means the full-res
+        # ng map is only ever consumed by fused reductions — no
+        # 4·B·Y·X-byte materialization and no post-compaction gather
+        tile_mask = m.any(axis=(2, 4)).ravel()
+        loc = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) * T + \
+            jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        tile_loc = jnp.sum(
+            m * loc[None, None, :, None, :],
+            axis=(2, 4), dtype=jnp.int32,
+        ).ravel()
+        tile_ng = jnp.sum(
+            m * ng.reshape(B, Ty, T, Tx, T), axis=(2, 4),
+        ).ravel()
 
     c = jnp.cumsum(tile_mask.astype(jnp.int32))
     count = c[-1]

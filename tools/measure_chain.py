@@ -64,12 +64,15 @@ def main():
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--bucket", type=int, default=1 << 17)
     ap.add_argument(
-        "--inner", choices=["ng64", "ng256"], default=None,
-        help="(internal) net-gradient tile A/B child",
+        "--inner", choices=["ng64", "ng256", "idpallas"],
+        default=None,
+        help="(internal) trace-time-env A/B child",
     )
     args = ap.parse_args()
 
-    if args.inner:
+    if args.inner == "idpallas":
+        os.environ["PICASSO_TPU_IDENTIFY"] = "pallas"
+    elif args.inner:
         os.environ["PICASSO_TPU_NG_TILE"] = (
             "64" if args.inner == "ng64" else "256"
         )
@@ -119,9 +122,9 @@ def main():
 
         return (timed(chained, dev, *extra) - latency) / CHAIN * 1e3
 
-    # ---- net-gradient tile A/B runs in subprocesses (trace-time env)
+    # ---- trace-time-env A/B variants run in subprocesses
     if args.inner is None and not args.quick:
-        for cap in ("ng64", "ng256"):
+        for cap in ("ng64", "ng256", "idpallas"):
             r = subprocess.run(
                 [
                     sys.executable, os.path.abspath(__file__),
@@ -148,6 +151,24 @@ def main():
             return jnp.sum(ng) + jnp.sum(mx)
 
         emit("identify_maps", chain_ms(f_maps))
+
+        # fused Mosaic identify kernel (maps + threshold + tile
+        # reduce in one pass) — kernel only, Mosaic lowering
+        from picasso_tpu.ops import identify_pallas as idp
+
+        if jax.default_backend() != "cpu" and idp.pallas_supported(
+            movie.shape, 7
+        ):
+            def f_idp(fr, eps):
+                tm, tl, tn = idp.identify_tiles_pallas(
+                    fr, ng_t + eps, 7
+                )
+                return jnp.sum(tn) + jnp.sum(tm)
+
+            emit("identify_tiles_pallas", chain_ms(f_idp))
+        else:
+            print("# identify_tiles_pallas: unsupported/CPU",
+                  file=sys.stderr)
 
     # ---- stage: identify + compaction ----
     bucket = args.bucket
