@@ -114,6 +114,25 @@ def make_drifted_locs(
     return locs, info
 
 
+def make_bench_movie(n_frames, size, n_sites, p_on, rng):
+    """Synthetic DNA-PAINT movie for the e2e stages. Shared with
+    tools/measure_chain.py — the A/B table and the bench metrics must
+    describe the SAME ~118k-spot workload."""
+    movie = rng.poisson(
+        30, (n_frames, size, size)
+    ).astype(np.uint16)
+    yy, xx = np.mgrid[-3:4, -3:4]
+    psf = np.exp(-(yy**2 + xx**2) / (2 * 1.1**2))
+    sites = rng.uniform(8, size - 8, (n_sites, 2)).astype(int)
+    for fidx in range(n_frames):
+        on = rng.random(n_sites) < p_on
+        for sy, sx in sites[on]:
+            movie[fidx, sy - 3:sy + 4, sx - 3:sx + 4] += (
+                rng.poisson(psf * 900).astype(np.uint16)
+            )
+    return movie
+
+
 def mle_flops_per_spot_iter(box: int) -> float:
     """Analytic f32 FLOPs per spot per Newton iteration for the
     sigmaxy MLE kernel (ops/mle._newton_step_sigmaxy). Derivation in
@@ -568,20 +587,7 @@ def main():
     run_stage("mle_measure", _stage_mle_measure, deadline=600, tries=3)
 
     # ---- end-to-end localize helpers ----
-    def _make_movie(n_frames, size, n_sites, p_on, rng):
-        movie = rng.poisson(
-            30, (n_frames, size, size)
-        ).astype(np.uint16)
-        yy, xx = np.mgrid[-3:4, -3:4]
-        psf = np.exp(-(yy**2 + xx**2) / (2 * 1.1**2))
-        sites = rng.uniform(8, size - 8, (n_sites, 2)).astype(int)
-        for fidx in range(n_frames):
-            on = rng.random(n_sites) < p_on
-            for sy, sx in sites[on]:
-                movie[fidx, sy - 3:sy + 4, sx - 3:sx + 4] += (
-                    rng.poisson(psf * 900).astype(np.uint16)
-                )
-        return movie
+    _make_movie = make_bench_movie
 
     # ---- 3. compute-bound end-to-end localize: frames resident in
     # HBM (no link in the loop), dense emitters — the pipeline's
@@ -1009,7 +1015,7 @@ def main():
     if "headline" in state["done"]:
         return
     extra = {
-        "selftest": data.get("selftest", "skipped-selftest-failed"),
+        "selftest": data.get("selftest", "not-run (stage skipped)"),
         **data.get("selftest_paths", {}),
         **data.get("roofline", {}),
     }

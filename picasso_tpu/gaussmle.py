@@ -77,7 +77,8 @@ def locs_from_fits(
     x = theta[:, 0] + identifications["x"].to_numpy() - box_offset
     y = theta[:, 1] + identifications["y"].to_numpy() - box_offset
     # one vectorized sqrt turns the CRLB diagonal into per-parameter
-    # 1-sigma uncertainties (column order y, x, photons, bg, sx, sy)
+    # 1-sigma uncertainties (column order x, y, photons, bg, sx, sy —
+    # same as theta; reference gaussmle.py:570/1002)
     with np.errstate(invalid="ignore"):
         unc = np.sqrt(CRLBs.astype(np.float32))
         ellipticity = np.abs(theta[:, 4] - theta[:, 5]) / np.maximum(

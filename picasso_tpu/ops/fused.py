@@ -161,11 +161,15 @@ def cut_rois_t_blocks(
     r = box // 2
     T = r + 1
     S = 3 * T  # superpatch side; box <= 2T+1 <= S always holds
-    fc = jnp.maximum(f, 0)
-    yc = jnp.clip(y, r, frames.shape[1] - r - 1)
-    xc = jnp.clip(x, r, frames.shape[2] - r - 1)
-    N = fc.shape[0]
     B, Y, X = frames.shape
+    if Y < 3 * T or X < 3 * T:
+        # fewer than 3 tile-blocks on an axis: the 3x3 patch cannot
+        # exist — the row cut handles tiny frames correctly
+        return cut_rois_t(frames, f, y, x, box)
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    N = fc.shape[0]
     Yp, Xp = -(-Y // T) * T, -(-X // T) * T
     if (Yp, Xp) != (Y, X):
         frames = jnp.pad(frames, ((0, 0), (0, Yp - Y), (0, Xp - X)))

@@ -218,9 +218,16 @@ def pallas_supported(shape: tuple[int, int, int], box: int) -> bool:
     key = (shape[1], shape[2], box)
     if key not in _SUPPORTED:
         try:
-            probe = jnp.ones((1, shape[1], shape[2]), jnp.float32)
-            out = identify_tiles_pallas(probe, 1.0, box)
-            np.asarray(out[0])
+            # the only caller sits inside the jitted _identify_compact:
+            # without compile-time eval the probe would stage into the
+            # enclosing trace and np.asarray would raise on a tracer,
+            # permanently caching False
+            with jax.ensure_compile_time_eval():
+                probe = jnp.ones(
+                    (1, shape[1], shape[2]), jnp.float32
+                )
+                out = identify_tiles_pallas(probe, 1.0, box)
+                np.asarray(out[0])
             _SUPPORTED[key] = True
         except Exception:
             _SUPPORTED[key] = False

@@ -405,10 +405,11 @@ def fused_chain_program(
             + (P("spots", None, None),) * 2
             + (P("spots"),) * 2
         ),
-        # pallas_call outputs carry no varying-mesh-axes annotation;
-        # the chain is purely data-parallel (no collectives), so the
-        # vma check adds nothing here and would reject the kernels
-        check_vma=False,
+        # pallas_call outputs carry no varying-mesh-axes annotation,
+        # which the vma check rejects; the chain is purely
+        # data-parallel (no collectives) so nothing is lost — but
+        # keep the check on for the XLA-core path
+        check_vma=not use_pallas,
     )
     def _shard_chain(f_shard, ng_thresh, baseline, factor):
         count, f, y, x, ng, theta, crlb, ll, iters = (
@@ -482,7 +483,8 @@ def localize_fused_sharded(
 
     size = bucket
     if use_pallas:
-        size = max(512, size)  # Pallas buckets are 512-lane multiples
+        # Pallas buckets must be 512-lane tile multiples
+        size = max(512, -(-size // 512) * 512)
     while True:
         prog = fused_chain_program(
             mesh, per_dev, box, size, eps, max_it, method,

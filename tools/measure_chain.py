@@ -34,19 +34,14 @@ import time
 import numpy as np
 
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import make_bench_movie  # noqa: E402  (shared workload)
+
+
 def make_movie(n_frames=256, size=256, n_sites=1200, p_on=0.5, seed=13):
-    rng = np.random.default_rng(seed)
-    movie = rng.poisson(30, (n_frames, size, size)).astype(np.uint16)
-    yy, xx = np.mgrid[-3:4, -3:4]
-    psf = np.exp(-(yy**2 + xx**2) / (2 * 1.1**2))
-    sites = rng.uniform(8, size - 8, (n_sites, 2)).astype(int)
-    for fidx in range(n_frames):
-        on = rng.random(n_sites) < p_on
-        for sy, sx in sites[on]:
-            movie[fidx, sy - 3:sy + 4, sx - 3:sx + 4] += rng.poisson(
-                psf * 900
-            ).astype(np.uint16)
-    return movie
+    return make_bench_movie(
+        n_frames, size, n_sites, p_on, np.random.default_rng(seed)
+    )
 
 
 def emit(name, ms, **extra):
@@ -193,8 +188,13 @@ def main():
             ("cut:blocks", fused.cut_rois_t_blocks),
         ):
             def f_cut(fr, eps, ff, yy2, xx2, _cut=cut):
-                rois = _cut(fr, ff, yy2, xx2, 7)
-                return jnp.sum(rois) + eps
+                # the gather indices must be data-dependent or XLA
+                # hoists the whole cut out of the timing loop (eps is
+                # ~1e-39, so the comparison is always False and the
+                # indices are unchanged — but unprovably so)
+                yyd = yy2 + (eps > 2.0).astype(yy2.dtype)
+                rois = _cut(fr, ff, yyd, xx2, 7)
+                return jnp.sum(rois)
 
             emit(name, chain_ms(f_cut, f, y, x), n_spots=n_spots)
 
