@@ -961,7 +961,11 @@ def main():
 
         rng = np.random.default_rng(11)
         n_frames, size = 400, 256
-        movie = _make_movie(n_frames, size, 600, 0.08, rng)
+        # same dense recipe as e2e_localize_compute, so this row and
+        # that one differ only by the host->device link (the frames/s
+        # ceiling is content-independent; spots/s on a sparse movie
+        # just measured the content)
+        movie = _make_movie(n_frames, size, 1200, 0.5, rng)
 
         class _Lazy:
             """Frame-indexable view (forces the streamed path)."""

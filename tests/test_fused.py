@@ -333,3 +333,47 @@ class TestCutRoisTBlocks:
             fused.cut_rois_t_blocks(jnp.asarray(frames), f, y, x, 7)
         )
         np.testing.assert_array_equal(a, b)
+
+
+def test_chain_parity_blocks_cut_and_pallas_identify(monkeypatch):
+    """Full identify_cut_fit with the round-4 candidate routes
+    (PICASSO_TPU_ROI_CUT=blocks, PICASSO_TPU_IDENTIFY=interpret) must
+    reproduce the default chain exactly: same hits, same thetas (both
+    cuts are exact window extractions; both identify routes produce
+    hit-identical tile arrays)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    frames = rng.poisson(30, (8, 64, 64)).astype(np.uint16)
+    yy, xx = np.mgrid[-3:4, -3:4]
+    psf = np.exp(-(yy**2 + xx**2) / 2.4)
+    for i in range(8):
+        for cy, cx in ((10, 10), (30, 20), (50, 40), (20, 50)):
+            frames[i, cy - 3:cy + 4, cx - 3:cx + 4] += rng.poisson(
+                psf * 600
+            ).astype(np.uint16)
+    dev = jnp.asarray(frames)
+    args = (dev, jnp.float32(2000), jnp.float32(0), jnp.float32(1))
+    kw = dict(box=7, size=512, eps=1e-3, max_it=30, method="lq")
+
+    want = tuple(
+        map(np.asarray, fused.identify_cut_fit(*args, **kw))
+    )
+    assert int(want[0]) > 8
+
+    monkeypatch.setenv("PICASSO_TPU_ROI_CUT", "blocks")
+    monkeypatch.setenv("PICASSO_TPU_IDENTIFY", "interpret")
+    fused.identify_cut_fit.clear_cache()
+    try:
+        got = tuple(
+            map(np.asarray, fused.identify_cut_fit(*args, **kw))
+        )
+    finally:
+        monkeypatch.undo()
+        fused.identify_cut_fit.clear_cache()
+
+    assert int(got[0]) == int(want[0])
+    for g, w in zip(got[1:4], want[1:4]):
+        np.testing.assert_array_equal(g, w)
+    # identical ROIs in, identical LM fit out
+    np.testing.assert_array_equal(got[5], want[5])
