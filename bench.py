@@ -350,7 +350,12 @@ def main():
 
     # --- lazy shared context (restarted children only rebuild what
     # their remaining stages need) ---
-    n = 262144  # one device batch
+    # test-only shrink knobs: a CPU smoke run exercises every stage
+    # body end-to-end before the real (and possibly flaky) chip
+    # window; production runs never set these
+    n = int(os.environ.get("PICASSO_BENCH_N", str(262144)))
+    _e2e = os.environ.get("PICASSO_BENCH_E2E", "256,256,1200")
+    E2E_FRAMES, E2E_SIZE, E2E_SITES = map(int, _e2e.split(","))
     CHAIN = 8
     ctx: dict = {}
 
@@ -597,8 +602,8 @@ def main():
         from picasso_tpu.ops import fused as fused_mod
 
         rng = np.random.default_rng(13)
-        n_frames, size = 256, 256
-        movie = _make_movie(n_frames, size, 1200, 0.5, rng)
+        n_frames, size = E2E_FRAMES, E2E_SIZE
+        movie = _make_movie(n_frames, size, E2E_SITES, 0.5, rng)
         dev = jnp.asarray(movie)  # u16 in HBM, exactly as production
         ng_t = jnp.float32(4000.0)
         zero = jnp.float32(0.0)
@@ -611,7 +616,13 @@ def main():
         # of a second program at a count-derived bucket. The bucket is
         # fixed: this movie recipe yields ~118k spots deterministically
         # (asserted below).
-        bucket = 1 << 17
+        if "PICASSO_BENCH_E2E" in os.environ:
+            bucket = max(
+                512,
+                1 << int(np.ceil(np.log2(E2E_FRAMES * E2E_SITES))),
+            )
+        else:
+            bucket = 1 << 17
 
         # data-dependence rides the THRESHOLD (ng_t + eps*acc), not
         # the frames, so the movie stays u16 in HBM through the whole
@@ -681,8 +692,8 @@ def main():
         from picasso_tpu.localize import localize
 
         rng = np.random.default_rng(17)
-        n_frames, size = 256, 256
-        movie = _make_movie(n_frames, size, 1200, 0.5, rng)
+        n_frames, size = E2E_FRAMES, E2E_SIZE
+        movie = _make_movie(n_frames, size, E2E_SITES, 0.5, rng)
         camera = {
             "Baseline": 0, "Sensitivity": 1.0, "Gain": 1,
             "Pixelsize": 130,
@@ -960,12 +971,15 @@ def main():
         from picasso_tpu.ops import fused as fused_mod
 
         rng = np.random.default_rng(11)
-        n_frames, size = 400, 256
+        if "PICASSO_BENCH_E2E" in os.environ:
+            n_frames, size, sites = E2E_FRAMES, E2E_SIZE, E2E_SITES
+        else:
+            n_frames, size, sites = 400, 256, 1200
         # same dense recipe as e2e_localize_compute, so this row and
         # that one differ only by the host->device link (the frames/s
         # ceiling is content-independent; spots/s on a sparse movie
         # just measured the content)
-        movie = _make_movie(n_frames, size, 1200, 0.5, rng)
+        movie = _make_movie(n_frames, size, sites, 0.5, rng)
 
         class _Lazy:
             """Frame-indexable view (forces the streamed path)."""
