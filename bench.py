@@ -143,7 +143,10 @@ def mle_flops_per_spot_iter(box: int) -> float:
     s = box
     inner = s * s * 29          # model/cf/df + 8 accumulator FMAs/px
     rowdots = 17 * 2 * s        # final (S, N) bilinear reductions
-    axis = 2 * s * 2 * 8 + 2 * s * 24  # 4 exps + erf/deriv algebra
+    # transcendentals: (S+1) shared exp + erfc-poly rows per axis
+    # (ops/gaussian._shared_exp_erfc — consecutive grid rows share
+    # them; was 2S each) + derivative algebra
+    axis = 2 * (s + 1) * 2 * 8 + 2 * s * 24
     update = 90                 # numer/denom stacks + clip/constraints
     return float(inner + rowdots + axis + update)
 

@@ -140,11 +140,43 @@ def _psf_from_exp(ap, am, ea, eb):
     the tails. Mosaic-safe (selects + the shared exponentials)."""
     qa = _erfc_from_exp(ap, ea)
     qb = _erfc_from_exp(am, eb)
+    return _psf_from_erfc(ap, am, qa, qb)
+
+
+def _psf_from_erfc(ap, am, qa, qb):
+    """Sign-region assembly of the tail-stable PSF from precomputed
+    complements (see _psf_from_exp)."""
     return jnp.where(
         am >= 0,
         0.5 * (qb - qa),
         jnp.where(ap <= 0, 0.5 * (qa - qb), 0.5 * (2.0 - qa - qb)),
     )
+
+
+def _shared_exp_erfc(d, inv_s):
+    """Per-axis exponentials and erfc complements over the EXTENDED
+    half-offset grid, exploiting that consecutive grid rows share
+    them: with d[i] = i - x0 (a consecutive-integer grid along axis
+    0, true for every fit caller), exp(-(d[i]+0.5)²/2σ²) ==
+    exp(-(d[i+1]-0.5)²/2σ²) — so the S+1 distinct values replace the
+    2·S the naive ea/eb evaluation pays. exp and the erfc polynomial
+    are the dominant VPU transcendental cost per Newton iteration
+    (docs/performance.md roofline); this cuts both by ~43% at S=7.
+
+    Returns (ap, am, ea, eb, qa, qb): the usual (S, N) views into the
+    (S+1, N) shared arrays (slices, no copies of the math)."""
+    am8 = (d - 0.5) * inv_s  # (S, N): rows 0..S-1 of the grid
+    top = (d[-1:] + 0.5) * inv_s  # row S
+    a8 = jnp.concatenate([am8, top], axis=0)  # (S+1, N)
+    e8 = jnp.exp(-0.5 * a8 * a8)
+    q8 = _erfc_from_exp(a8, e8)
+    ap = a8[1:]
+    am = a8[:-1]
+    ea = e8[1:]
+    eb = e8[:-1]
+    qa = q8[1:]
+    qb = q8[:-1]
+    return ap, am, ea, eb, qa, qb
 
 
 def fused_axis_terms(
@@ -153,18 +185,22 @@ def fused_axis_terms(
     """(psf, dmu, d2mu, dsig, d2sig) per-axis factors computed from two
     shared exponentials.
 
-    integrated_gaussian's erf terms and every derivative share the same
-    exp(-(d±0.5)²/2σ²) values; evaluating them once cuts the transcend-
-    ental count per Newton iteration from 6 exps to 2 per axis — the
-    dominant VPU cost in the fit kernels. Identical math to the
-    separate helpers (picasso/gaussmle.py:268-338), same A&S erf."""
-    inv_s = 1.0 / sigma
-    ap = (d + 0.5) * inv_s
-    am = (d - 0.5) * inv_s
-    ea = jnp.exp(-0.5 * ap * ap)
-    eb = jnp.exp(-0.5 * am * am)
+    CONTRACT: ``d``'s rows must be a consecutive-integer grid along
+    axis 0 (d[i] = i - x0, as every fit kernel builds it) — the
+    row-shared transcendentals (_shared_exp_erfc) are wrong for
+    arbitrary offsets. Use the unfused helpers for free-form ``d``.
 
-    psf = _psf_from_exp(ap, am, ea, eb)
+    integrated_gaussian's erf terms and every derivative share the same
+    exp(-(d±0.5)²/2σ²) values; evaluating them once over the EXTENDED
+    half-offset grid (consecutive rows share them — _shared_exp_erfc)
+    cuts the transcendental count per Newton iteration from 6 exps to
+    (S+1)/S ≈ 1.14 per axis row — the dominant VPU cost in the fit
+    kernels. Identical math to the separate helpers
+    (picasso/gaussmle.py:268-338), same A&S erf."""
+    inv_s = 1.0 / sigma
+    ap, am, ea, eb, qa, qb = _shared_exp_erfc(d, inv_s)
+
+    psf = _psf_from_erfc(ap, am, qa, qb)
     norm = inv_s / _SQRT_2PI
     dmu = (eb - ea) * norm
     g1 = ((d - 0.5) * eb - (d + 0.5) * ea) * norm  # sigma * G(2,1)
@@ -183,14 +219,12 @@ def fused_axis_terms_iso(
     """(psf, dmu, d2mu, dPSF, d2PSF) for the isotropic-sigma model from
     the same two shared exponentials (cf. iso_sigma_axis_terms /
     picasso/gaussmle.py:339): with a± = (d±0.5)/(sqrt(2)σ),
-    exp(-a±²) == exp(-(d±0.5)²/2σ²), so no extra transcendentals."""
+    exp(-a±²) == exp(-(d±0.5)²/2σ²), so no extra transcendentals
+    (shared across grid rows via _shared_exp_erfc)."""
     inv_s = 1.0 / sigma
-    ap = (d + 0.5) * inv_s
-    am = (d - 0.5) * inv_s
-    ea = jnp.exp(-0.5 * ap * ap)
-    eb = jnp.exp(-0.5 * am * am)
+    ap, am, ea, eb, qa, qb = _shared_exp_erfc(d, inv_s)
 
-    psf = _psf_from_exp(ap, am, ea, eb)
+    psf = _psf_from_erfc(ap, am, qa, qb)
     norm = inv_s / _SQRT_2PI
     dmu = (eb - ea) * norm
     d2mu = ((d - 0.5) * eb - (d + 0.5) * ea) * norm * inv_s * inv_s

@@ -276,8 +276,14 @@ class TestFusedAxisTermOracles:
     (picasso/gaussmle.py:268-338)."""
 
     def _grid(self):
+        # d must be a consecutive-integer grid along axis 0 (the
+        # fused helpers share exponentials across rows — the contract
+        # every fit kernel satisfies by construction)
         rng = np.random.default_rng(0)
-        d = rng.uniform(-4, 4, (9, 64)).astype(np.float32)
+        x0 = rng.uniform(-4, 4, (1, 64)).astype(np.float32)
+        d = (
+            np.arange(9, dtype=np.float32)[:, None] - 4.0 - x0
+        ).astype(np.float32)
         sigma = rng.uniform(0.8, 2.0, (1, 64)).astype(np.float32)
         return d, sigma
 
