@@ -95,3 +95,51 @@ def test_identify_compact_routes_through_pallas(monkeypatch):
     np.testing.assert_allclose(
         got[4][:n], want[4][:n], rtol=2e-5, atol=1e-2
     )
+
+
+@pytest.mark.parametrize("band_px", [8, 12, 16])
+def test_banded_matches_whole_frame(band_px):
+    """Forcing multiple row bands per frame must not change any tile
+    output: band boundaries are invisible (halo'd views + global
+    eligibility masking)."""
+    frames = _movie(n_frames=4, size=48)
+    thresh = 2000.0
+    whole = idp.identify_tiles_pallas(
+        jnp.asarray(frames), thresh, 7, interpret=True,
+        band_px=1 << 10,
+    )
+    banded = idp.identify_tiles_pallas(
+        jnp.asarray(frames), thresh, 7, interpret=True,
+        band_px=band_px,
+    )
+    for w, b in zip(whole, banded):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(b))
+
+
+def test_banded_wide_frame_matches_xla():
+    """A wide frame (band plan kicks in automatically) still matches
+    the XLA reduction hit-for-hit."""
+    rng = np.random.default_rng(5)
+    frames = rng.poisson(30, (2, 40, 1056)).astype(np.uint16)
+    yy, xx = np.mgrid[-3:4, -3:4]
+    psf = np.exp(-(yy**2 + xx**2) / 2.4)
+    for i in range(2):
+        for cy, cx in ((10, 10), (30, 520), (20, 1040), (8, 700)):
+            frames[i, cy - 3:cy + 4, cx - 3:cx + 4] += rng.poisson(
+                psf * 600
+            ).astype(np.uint16)
+    thresh = 2000.0
+    tm, tl, tn = map(
+        np.asarray,
+        idp.identify_tiles_pallas(
+            jnp.asarray(frames), thresh, 7, interpret=True
+        ),
+    )
+    maxima, ng = idops.identify_maps(jnp.asarray(frames), 7)
+    maxima, ng = np.asarray(maxima), np.asarray(ng)
+    mask = maxima & (ng > thresh)
+    B, Y, X = mask.shape
+    T = 4
+    ref = mask.reshape(B, Y // T, T, X // T, T).any(axis=(2, 4))
+    np.testing.assert_array_equal(tm > 0.5, ref)
+    assert ref.sum() >= 8
