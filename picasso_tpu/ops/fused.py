@@ -51,6 +51,8 @@ __all__ = [
     "identify_cut_fit",
     "cut_rois_t",
     "cut_rois_t_blocks",
+    "cut_rois_t_span",
+    "cut_rois_t_spanblocks",
     "localize_fused",
 ]
 
@@ -209,6 +211,121 @@ def cut_rois_t_blocks(
     return jnp.transpose(patches, (1, 2, 0))
 
 
+def _span_gather(flat, fc, start, length):
+    """Gather N contiguous *length*-element slices from a (G, L)
+    operand at (group fc[n], offset start[n]).  One gather of N long
+    rows — the round-4 measurement that motivated it: gather cost on
+    this workload is dominated by ROW COUNT (~10 ns/row), not bytes,
+    so N slices of box·X beat the advanced-indexing form's N·box
+    slices of X by ~the row ratio.  Callers guarantee
+    start + length <= L (hit eligibility bounds), so the lowering can
+    skip clamping."""
+    starts = jnp.stack(
+        [fc.astype(jnp.int32), start.astype(jnp.int32)], axis=1
+    )
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1),
+    )
+    return jax.lax.gather(
+        flat, starts, dn, slice_sizes=(1, length),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def cut_rois_t_span(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Row-span formulation of :func:`cut_rois_t` (same contract:
+    (box, box, N) lanes-last ROIs).
+
+    A window's box rows are CONTIGUOUS in frame memory: rows
+    y−r … y+r of frame f are one (box·X)-element slice of the
+    flattened (B, Y·X) movie.  One native-dtype gather of N such
+    slices replaces the row form's N·box separate X-element rows —
+    7× fewer gather rows for box=7 — and feeds the same exact-f32
+    one-hot column contraction (the MXU performs the per-spot column
+    gather)."""
+    r = box // 2
+    B, Y, X = frames.shape
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    N = fc.shape[0]
+    flat = frames.reshape(B, Y * X)
+    span = _span_gather(flat, fc, (yc - r) * X, box * X)
+    rows = span.reshape(N, box, X).astype(jnp.float32)
+    cols = xc[:, None] + jnp.arange(-r, r + 1)[None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, X, box), 1)
+        == cols[:, None, :]
+    ).astype(jnp.float32)
+    patches = jnp.einsum(
+        "nix,nxj->nij", rows, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.transpose(patches, (1, 2, 0))
+
+
+def cut_rois_t_spanblocks(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Span gather in a column-blocked movie view — the wide-frame
+    variant of :func:`cut_rois_t_span`.
+
+    The movie is first transposed to (B, X/64, Y, 64) — a one-time
+    bandwidth-cheap reshuffle per chunk — after which the box rows of
+    one 64-px column block are a contiguous (box·64)-element slice.
+    Each window lives in two adjacent blocks: 2N span rows replace
+    the windowed row form's N·box·2 gather rows, and the one-hot
+    contraction stays capped at K = 128 regardless of X."""
+    r = box // 2
+    B, Y, X = frames.shape
+    if X % _BLOCK or X < 2 * _BLOCK or box > _BLOCK:
+        return cut_rois_t_span(frames, f, y, x, box)
+    nb = X // _BLOCK
+    fr = (
+        frames.reshape(B, Y, nb, _BLOCK)
+        .transpose(0, 2, 1, 3)
+        .reshape(B * nb, Y * _BLOCK)
+    )
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    N = fc.shape[0]
+    bx = jnp.clip((xc - r) // _BLOCK, 0, nb - 2)
+    grp = (fc * nb + bx)[:, None] + jnp.arange(2)[None, :]  # (N, 2)
+    row0 = jnp.broadcast_to(((yc - r) * _BLOCK)[:, None], grp.shape)
+    span = _span_gather(
+        fr, grp.ravel(), row0.ravel(), box * _BLOCK
+    )  # (2N, box*_BLOCK)
+    rows = (
+        span.reshape(N, 2, box, _BLOCK)
+        .transpose(0, 2, 1, 3)
+        .reshape(N, box, 2 * _BLOCK)
+        .astype(jnp.float32)
+    )
+    cols = (xc - bx * _BLOCK)[:, None] + jnp.arange(-r, r + 1)[None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, 2 * _BLOCK, box), 1)
+        == cols[:, None, :]
+    ).astype(jnp.float32)
+    patches = jnp.einsum(
+        "nix,nxj->nij", rows, onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.transpose(patches, (1, 2, 0))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -244,7 +361,7 @@ def identify_cut_fit(
     count, f, y, x, ng = _identify_compact(
         frames, ng_thresh, box, size
     )
-    spots_t = _select_cut()(frames, f, y, x, box)
+    spots_t = _select_cut(frames.shape[-1])(frames, f, y, x, box)
     photons = (spots_t.astype(jnp.float32) - baseline) * factor
     # use_pallas routes the fit through the tiled Mosaic kernels
     # (per-512-lane-tile early exit; certified against the XLA path
@@ -281,16 +398,30 @@ def identify_cut_fit(
     return count, f, y, x, ng, thetas6, crlb6, ll, iters
 
 
-def _select_cut():
-    """ROI-cut formulation for the fused chain. ``rows`` (default)
-    is the measured round-3 production path; ``blocks`` is the
-    tile-block candidate (25x less gather traffic — pending on-chip
-    measurement before it can take the default). Read at trace time:
-    set PICASSO_TPU_ROI_CUT before the first fused call."""
+def _select_cut(width: int):
+    """ROI-cut formulation for the fused chain, dispatched on frame
+    width (both measured on TPU v5e, round 4): ``rows`` wins on
+    narrow frames (chain 30.8 ms vs blocks 33.3 on (256, 256²)/118k
+    spots) and the 3×3-tile ``blocks`` gather wins on wide ones
+    (chain 55.0 ms vs 69.6 on (32, 1024²)/18.8k spots — it also
+    beats cut_rois_t's own 64-px windowed row fallback, 16.8 ms vs
+    31.8 at the cut stage).  The ``span`` variants gather each
+    window's box contiguous rows as ONE slice; measured 15–40×
+    slower (208/559 ms at 256-wide): XLA:TPU's fast gather path only
+    covers ENTIRE trailing-axis rows, and a partial last-axis slice
+    with a dynamic start lowers to the slow generic path.  Kept for
+    the record/regression A/B.  Read at trace time: set
+    PICASSO_TPU_ROI_CUT before the first fused call to override."""
     import os
 
-    mode = os.environ.get("PICASSO_TPU_ROI_CUT", "rows")
-    return cut_rois_t_blocks if mode == "blocks" else cut_rois_t
+    mode = os.environ.get("PICASSO_TPU_ROI_CUT", "auto")
+    if mode == "auto":
+        mode = "blocks" if width >= _BLOCK_MIN_X else "rows"
+    return {
+        "blocks": cut_rois_t_blocks,
+        "span": cut_rois_t_span,
+        "spanblocks": cut_rois_t_spanblocks,
+    }.get(mode, cut_rois_t)
 
 
 def _pallas_mode(box: int, method: str) -> str | None:

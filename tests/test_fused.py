@@ -335,12 +335,84 @@ class TestCutRoisTBlocks:
         np.testing.assert_array_equal(a, b)
 
 
-def test_chain_parity_blocks_cut_and_pallas_identify(monkeypatch):
+class TestCutRoisTSpan:
+    """The row-span cuts gather each window's box CONTIGUOUS frame
+    rows as one slice (one gather row per spot; two per spot in the
+    column-blocked wide-frame view) and must reproduce the plain
+    numpy window cut exactly, including eligible-border extremes,
+    fill rows, and block straddles."""
+
+    def _reference(self, frames, f, y, x, box):
+        r = box // 2
+        out = np.empty((box, box, len(f)), np.float32)
+        for n, (fn, yn, xn) in enumerate(zip(f, y, x)):
+            out[:, :, n] = frames[
+                fn, yn - r:yn + r + 1, xn - r:xn + r + 1
+            ].astype(np.float32)
+        return out
+
+    @pytest.mark.parametrize(
+        "cut", ["span", "spanblocks"], ids=str
+    )
+    @pytest.mark.parametrize("box", [5, 7, 9])
+    @pytest.mark.parametrize("shape", [(48, 64), (50, 98), (32, 256)])
+    def test_exact_vs_numpy(self, cut, box, shape):
+        import jax.numpy as jnp
+
+        fn_cut = getattr(fused, f"cut_rois_t_{cut}")
+        rng = np.random.default_rng(11)
+        r = box // 2
+        B = 3
+        Y, X = shape
+        frames = rng.integers(0, 65535, (B, Y, X), dtype=np.uint16)
+        n = 96
+        f = rng.integers(0, B, n).astype(np.int32)
+        y = rng.integers(r, Y - r - 1, n).astype(np.int32)
+        x = rng.integers(r, X - r - 1, n).astype(np.int32)
+        y[:4] = [r, Y - r - 2, r + 1, (Y - r - 2)]
+        x[:4] = [r, X - r - 2, X - r - 2, r]
+        if X >= 130:
+            # straddle the 64-px block boundary both ways
+            x[4:8] = [62, 63, 64, 65]
+        got = np.asarray(
+            fn_cut(jnp.asarray(frames), f, y, x, box)
+        )
+        np.testing.assert_array_equal(
+            got, self._reference(frames, f, y, x, box)
+        )
+
+    @pytest.mark.parametrize(
+        "cut", ["span", "spanblocks"], ids=str
+    )
+    def test_fill_rows_and_f32_frames(self, cut):
+        import jax.numpy as jnp
+
+        fn_cut = getattr(fused, f"cut_rois_t_{cut}")
+        rng = np.random.default_rng(12)
+        frames = rng.integers(
+            0, 65535, (2, 64, 128), dtype=np.uint16
+        ).astype(np.float32)
+        f = np.array([-1, 1], np.int32)
+        y = np.array([-1, 30], np.int32)
+        x = np.array([-1, 33], np.int32)
+        got = np.asarray(fn_cut(jnp.asarray(frames), f, y, x, 7))
+        np.testing.assert_array_equal(
+            got[:, :, 0], frames[0, :7, :7].astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            got[:, :, 1], frames[1, 27:34, 30:37].astype(np.float32)
+        )
+
+
+@pytest.mark.parametrize("cut", ["blocks", "span", "spanblocks"])
+def test_chain_parity_blocks_cut_and_pallas_identify(
+    monkeypatch, cut
+):
     """Full identify_cut_fit with the round-4 candidate routes
-    (PICASSO_TPU_ROI_CUT=blocks, PICASSO_TPU_IDENTIFY=interpret) must
-    reproduce the default chain exactly: same hits, same thetas (both
-    cuts are exact window extractions; both identify routes produce
-    hit-identical tile arrays)."""
+    (each PICASSO_TPU_ROI_CUT variant, PICASSO_TPU_IDENTIFY=interpret)
+    must reproduce the default chain exactly: same hits, same thetas
+    (all cuts are exact window extractions; both identify routes
+    produce hit-identical tile arrays)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(21)
@@ -361,7 +433,7 @@ def test_chain_parity_blocks_cut_and_pallas_identify(monkeypatch):
     )
     assert int(want[0]) > 8
 
-    monkeypatch.setenv("PICASSO_TPU_ROI_CUT", "blocks")
+    monkeypatch.setenv("PICASSO_TPU_ROI_CUT", cut)
     monkeypatch.setenv("PICASSO_TPU_IDENTIFY", "interpret")
     fused.identify_cut_fit.clear_cache()
     try:

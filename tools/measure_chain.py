@@ -54,6 +54,10 @@ def emit(name, ms, **extra):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--no-ab", action="store_true",
+        help="skip the trace-time-env A/B subprocess children",
+    )
     ap.add_argument("--frames", type=int, default=256)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--chain", type=int, default=8)
@@ -118,7 +122,7 @@ def main():
         return (timed(chained, dev, *extra) - latency) / CHAIN * 1e3
 
     # ---- trace-time-env A/B variants run in subprocesses
-    if args.inner is None and not args.quick:
+    if args.inner is None and not args.quick and not args.no_ab:
         for cap in ("ng64", "ng256", "idpallas"):
             r = subprocess.run(
                 [
@@ -186,6 +190,8 @@ def main():
         for name, cut in (
             ("cut:rows", fused.cut_rois_t),
             ("cut:blocks", fused.cut_rois_t_blocks),
+            ("cut:span", fused.cut_rois_t_span),
+            ("cut:spanblocks", fused.cut_rois_t_spanblocks),
         ):
             def f_cut(fr, eps, ff, yy2, xx2, _cut=cut):
                 # the gather indices must be data-dependent or XLA
@@ -229,7 +235,7 @@ def main():
         jax.default_backend() != "cpu"
         and lq_pallas.pallas_supported(7)
     )
-    for mode in ("rows", "blocks"):
+    for mode in ("rows", "blocks", "span", "spanblocks"):
         os.environ["PICASSO_TPU_ROI_CUT"] = mode
 
         # fresh trace per mode: the env is read at trace time, so the
