@@ -51,6 +51,8 @@ __all__ = [
     "identify_cut_fit",
     "cut_rois_t",
     "cut_rois_t_blocks",
+    "cut_rois_t_shift",
+    "cut_rois_t_slab",
     "cut_rois_t_span",
     "cut_rois_t_spanblocks",
     "localize_fused",
@@ -326,6 +328,127 @@ def cut_rois_t_spanblocks(
     return jnp.transpose(patches, (1, 2, 0))
 
 
+def _barrel_extract(arr, start, axis, out: int):
+    """Extract ``out`` consecutive elements along ``axis`` at a
+    per-spot dynamic offset ``start`` (axis 0 is the spot batch) via a
+    coarse-to-fine barrel shifter: one conditional static-slice select
+    per bit of the offset range, each over a strictly NARROWING array.
+
+    Motivation (round 4, measured cost model of the ROI cut): the
+    one-hot einsum column gather lowers to an N-batched tiny matmul
+    whose cost is per-batch-element overhead, not FLOPs (~33 ns/spot
+    regardless of contraction width K — the K=12 blocks einsums cost
+    the same as the K=256 rows one).  The barrel form is pure
+    elementwise selects, HBM-bound at ~2× the operand bytes summed
+    over the narrowing widths (geometric-ish: Σ widths ≈ out·log₂R +
+    2R), and runs in the movie's NATIVE dtype — no f32 blow-up of the
+    intermediates.
+
+    Invariants: ``0 <= start <= shape[axis] - out`` (callers clamp).
+    Exact for every dtype (selects never do arithmetic).
+    """
+    w = arr.shape[axis]
+    r = w - out
+    if r <= 0:
+        return arr
+    s = start.astype(jnp.int32)
+    bshape = [arr.shape[0]] + [1] * (arr.ndim - 1)
+    d = 1 << (r.bit_length() - 1)
+    while d >= 1:
+        # both branches must hold a window wherever it can now sit:
+        # after this step the offset is < d, so width out+d-1 always
+        # suffices (and the first step has r < 2d by construction)
+        w2 = max(w - d, out + d - 1)
+        pad = d + w2 - w
+        hi = arr
+        if pad > 0:
+            cfg = [(0, 0)] * arr.ndim
+            cfg[axis] = (0, pad)
+            hi = jnp.pad(arr, cfg)
+        hi = jax.lax.slice_in_dim(hi, d, d + w2, axis=axis)
+        lo = jax.lax.slice_in_dim(arr, 0, w2, axis=axis)
+        take = s >= d
+        arr = jnp.where(take.reshape(bshape), hi, lo)
+        s = s - d * take.astype(jnp.int32)
+        w = w2
+        d >>= 1
+    return arr
+
+
+def cut_rois_t_shift(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Barrel-shift formulation of :func:`cut_rois_t` (same contract:
+    (box, box, N) lanes-last f32 ROIs).
+
+    Stage 1 is the same fast-path row gather (box whole trailing-axis
+    rows per spot) but kept in the movie's NATIVE dtype; stage 2
+    replaces the one-hot MXU einsum with :func:`_barrel_extract` over
+    the column axis — log₂X conditional selects over narrowing u16
+    intermediates instead of an N-batched (box, X)·(X, box) matmul.
+    """
+    r = box // 2
+    fc = jnp.maximum(f, 0)
+    B, Y, X = frames.shape
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    offs = jnp.arange(-r, r + 1)
+    rows = frames[fc[:, None], yc[:, None] + offs[None, :], :]
+    win = _barrel_extract(rows, xc - r, 2, box)  # (N, box, box)
+    return jnp.transpose(win, (1, 2, 0)).astype(jnp.float32)
+
+
+#: row-slab height for cut_rois_t_slab — windows of box <= _SLAB + 1
+#: rows always fit two vertically adjacent slabs
+_SLAB = 8
+
+
+def cut_rois_t_slab(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Row-slab formulation of :func:`cut_rois_t` (same contract:
+    (box, box, N) lanes-last f32 ROIs).
+
+    The movie is viewed as (B, Y/8, 8·X) — an 8-row slab is ONE
+    trailing-axis row, so it rides XLA:TPU's fast whole-row gather
+    path (the span lesson: partial trailing slices lower to the slow
+    generic path, but a reshape makes the wanted granularity the whole
+    row).  Any box ≤ 9 window lives in two vertically adjacent slabs:
+    the gather moves 2 rows/spot instead of the row form's box — at
+    the measured ~10 ns/row overhead that is the dominant cut cost.
+    The (16, X) slab pair then yields the window via two barrel
+    extractions (columns first — that axis narrows 36×, the row axis
+    only 2×), all in the native dtype.
+    """
+    r = box // 2
+    B, Y, X = frames.shape
+    if Y % _SLAB or Y < 2 * _SLAB or box > _SLAB + 1:
+        return cut_rois_t_shift(frames, f, y, x, box)
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    n_slab = Y // _SLAB
+    fr = frames.reshape(B, n_slab, _SLAB * X)
+    s0 = jnp.clip((yc - r) // _SLAB, 0, n_slab - 2)
+    pair = fr[
+        fc[:, None], s0[:, None] + jnp.arange(2)[None, :]
+    ]  # (N, 2, 8X)
+    pair = pair.reshape(pair.shape[0], 2 * _SLAB, X)
+    cols = _barrel_extract(pair, xc - r, 2, box)  # (N, 16, box)
+    win = _barrel_extract(
+        cols, (yc - r) - s0 * _SLAB, 1, box
+    )  # (N, box, box)
+    return jnp.transpose(win, (1, 2, 0)).astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -419,6 +542,8 @@ def _select_cut(width: int):
         mode = "blocks" if width >= _BLOCK_MIN_X else "rows"
     return {
         "blocks": cut_rois_t_blocks,
+        "shift": cut_rois_t_shift,
+        "slab": cut_rois_t_slab,
         "span": cut_rois_t_span,
         "spanblocks": cut_rois_t_spanblocks,
     }.get(mode, cut_rois_t)

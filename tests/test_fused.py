@@ -352,7 +352,7 @@ class TestCutRoisTSpan:
         return out
 
     @pytest.mark.parametrize(
-        "cut", ["span", "spanblocks"], ids=str
+        "cut", ["span", "spanblocks", "shift", "slab"], ids=str
     )
     @pytest.mark.parametrize("box", [5, 7, 9])
     @pytest.mark.parametrize("shape", [(48, 64), (50, 98), (32, 256)])
@@ -382,7 +382,7 @@ class TestCutRoisTSpan:
         )
 
     @pytest.mark.parametrize(
-        "cut", ["span", "spanblocks"], ids=str
+        "cut", ["span", "spanblocks", "shift", "slab"], ids=str
     )
     def test_fill_rows_and_f32_frames(self, cut):
         import jax.numpy as jnp
@@ -404,7 +404,9 @@ class TestCutRoisTSpan:
         )
 
 
-@pytest.mark.parametrize("cut", ["blocks", "span", "spanblocks"])
+@pytest.mark.parametrize(
+    "cut", ["blocks", "span", "spanblocks", "shift", "slab"]
+)
 def test_chain_parity_blocks_cut_and_pallas_identify(
     monkeypatch, cut
 ):
@@ -447,5 +449,14 @@ def test_chain_parity_blocks_cut_and_pallas_identify(
     assert int(got[0]) == int(want[0])
     for g, w in zip(got[1:4], want[1:4]):
         np.testing.assert_array_equal(g, w)
-    # identical ROIs in, identical LM fit out
-    np.testing.assert_array_equal(got[5], want[5])
+    # Identical ROIs in (pinned bit-exactly by TestCutRoisTSpan) —
+    # the einsum cuts then compile to the identical fit program, but
+    # the barrel cuts' select chains fuse INTO the LM loop and change
+    # XLA's f32 reduction order there; 30 LM iterations amplify that
+    # reassociation to ~2e-4 relative, so those two pin allclose.
+    if cut in ("shift", "slab"):
+        np.testing.assert_allclose(
+            got[5], want[5], rtol=1e-3, atol=1e-3
+        )
+    else:
+        np.testing.assert_array_equal(got[5], want[5])

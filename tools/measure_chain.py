@@ -190,6 +190,8 @@ def main():
         for name, cut in (
             ("cut:rows", fused.cut_rois_t),
             ("cut:blocks", fused.cut_rois_t_blocks),
+            ("cut:shift", fused.cut_rois_t_shift),
+            ("cut:slab", fused.cut_rois_t_slab),
             ("cut:span", fused.cut_rois_t_span),
             ("cut:spanblocks", fused.cut_rois_t_spanblocks),
         ):
@@ -235,7 +237,7 @@ def main():
         jax.default_backend() != "cpu"
         and lq_pallas.pallas_supported(7)
     )
-    for mode in ("rows", "blocks", "span", "spanblocks"):
+    for mode in ("rows", "blocks", "shift", "slab"):
         os.environ["PICASSO_TPU_ROI_CUT"] = mode
 
         # fresh trace per mode: the env is read at trace time, so the
