@@ -155,7 +155,13 @@ def identify_maps(
     if jax.default_backend() == "cpu":
         ng = _net_gradient_conv(gy, gx, box)
     else:
-        ng = _net_gradient_mxu(gy, gx, box)
+        import os
+
+        ng_mode = os.environ.get("PICASSO_TPU_NG", "mxu")
+        ng = {
+            "sep": _net_gradient_sep,
+            "conv": _net_gradient_conv,
+        }.get(ng_mode, _net_gradient_mxu)(gy, gx, box)
     return maxima, ng
 
 
@@ -226,6 +232,50 @@ def _tile_matrices(box: int, S: int) -> tuple[np.ndarray, np.ndarray]:
          np.stack([banded(c) for c in cols])]
     ).astype(np.float32)
     return Ay, Bx
+
+
+def _net_gradient_sep(gy, gx, box: int):
+    """Net-gradient correlation as rank-separable shifted FMAs on the
+    VPU (round-4 candidate, PICASSO_TPU_NG=sep).
+
+    The banded-MXU form (below) pays S+2h MACs per output element for
+    a true bandwidth of 2h+1 — ~53 GFLOP per (256, 256²) chunk for a
+    correlation whose separable form is 2 terms × rank 3 × 2 axes ×
+    box FMAs ≈ 1.4 GFLOP. Here each rank runs as box shifted
+    static-slice FMAs per axis over the zero-padded gradient maps —
+    pure elementwise chains that XLA fuses into ~a dozen HBM passes,
+    making the stage bandwidth-bound instead of MXU-shape-bound.
+    Same SVD factors as the banded form (exact rank 3), so the two
+    agree to f32 rounding of the identical factorization.
+    """
+    half = box // 2
+    cols, rows = _svd_factors(box)
+    B, Y, X = gy.shape
+    g = jnp.stack([gy, gx])  # (2, B, Y, X)
+    gp = jnp.pad(
+        g, ((0, 0), (0, 0), (half, half), (half, half))
+    )  # zero-padded: border windows read zeros, like the conv
+
+    def corr_sep(img, cvec, rvec):
+        # Σ_a cvec[a] · img[y+a, :] then Σ_b rvec[b] · s1[:, x+b]:
+        # static in-bounds slices of the padded maps (no wraparound)
+        s1 = sum(
+            float(cvec[a])
+            * jax.lax.slice_in_dim(img, a, a + Y, axis=1)
+            for a in range(box)
+        )
+        return sum(
+            float(rvec[b])
+            * jax.lax.slice_in_dim(s1, b, b + X, axis=2)
+            for b in range(box)
+        )
+
+    out = jnp.zeros((B, Y, X), jnp.float32)
+    for r in range(cols.shape[0]):
+        # uy = Σ_r cols_r ⊗ rows_r acts on gy; ux = uy.T swaps roles
+        out = out + corr_sep(gp[0], cols[r], rows[r])
+        out = out + corr_sep(gp[1], rows[r], cols[r])
+    return out
 
 
 def _net_gradient_mxu(gy, gx, box: int):

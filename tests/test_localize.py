@@ -644,6 +644,29 @@ class TestNetGradientMXUEquivalence:
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, atol=2e-6 * scale)
 
+    @pytest.mark.parametrize(
+        "box,shape",
+        [(3, (2, 24, 24)), (7, (3, 32, 32)), (7, (2, 70, 130)),
+         (9, (2, 96, 64))],
+    )
+    def test_separable_fma_matches_conv(self, box, shape):
+        """The VPU separable candidate (shifted static-slice FMAs,
+        ops/identify._net_gradient_sep, PICASSO_TPU_NG=sep) must match
+        the conv formulation to f32 eps on the same shapes."""
+        from picasso_tpu.ops.identify import (
+            _net_gradient_conv, _net_gradient_sep,
+        )
+
+        rng = np.random.default_rng(box + shape[1])
+        frames = rng.integers(80, 1100, shape).astype(np.float32)
+        gy = np.roll(frames, -1, axis=1) - np.roll(frames, 1, axis=1)
+        gx = np.roll(frames, -1, axis=2) - np.roll(frames, 1, axis=2)
+        ref = np.asarray(_net_gradient_conv(jnp.asarray(gy), jnp.asarray(gx), box))
+        got = np.asarray(_net_gradient_sep(jnp.asarray(gy), jnp.asarray(gx), box))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=2e-6 * scale)
+
 
 class TestLocalize3D:
     def test_localize_3d_adds_z_columns(self):

@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--bucket", type=int, default=1 << 17)
     ap.add_argument(
-        "--inner", choices=["ng64", "ng256", "idpallas"],
+        "--inner", choices=["ng64", "ng256", "idpallas", "ngsep"],
         default=None,
         help="(internal) trace-time-env A/B child",
     )
@@ -71,6 +71,8 @@ def main():
 
     if args.inner == "idpallas":
         os.environ["PICASSO_TPU_IDENTIFY"] = "pallas"
+    elif args.inner == "ngsep":
+        os.environ["PICASSO_TPU_NG"] = "sep"
     elif args.inner:
         os.environ["PICASSO_TPU_NG_TILE"] = (
             "64" if args.inner == "ng64" else "256"
@@ -123,7 +125,7 @@ def main():
 
     # ---- trace-time-env A/B variants run in subprocesses
     if args.inner is None and not args.quick and not args.no_ab:
-        for cap in ("ng64", "ng256", "idpallas"):
+        for cap in ("ng64", "ng256", "idpallas", "ngsep"):
             r = subprocess.run(
                 [
                     sys.executable, os.path.abspath(__file__),
@@ -237,7 +239,11 @@ def main():
         jax.default_backend() != "cpu"
         and lq_pallas.pallas_supported(7)
     )
-    for mode in ("rows", "blocks", "shift", "slab"):
+    # A/B children vary identify-stage knobs only — one cut route
+    # (the narrow-frame production default) isolates their effect
+    modes = ("rows",) if args.inner else ("rows", "blocks", "shift",
+                                          "slab")
+    for mode in modes:
         os.environ["PICASSO_TPU_ROI_CUT"] = mode
 
         # fresh trace per mode: the env is read at trace time, so the
