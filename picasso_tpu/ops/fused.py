@@ -53,6 +53,7 @@ __all__ = [
     "cut_rois_t_blocks",
     "cut_rois_t_shift",
     "cut_rois_t_slab",
+    "cut_rois_t_winrows",
     "cut_rois_t_span",
     "cut_rois_t_spanblocks",
     "localize_fused",
@@ -449,6 +450,52 @@ def cut_rois_t_slab(
     return jnp.transpose(win, (1, 2, 0)).astype(jnp.float32)
 
 
+#: HBM budget for the winrows overlapped-window materialization —
+#: box× the chunk bytes must stay a small fraction of the 16 GB HBM
+_WINROWS_MAX_BYTES = 3 << 30
+
+
+def cut_rois_t_winrows(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Overlapped-window formulation of :func:`cut_rois_t` (same
+    contract: (box, box, N) lanes-last f32 ROIs).
+
+    Gather cost on this workload is ~10 ns per gather ROW, so the row
+    form's box rows/spot dominate the cut.  Here the movie is first
+    expanded to OVERLAPPING box-row windows — ``win[b, i] = rows
+    i..i+box of frame b``, built as one fused stack of box shifted
+    views, (B, Y-box+1, box·X) — after which a spot's entire ROI rows
+    are ONE trailing-axis gather row: N gather rows total, box× fewer
+    than the row form, at the cost of a transient box× copy of the
+    chunk (u16-native; ~235 MB for a (256, 256²) chunk — guarded by
+    ``_WINROWS_MAX_BYTES``).  The column window then comes from the
+    same native-dtype barrel extraction as ``shift``.
+    """
+    r = box // 2
+    B, Y, X = frames.shape
+    nwin = Y - box + 1
+    if (
+        nwin < 1
+        or B * nwin * box * X * frames.dtype.itemsize
+        > _WINROWS_MAX_BYTES
+    ):
+        return cut_rois_t_slab(frames, f, y, x, box)
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    win = jnp.stack(
+        [frames[:, i:i + nwin, :] for i in range(box)], axis=2
+    ).reshape(B, nwin, box * X)
+    rows = win[fc, yc - r].reshape(fc.shape[0], box, X)
+    out = _barrel_extract(rows, xc - r, 2, box)
+    return jnp.transpose(out, (1, 2, 0)).astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -544,6 +591,7 @@ def _select_cut(width: int):
         "blocks": cut_rois_t_blocks,
         "shift": cut_rois_t_shift,
         "slab": cut_rois_t_slab,
+        "winrows": cut_rois_t_winrows,
         "span": cut_rois_t_span,
         "spanblocks": cut_rois_t_spanblocks,
     }.get(mode, cut_rois_t)
