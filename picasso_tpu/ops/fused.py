@@ -53,6 +53,7 @@ __all__ = [
     "cut_rois_t_blocks",
     "cut_rois_t_shift",
     "cut_rois_t_slab",
+    "cut_rois_t_wincols",
     "cut_rois_t_winrows",
     "cut_rois_t_span",
     "cut_rois_t_spanblocks",
@@ -329,7 +330,7 @@ def cut_rois_t_spanblocks(
     return jnp.transpose(patches, (1, 2, 0))
 
 
-def _barrel_extract(arr, start, axis, out: int):
+def _barrel_extract(arr, start, axis, out: int, batch_axis: int = 0):
     """Extract ``out`` consecutive elements along ``axis`` at a
     per-spot dynamic offset ``start`` (axis 0 is the spot batch) via a
     coarse-to-fine barrel shifter: one conditional static-slice select
@@ -347,13 +348,22 @@ def _barrel_extract(arr, start, axis, out: int):
 
     Invariants: ``0 <= start <= shape[axis] - out`` (callers clamp).
     Exact for every dtype (selects never do arithmetic).
+
+    ``batch_axis`` picks where the spot batch lives: 0 (batch-major
+    gathers) or -1 (lanes-last layouts — there the narrowing widths
+    live on a SUBLANE axis and pad to multiples of 8 instead of the
+    128-lane quantum, which is what makes the ``wincols`` cut's
+    select traffic match the arithmetic model).
     """
     w = arr.shape[axis]
     r = w - out
     if r <= 0:
         return arr
     s = start.astype(jnp.int32)
-    bshape = [arr.shape[0]] + [1] * (arr.ndim - 1)
+    if batch_axis in (0,):
+        bshape = [arr.shape[0]] + [1] * (arr.ndim - 1)
+    else:
+        bshape = [1] * (arr.ndim - 1) + [arr.shape[-1]]
     d = 1 << (r.bit_length() - 1)
     while d >= 1:
         # both branches must hold a window wherever it can now sit:
@@ -496,6 +506,56 @@ def cut_rois_t_winrows(
     return jnp.transpose(out, (1, 2, 0)).astype(jnp.float32)
 
 
+def cut_rois_t_wincols(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+) -> jnp.ndarray:
+    """Lanes-last variant of :func:`cut_rois_t_winrows`.
+
+    Same overlapped-window build and one-gather-row-per-spot pattern,
+    but the gather emits the TRANSPOSED (box·X, N) layout directly
+    (``offset_dims=(0,)`` puts the slice axis before the batch axis),
+    so (a) the barrel extraction narrows along a SUBLANE axis — the
+    intermediate widths (134, 70, 38, …) pad to multiples of 8
+    instead of the 128-lane quantum that quadruples the batch-major
+    barrel's HBM traffic — and (b) the result is already the
+    (box, box, N) lanes-last layout the fit cores consume, removing
+    the final transpose pass.
+    """
+    r = box // 2
+    B, Y, X = frames.shape
+    nwin = Y - box + 1
+    if (
+        nwin < 1
+        or B * nwin * box * X * frames.dtype.itemsize
+        > _WINROWS_MAX_BYTES
+    ):
+        return cut_rois_t_slab(frames, f, y, x, box)
+    fc = jnp.maximum(f, 0)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    N = fc.shape[0]
+    win = jnp.stack(
+        [frames[:, i:i + nwin, :] for i in range(box)], axis=2
+    ).reshape(B * nwin, box * X)
+    starts = (fc * nwin + (yc - r)).astype(jnp.int32)[:, None]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0,),
+    )
+    cols = jax.lax.gather(
+        win, starts, dn, slice_sizes=(1, box * X),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (box·X, N)
+    rows = cols.reshape(box, X, N)
+    out = _barrel_extract(rows, xc - r, 1, box, batch_axis=-1)
+    return out.astype(jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -570,28 +630,31 @@ def identify_cut_fit(
 
 def _select_cut(width: int):
     """ROI-cut formulation for the fused chain, dispatched on frame
-    width (both measured on TPU v5e, round 4): ``rows`` wins on
-    narrow frames (chain 30.8 ms vs blocks 33.3 on (256, 256²)/118k
-    spots) and the 3×3-tile ``blocks`` gather wins on wide ones
-    (chain 55.0 ms vs 69.6 on (32, 1024²)/18.8k spots — it also
-    beats cut_rois_t's own 64-px windowed row fallback, 16.8 ms vs
-    31.8 at the cut stage).  The ``span`` variants gather each
-    window's box contiguous rows as ONE slice; measured 15–40×
-    slower (208/559 ms at 256-wide): XLA:TPU's fast gather path only
-    covers ENTIRE trailing-axis rows, and a partial last-axis slice
-    with a dynamic start lowers to the slow generic path.  Kept for
-    the record/regression A/B.  Read at trace time: set
-    PICASSO_TPU_ROI_CUT before the first fused call to override."""
+    width (all measured on TPU v5e, round 4, decision table in
+    docs/performance.md): ``winrows`` wins on narrow frames (cut 7.3
+    ms vs rows 11.5 on (256, 256²)/118k spots — one gather row per
+    spot) and the 3×3-tile ``blocks`` gather wins on wide ones
+    (cut 4.9 ms at (32, 1024²)/18.8k spots, where winrows' box×
+    overlapped-window build scales with the frame bytes).  Measured
+    negative results kept for the record/regression A/B: ``span``
+    (15–40× slower — XLA:TPU's fast gather path only covers ENTIRE
+    trailing-axis rows), ``shift``/``slab`` (the batch-major barrel's
+    narrowing widths pad to the 128-lane quantum, quadrupling select
+    traffic), ``wincols`` (the transposed lanes-last gather costs
+    what the sublane barrel saves — a wash at 8.25 vs 7.3).  Read at
+    trace time: set PICASSO_TPU_ROI_CUT before the first fused call
+    to override."""
     import os
 
     mode = os.environ.get("PICASSO_TPU_ROI_CUT", "auto")
     if mode == "auto":
-        mode = "blocks" if width >= _BLOCK_MIN_X else "rows"
+        mode = "blocks" if width >= _BLOCK_MIN_X else "winrows"
     return {
         "blocks": cut_rois_t_blocks,
         "shift": cut_rois_t_shift,
         "slab": cut_rois_t_slab,
         "winrows": cut_rois_t_winrows,
+        "wincols": cut_rois_t_wincols,
         "span": cut_rois_t_span,
         "spanblocks": cut_rois_t_spanblocks,
     }.get(mode, cut_rois_t)

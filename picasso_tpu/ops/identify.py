@@ -62,14 +62,19 @@ def identify_maps(
     maxima : (B, Y, X) bool
     ng : (B, Y, X) float32 — net gradient at every pixel.
     """
+    raw = frames  # maxima compare in the movie's NATIVE dtype: the
+    # comparisons are value-exact in u16 or f32 (u16 → f32 is exact),
+    # and integer frames halve the windowed-max HBM traffic
     frames = frames.astype(jnp.float32)
     B, Y, X = frames.shape
     half = box // 2
 
     # --- local maxima with first-argmax tie-breaking ---------------------
-    # Pad with -inf (padding never beats a real center); the border
-    # exclusion itself is enforced ONLY by the eligible mask below —
-    # do not relax those bounds without adjusting the padding.
+    # Pad with the dtype minimum (padding never beats a real center;
+    # eligible centers never read padding — their windows stay ≥ half
+    # inside the frame); the border exclusion itself is enforced ONLY
+    # by the eligible mask below — do not relax those bounds without
+    # adjusting the padding.
     #
     # First-argmax-in-row-major-order semantics decompose into four
     # rectangular neighbor regions: the center must be STRICTLY
@@ -80,12 +85,16 @@ def identify_maps(
     # (log-doubling shifted maxima), ~11 elementwise passes instead
     # of the box²-1 = 48 per-neighbor compare passes of the naive
     # form (which were HBM-bound on TPU).
-    neg = jnp.float32(-jnp.inf)
+    if jnp.issubdtype(raw.dtype, jnp.integer):
+        neg = jnp.iinfo(raw.dtype).min
+    else:
+        raw = frames
+        neg = jnp.float32(-jnp.inf)
     padded = jnp.pad(
-        frames, ((0, 0), (half, half), (half, half)),
+        raw, ((0, 0), (half, half), (half, half)),
         constant_values=neg,
     )
-    center = frames
+    center = raw
 
     def windowed_max_1d(arr, axis, lo, hi):
         """out[i] = max over arr[i+lo .. i+hi] along ``axis``, via
@@ -309,7 +318,7 @@ def _net_gradient_mxu(gy, gx, box: int):
 
         cap = int(os.environ.get("PICASSO_TPU_NG_TILE", "256"))
         npad = -(-n // 64) * 64
-        S = npad if npad <= cap else 64
+        S = npad if npad <= cap else max(64, (cap // 64) * 64)
         # S must divide npad: round npad up to a multiple of S
         npad = -(-npad // S) * S
         return npad, S

@@ -195,6 +195,7 @@ def main():
             ("cut:shift", fused.cut_rois_t_shift),
             ("cut:slab", fused.cut_rois_t_slab),
             ("cut:winrows", fused.cut_rois_t_winrows),
+            ("cut:wincols", fused.cut_rois_t_wincols),
             ("cut:span", fused.cut_rois_t_span),
             ("cut:spanblocks", fused.cut_rois_t_spanblocks),
         ):
@@ -243,7 +244,7 @@ def main():
     # A/B children vary identify-stage knobs only — one cut route
     # (the narrow-frame production default) isolates their effect
     modes = ("rows",) if args.inner else ("rows", "blocks", "shift",
-                                          "slab", "winrows")
+                                          "slab", "winrows", "wincols")
     for mode in modes:
         os.environ["PICASSO_TPU_ROI_CUT"] = mode
 
