@@ -247,6 +247,67 @@ def _hard_watchdog(limit_s: float, label: str):
     return done.set
 
 
+def _cpu_identify_oracle(frames: np.ndarray, ng_thresh: float):
+    """CPU-path (count, f, y, x, ng) for a small frame slice, used as
+    the device-parity oracle: in-process when a cpu backend exists,
+    else a JAX_PLATFORMS=cpu subprocess — the axon plugin DEREGISTERS
+    the in-process CPU backend, so ``jax.devices("cpu")`` raises on
+    the tunneled TPU (the BENCH_r04 failure mode). Returns None when
+    neither route works; callers must degrade to a skipped parity
+    note, never sink their stage on the oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    if cpu0 is not None:
+        from picasso_tpu.ops.identify import _identify_compact
+
+        with jax.default_device(cpu0):
+            return jax.tree_util.tree_map(
+                np.asarray,
+                _identify_compact(
+                    jax.device_put(frames, cpu0),
+                    jnp.float32(ng_thresh), 7, 4096,
+                ),
+            )
+    import subprocess
+    import tempfile
+
+    code = (
+        "import sys, numpy as np\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "from picasso_tpu.ops.identify import _identify_compact\n"
+        "d = np.load(sys.argv[1])\n"
+        "r = _identify_compact(jnp.asarray(d['frames']),"
+        " jnp.float32(float(d['ng'])), 7, 4096)\n"
+        "np.savez(sys.argv[2], count=np.asarray(r[0]),"
+        " f=np.asarray(r[1]), y=np.asarray(r[2]),"
+        " x=np.asarray(r[3]), ng=np.asarray(r[4]))\n"
+    )
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            inp = os.path.join(td, "in.npz")
+            outp = os.path.join(td, "out.npz")
+            np.savez(inp, frames=frames, ng=np.float32(ng_thresh))
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            r = subprocess.run(
+                [sys.executable, "-c", code, inp, outp],
+                env=env, timeout=420, capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if r.returncode != 0:
+                return None
+            d = np.load(outp)
+            return (d["count"], d["f"], d["y"], d["x"], d["ng"])
+    except Exception:
+        return None
+
+
 def _wait_for_backend(budget_s: float):
     """Bounded retry on backend init: the tunnel's UNAVAILABLE clears
     with time (CLAUDE.md). Returns the device list or raises after
@@ -653,25 +714,26 @@ def main():
 
         # device-vs-CPU identify selftest on a 4-frame slice: the
         # compaction is a TPU scatter — a wrong lowering must fail
-        # the stage, not silently mis-time garbage
+        # the stage, not silently mis-time garbage. The axon plugin
+        # REMOVES the in-process CPU backend (jax.devices("cpu")
+        # raises), so the CPU oracle runs in a JAX_PLATFORMS=cpu
+        # subprocess; if the oracle itself cannot run, note it and
+        # keep timing (BENCH_r04 lesson: the oracle must never sink
+        # the stage).
         from picasso_tpu.ops.identify import _identify_compact
 
         sl = jnp.asarray(movie[:4])
         got = jax.tree_util.tree_map(
             np.asarray, _identify_compact(sl, ng_t, 7, 4096)
         )
-        cpu0 = jax.devices("cpu")[0]
-        with jax.default_device(cpu0):
-            want = jax.tree_util.tree_map(
-                np.asarray,
-                _identify_compact(
-                    jax.device_put(np.asarray(movie[:4]), cpu0),
-                    jnp.float32(4000.0), 7, 4096,
-                ),
-            )
-        for g, w in zip(got[:4], want[:4]):
-            np.testing.assert_array_equal(g, w)
-        stage("identify-compact device/CPU parity ok")
+        want = _cpu_identify_oracle(np.asarray(movie[:4]), 4000.0)
+        if want is None:
+            stage("identify-compact CPU oracle unavailable — "
+                  "parity check skipped")
+        else:
+            for g, w in zip(got[:4], want[:4]):
+                np.testing.assert_array_equal(g, w)
+            stage("identify-compact device/CPU parity ok")
 
         count0 = int(e2e_chain(dev)[1])  # also warms the compile
         assert 0 < count0 <= bucket, count0
