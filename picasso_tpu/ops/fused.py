@@ -494,7 +494,9 @@ def cut_rois_t_winrows(
         or B * nwin * box * X * frames.dtype.itemsize
         > _WINROWS_MAX_BYTES
     ):
-        return cut_rois_t_slab(frames, f, y, x, box)
+        # over the window-build budget (or degenerate): the einsum
+        # rows cut is the measured next-best at narrow widths
+        return cut_rois_t(frames, f, y, x, box)
     fc = jnp.maximum(f, 0)
     yc = jnp.clip(y, r, Y - r - 1)
     xc = jnp.clip(x, r, X - r - 1)
@@ -533,7 +535,7 @@ def cut_rois_t_wincols(
         or B * nwin * box * X * frames.dtype.itemsize
         > _WINROWS_MAX_BYTES
     ):
-        return cut_rois_t_slab(frames, f, y, x, box)
+        return cut_rois_t(frames, f, y, x, box)
     fc = jnp.maximum(f, 0)
     yc = jnp.clip(y, r, Y - r - 1)
     xc = jnp.clip(x, r, X - r - 1)
