@@ -669,7 +669,8 @@ def main():
         n_frames, size = E2E_FRAMES, E2E_SIZE
         movie = _make_movie(n_frames, size, E2E_SITES, 0.5, rng)
         dev = jnp.asarray(movie)  # u16 in HBM, exactly as production
-        ng_t = jnp.float32(4000.0)
+        NG_T = 4000.0  # single source for device chain AND CPU oracle
+        ng_t = jnp.float32(NG_T)
         zero = jnp.float32(0.0)
         one = jnp.float32(1.0)
 
@@ -726,7 +727,7 @@ def main():
         got = jax.tree_util.tree_map(
             np.asarray, _identify_compact(sl, ng_t, 7, 4096)
         )
-        want = _cpu_identify_oracle(np.asarray(movie[:4]), 4000.0)
+        want = _cpu_identify_oracle(np.asarray(movie[:4]), NG_T)
         if want is None:
             stage("identify-compact CPU oracle unavailable — "
                   "parity check skipped")

@@ -607,28 +607,32 @@ def cluster_areas(
     pixelsize = lib.get_from_metadata(
         info, "Pixelsize", raise_error=True
     )
-    groups = np.unique(locs["group"])
-    area_key = (
-        "Area (LP^2)" if "z" not in locs.columns else "Volume (LP^3)"
-    )
-    areas = {
-        "group": groups.astype(np.int32),
-        area_key: np.zeros(len(groups), np.float32),
-    }
-    lp = np.median(locs[["lpx", "lpy"]].mean(axis=1))
-    for idx, group_id in enumerate(groups):
-        grouplocs = locs[locs["group"] == group_id]
-        if not len(grouplocs):
-            continue
-        if "z" in grouplocs.columns:
-            X = grouplocs[["x", "y", "z"]].to_numpy().copy()
-            X[:, 2] /= pixelsize
-        else:
-            X = grouplocs[["x", "y"]].to_numpy()
-        areas[area_key][idx] = _cluster_area(X, lp)
+    has_z = "z" in locs.columns
+    coord_cols = ["x", "y", "z"] if has_z else ["x", "y"]
+    # dataset-wide median localization precision sets the Otsu grid
+    lp = float(np.median(
+        (locs["lpx"].to_numpy() + locs["lpy"].to_numpy()) / 2.0
+    ))
+    group_ids: list[int] = []
+    values: list[float] = []
+    # groupby yields each cluster's rows once (sorted ids, matching
+    # the reference's np.unique iteration order) without the O(G*N)
+    # per-group boolean scans
+    for n_done, (gid, pts_df) in enumerate(
+        locs.groupby("group", sort=True), start=1
+    ):
+        pts = pts_df[coord_cols].to_numpy(np.float64)
+        if has_z:
+            pts[:, 2] = pts[:, 2] / pixelsize  # nm -> camera px
+        group_ids.append(int(gid))
+        values.append(_cluster_area(pts, lp))
         if progress is not None:
-            progress(idx + 1)
-    return pd.DataFrame(areas)
+            progress(n_done)
+    area_key = "Volume (LP^3)" if has_z else "Area (LP^2)"
+    return pd.DataFrame({
+        "group": np.asarray(group_ids, np.int32),
+        area_key: np.asarray(values, np.float32),
+    })
 
 
 def test_subclustering(

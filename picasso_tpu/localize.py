@@ -531,6 +531,7 @@ def localize(
     identification_progress_callback=None,
     fit_progress_callback=None,
     return_info: bool = False,
+    perf: dict | None = None,
 ):
     """Identify + fit spots in 2D (picasso/localize.py:1682).
 
@@ -575,6 +576,7 @@ def localize(
             roi=roi,
             frame_bounds=frame_bounds,
             progress_callback=identification_progress_callback,
+            perf=perf,
         )
         if identifications is None:
             return None

@@ -36,6 +36,7 @@ grouping (tests/test_fused.py pins this).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Callable, Literal
 
 import jax
@@ -257,7 +258,8 @@ def cut_rois_t_span(
     gather)."""
     r = box // 2
     B, Y, X = frames.shape
-    fc = jnp.maximum(f, 0)
+    # _span_gather promises in-bounds starts: clamp f on both sides
+    fc = jnp.clip(f, 0, B - 1)
     yc = jnp.clip(y, r, Y - r - 1)
     xc = jnp.clip(x, r, X - r - 1)
     N = fc.shape[0]
@@ -302,7 +304,8 @@ def cut_rois_t_spanblocks(
         .transpose(0, 2, 1, 3)
         .reshape(B * nb, Y * _BLOCK)
     )
-    fc = jnp.maximum(f, 0)
+    # _span_gather promises in-bounds starts: clamp f on both sides
+    fc = jnp.clip(f, 0, B - 1)
     yc = jnp.clip(y, r, Y - r - 1)
     xc = jnp.clip(x, r, X - r - 1)
     N = fc.shape[0]
@@ -536,7 +539,10 @@ def cut_rois_t_wincols(
         > _WINROWS_MAX_BYTES
     ):
         return cut_rois_t(frames, f, y, x, box)
-    fc = jnp.maximum(f, 0)
+    # full clamp: the gather below PROMISES in-bounds starts, so an
+    # f >= B from a caller must degrade like the sibling variants
+    # (clamp to the last frame), not read undefined memory
+    fc = jnp.clip(f, 0, B - 1)
     yc = jnp.clip(y, r, Y - r - 1)
     xc = jnp.clip(x, r, X - r - 1)
     N = fc.shape[0]
@@ -628,6 +634,60 @@ def identify_cut_fit(
             photons, eps, max_it, method=method
         )
     return count, f, y, x, ng, thetas6, crlb6, ll, iters
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "box", "size", "eps", "max_it", "method", "use_pallas",
+        "pallas_interpret",
+    ),
+)
+def identify_cut_fit_packed(
+    frames: jnp.ndarray,
+    ng_thresh: jnp.ndarray,
+    baseline: jnp.ndarray,
+    factor: jnp.ndarray,
+    *,
+    box: int,
+    size: int,
+    eps: float,
+    max_it: int,
+    method: str,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+) -> tuple:
+    """:func:`identify_cut_fit` with the eight per-spot result arrays
+    stacked into ONE (18, size) f32 payload.
+
+    The streamed pipeline reads back ``count`` plus a single array per
+    chunk instead of eight separate device->host transfers — each of
+    which is a full round-trip on a high-latency link (the r4 bench
+    measured the streamed stage at 60% of the pure-upload ceiling;
+    readback round-trips were the unaccounted cost). f/y/x/iters are
+    integers far below 2^24, so the f32 stacking is exact.
+
+    Payload row layout: [f, y, x, ng, theta(6), crlb(6), ll, iters].
+    """
+    count, f, y, x, ng, theta, crlb, ll, iters = identify_cut_fit(
+        frames, ng_thresh, baseline, factor, box=box, size=size,
+        eps=eps, max_it=max_it, method=method, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret,
+    )
+    payload = jnp.concatenate(
+        [
+            f[None].astype(jnp.float32),
+            y[None].astype(jnp.float32),
+            x[None].astype(jnp.float32),
+            ng[None].astype(jnp.float32),
+            theta.astype(jnp.float32),
+            crlb.astype(jnp.float32),
+            ll[None].astype(jnp.float32),
+            iters[None].astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    return count, payload
 
 
 def _select_cut(width: int):
@@ -752,7 +812,7 @@ def _run_chain(
     use_pallas = pallas_mode is not None
     interpret = pallas_mode == "interpret"
     if mesh is None:
-        return identify_cut_fit(
+        return identify_cut_fit_packed(
             dev, ng_thresh, baseline, factor,
             box=box, size=size, eps=eps, max_it=max_it,
             method=method, use_pallas=use_pallas,
@@ -766,6 +826,15 @@ def _run_chain(
         use_pallas=use_pallas, pallas_interpret=interpret,
     )
     return prog(dev, ng_thresh, baseline, factor)
+
+
+def _EMPTY_CHUNK():
+    return (
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.zeros(0, np.int64), np.zeros(0, np.float32),
+        np.zeros((0, 6), np.float32), np.zeros((0, 6), np.float32),
+        np.zeros(0, np.float32), np.zeros(0, np.int32),
+    )
 
 
 def _finalize_chunk(handle):
@@ -785,19 +854,31 @@ def _finalize_chunk(handle):
     _BUCKET_HINT[dev.shape] = max(
         _BUCKET_HINT.get(dev.shape, 0), size
     )
-    _, f, y, x, ng, theta, crlb, ll, iters = result
     if mesh is None:
+        # packed single-device result: one payload transfer, trimmed
+        # ON DEVICE to the next 512-multiple above the hit count so
+        # the empty bucket tail never crosses the link (at most
+        # log2(size/512) distinct slice programs ever compile)
+        _, payload = result
         n = count
+        if n == 0:
+            return _EMPTY_CHUNK()
+        m = 512
+        while m < n:
+            m <<= 1
+        m = min(m, payload.shape[1])
+        block = np.asarray(payload[:, :m])
         return (
-            np.asarray(f)[:n].astype(np.int64),
-            np.asarray(y)[:n].astype(np.int64),
-            np.asarray(x)[:n].astype(np.int64),
-            np.asarray(ng)[:n].astype(np.float32),
-            np.asarray(theta)[:, :n].T,
-            np.asarray(crlb)[:, :n].T,
-            np.asarray(ll)[:n],
-            np.asarray(iters)[:n],
+            block[0, :n].astype(np.int64),
+            block[1, :n].astype(np.int64),
+            block[2, :n].astype(np.int64),
+            block[3, :n],
+            block[4:10, :n].T.copy(),
+            block[10:16, :n].T.copy(),
+            block[16, :n],
+            block[17, :n].astype(np.int32),
         )
+    _, f, y, x, ng, theta, crlb, ll, iters = result
     # sharded: per-device buckets; shards hold contiguous frame
     # blocks, so device-major concatenation stays frame-sorted
     counts = np.asarray(result[0])
@@ -818,12 +899,7 @@ def _finalize_chunk(handle):
         parts[6].append(ll[d, :n])
         parts[7].append(iters[d, :n])
     if not parts[0]:
-        return (
-            np.zeros(0, np.int64), np.zeros(0, np.int64),
-            np.zeros(0, np.int64), np.zeros(0, np.float32),
-            np.zeros((0, 6), np.float32), np.zeros((0, 6), np.float32),
-            np.zeros(0, np.float32), np.zeros(0, np.int32),
-        )
+        return _EMPTY_CHUNK()
     return tuple(np.concatenate(p) for p in parts)
 
 
@@ -847,6 +923,7 @@ def localize_fused(
         Callable[[int], None] | Literal["console"] | None
     ) = None,
     abort_callback: Callable[[], bool] | None = None,
+    perf: dict | None = None,
 ) -> tuple[pd.DataFrame, tuple] | tuple[None, None]:
     """Streamed fused localize over a (possibly lazy) movie.
 
@@ -860,6 +937,11 @@ def localize_fused(
     arrays row-aligned to the identifications; fit columns follow the
     reference order [y, x, photons, bg, sy, sx] offsets as produced by
     the fit cores.  Aborts return ``(None, None)``.
+
+    ``perf``: pass a dict to receive a wall-clock breakdown of the
+    run (decode wait / upload+chain dispatch / blocking drain, chunk
+    geometry) — how bench.py pins where a streamed run's time goes
+    instead of inferring "link-bound".
     """
     from picasso_tpu import lib
     from picasso_tpu.localize import _id_frame_chunk
@@ -927,6 +1009,8 @@ def localize_fused(
 
     out_f, out_y, out_x, out_ng = [], [], [], []
     out_theta, out_crlb, out_ll, out_it = [], [], [], []
+    t_decode = t_upload = t_dispatch = t_drain = 0.0
+    t_run0 = time.perf_counter()
     prefetcher = ChunkPrefetcher(movie, bounds, depth=prefetch_depth)
     try:
         with lib.progress_reporter(
@@ -937,11 +1021,13 @@ def localize_fused(
             in_flight: list = []
 
             def _drain():
-                nonlocal done
+                nonlocal done, t_drain
                 offset, n_real, padded_tail, handle = in_flight.pop(0)
+                t0 = time.perf_counter()
                 f, y, x, ng, theta, crlb, ll, iters = (
                     _finalize_chunk(handle)
                 )
+                t_drain += time.perf_counter() - t0
                 if padded_tail:
                     keep = f < n_real
                     f, y, x, ng = f[keep], y[keep], x[keep], ng[keep]
@@ -960,7 +1046,14 @@ def localize_fused(
                 if callable(progress_callback):
                     progress_callback(done)
 
-            for offset, batch in prefetcher:
+            chunk_iter = iter(prefetcher)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    offset, batch = next(chunk_iter)
+                except StopIteration:
+                    break
+                t_decode += time.perf_counter() - t0
                 if abort_callback is not None and abort_callback():
                     return None, None
                 if roi is not None:
@@ -984,6 +1077,7 @@ def localize_fused(
                             (pad, *batch.shape[1:]), batch.dtype
                         ),
                     ])
+                t0 = time.perf_counter()
                 if mesh is not None:
                     from jax.sharding import (
                         NamedSharding, PartitionSpec,
@@ -997,6 +1091,8 @@ def localize_fused(
                     )
                 else:
                     dev = jnp.asarray(batch)
+                t_upload += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 in_flight.append((
                     offset, n_real, padded_tail,
                     _dispatch_chunk(
@@ -1004,6 +1100,7 @@ def localize_fused(
                         eps, max_it, method, mesh,
                     ),
                 ))
+                t_dispatch += time.perf_counter() - t0
                 first_chunk = False
                 while len(in_flight) > 1:
                     _drain()
@@ -1011,6 +1108,20 @@ def localize_fused(
                 _drain()
     finally:
         prefetcher.close()
+    if perf is not None:
+        total = time.perf_counter() - t_run0
+        perf.update({
+            "n_chunks": len(bounds),
+            "frame_chunk": frame_chunk,
+            "decode_wait_s": round(t_decode, 3),
+            "upload_dispatch_s": round(t_upload, 3),
+            "chain_dispatch_s": round(t_dispatch, 3),
+            "drain_s": round(t_drain, 3),
+            "other_s": round(
+                total - t_decode - t_upload - t_dispatch - t_drain, 3
+            ),
+            "total_s": round(total, 3),
+        })
 
     f = np.concatenate(out_f)
     y = np.concatenate(out_y)

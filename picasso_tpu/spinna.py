@@ -253,22 +253,26 @@ def coords_to_locs(
 
 
 def get_NN_dist(data1, data2, n_neighbors: int) -> np.ndarray:
-    """K nearest-neighbor distances from data1 into data2; self-pairs
-    excluded when the sets are identical (picasso/spinna.py:696)."""
-    if len(data1) == 0 or len(data2) == 0:
+    """K nearest-neighbor distances, shape (len(data1), n_neighbors),
+    columns ascending. Querying a point cloud against itself drops the
+    zero-distance self match so column 0 is the true nearest
+    neighbor. Behavioral contract: picasso/spinna.py:696-749."""
+    n_from = len(data1)
+    if not (n_from and len(data2)):
         return np.array([])
     if data1.shape[1] != data2.shape[1]:
         raise ValueError(
-            "data1 and data2 must have the same number of dimensions."
+            f"dimensionality mismatch: data1 has {data1.shape[1]} "
+            f"columns, data2 has {data2.shape[1]}"
         )
-    reduce = 1 if np.array_equal(data1, data2) else 0
-    tree = KDTree(data2)
-    dist, _ = tree.query(data1, k=n_neighbors + reduce)
-    if n_neighbors + reduce == 1:
-        dist = np.expand_dims(dist, 1)
-    if reduce:
-        dist = dist[:, 1:]
-    return dist
+    self_query = data1.shape == data2.shape and bool(
+        np.array_equal(data1, data2)
+    )
+    k = n_neighbors + 1 if self_query else n_neighbors
+    # KDTree.query squeezes the neighbor axis when k == 1; reshape
+    # restores the documented 2D contract in one step
+    dist = KDTree(data2).query(data1, k=k)[0].reshape(n_from, k)
+    return dist[:, 1:] if self_query else dist
 
 
 def get_NN_dist_experimental(
