@@ -185,6 +185,15 @@ def stage(name):
     )
 
 
+#: every emitted metric's headline value, merged across restarted
+#: children via the state file, so the final compact `summary` line
+#: carries ALL stage results — the driver keeps only the last ~2000
+#: chars of output, which in rounds 3-4 truncated exactly the metrics
+#: that changed (VERDICT r4 next #1)
+_METRIC_LOG: dict = {}
+_PERSIST_METRIC = None  # set by main() once state is loaded
+
+
 def emit(metric, value, unit, vs_baseline, **extra):
     line = {
         "metric": metric,
@@ -195,6 +204,10 @@ def emit(metric, value, unit, vs_baseline, **extra):
     line.update(extra)
     print(json.dumps(line), flush=True)
     stage(f"emitted {metric}")
+    if metric not in ("summary", "mle_fit_throughput"):
+        _METRIC_LOG[metric] = value
+        if _PERSIST_METRIC is not None:
+            _PERSIST_METRIC(metric, value)
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +378,15 @@ def main():
 
     state = _load_state()
     data = state["data"]
+    data.setdefault("metrics", {})
+    _METRIC_LOG.update(data["metrics"])
+
+    def _persist_metric(metric, value):
+        data["metrics"][metric] = value
+        _save_state(state)
+
+    global _PERSIST_METRIC
+    _PERSIST_METRIC = _persist_metric
 
     def run_stage(name, fn, deadline=420, tries=2):
         """Run one recorded stage. Skips when already completed by a
@@ -440,6 +462,24 @@ def main():
             float(f(arg))
             times.append(time.perf_counter() - t0)
         return min(times)
+
+    def timed_reps(fn, reps=3, budget_s=None):
+        """Best-of-N wall-clock + spread for HOST-ORCHESTRATED stages
+        (tunnel weather drifts 4-30% between sessions, CLAUDE.md):
+        the spread makes each row self-describing so cross-round
+        vs_baseline trends are signal (VERDICT r4 next #8). Returns
+        (last_result, best_s, {n_reps, spread_s})."""
+        times, out = [], None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            times.append(time.perf_counter() - t0)
+            if budget_s is not None and sum(times) >= budget_s:
+                break
+        return out, min(times), {
+            "n_reps": len(times),
+            "spread_s": round(max(times) - min(times), 3),
+        }
 
     def get_latency():
         if "latency" not in ctx:
@@ -657,19 +697,28 @@ def main():
 
     # ---- end-to-end localize helpers ----
     _make_movie = make_bench_movie
+    NG_T = 4000.0  # single source for device chains AND CPU oracle
 
-    # ---- 3. compute-bound end-to-end localize: frames resident in
-    # HBM (no link in the loop), dense emitters — the pipeline's
-    # compute ceiling (identify maps + compaction + ROI gather + LM
-    # fit as ONE program). ----
-    def _stage_e2e_compute():
+    def get_e2e_movie():
+        if "e2e_movie" not in ctx:
+            rng = np.random.default_rng(13)
+            ctx["e2e_movie"] = _make_movie(
+                E2E_FRAMES, E2E_SIZE, E2E_SITES, 0.5, rng
+            )
+        return ctx["e2e_movie"]
+
+    def _run_e2e_compute(metric, method, max_it):
+        """Compute-bound end-to-end localize: frames resident in HBM
+        (no link in the loop), dense emitters — the pipeline's compute
+        ceiling (identify maps + compaction + ROI gather + fit as ONE
+        program). Run for BOTH fitters: lq mirrors the reference's
+        default, sigmaxy is the production localize_fused default
+        (VERDICT r4 next #3)."""
         from picasso_tpu.ops import fused as fused_mod
 
-        rng = np.random.default_rng(13)
+        movie = get_e2e_movie()
         n_frames, size = E2E_FRAMES, E2E_SIZE
-        movie = _make_movie(n_frames, size, E2E_SITES, 0.5, rng)
         dev = jnp.asarray(movie)  # u16 in HBM, exactly as production
-        NG_T = 4000.0  # single source for device chain AND CPU oracle
         ng_t = jnp.float32(NG_T)
         zero = jnp.float32(0.0)
         one = jnp.float32(1.0)
@@ -698,8 +747,8 @@ def main():
                 acc, _ = carry
                 out = fused_mod.identify_cut_fit(
                     fr, ng_t + acc * 1e-30, zero,
-                    one, box=7, size=bucket, eps=1e-3, max_it=30,
-                    method="lq", use_pallas=use_pallas,
+                    one, box=7, size=bucket, eps=1e-3, max_it=max_it,
+                    method=method, use_pallas=use_pallas,
                 )
                 return (
                     jnp.sum(out[5]) * 1e-9 + 0.0 * acc, out[0]
@@ -713,6 +762,17 @@ def main():
         def chain_scalar(fr):
             return e2e_chain(fr)[0]
 
+        count0 = int(e2e_chain(dev)[1])  # also warms the compile
+        assert 0 < count0 <= bucket, count0
+        dt = (timed(chain_scalar, dev) - get_latency()) / CHAIN
+        emit(
+            metric, round(count0 / dt), "spots/s",
+            (count0 / dt) / 1e6,
+            n_spots=count0, frames_per_s=round(n_frames / dt, 1),
+            frame_px=size, fit=method,
+        )
+
+    def _stage_e2e_compute():
         # device-vs-CPU identify selftest on a 4-frame slice: the
         # compaction is a TPU scatter — a wrong lowering must fail
         # the stage, not silently mis-time garbage. The axon plugin
@@ -723,9 +783,11 @@ def main():
         # the stage).
         from picasso_tpu.ops.identify import _identify_compact
 
+        movie = get_e2e_movie()
         sl = jnp.asarray(movie[:4])
         got = jax.tree_util.tree_map(
-            np.asarray, _identify_compact(sl, ng_t, 7, 4096)
+            np.asarray,
+            _identify_compact(sl, jnp.float32(NG_T), 7, 4096),
         )
         want = _cpu_identify_oracle(np.asarray(movie[:4]), NG_T)
         if want is None:
@@ -735,18 +797,21 @@ def main():
             for g, w in zip(got[:4], want[:4]):
                 np.testing.assert_array_equal(g, w)
             stage("identify-compact device/CPU parity ok")
-
-        count0 = int(e2e_chain(dev)[1])  # also warms the compile
-        assert 0 < count0 <= bucket, count0
-        dt = (timed(chain_scalar, dev) - get_latency()) / CHAIN
-        emit(
-            "e2e_localize_compute", round(count0 / dt), "spots/s",
-            (count0 / dt) / 1e6,
-            n_spots=count0, frames_per_s=round(n_frames / dt, 1),
-            frame_px=size,
-        )
+        _run_e2e_compute("e2e_localize_compute", "lq", 30)
 
     run_stage("e2e_compute", _stage_e2e_compute, deadline=600)
+
+    # ---- 3a. the same chain with the PRODUCTION default fitter
+    # (gaussmle sigmaxy, eps 1e-3, max_it 100 — ops/fused.py:838):
+    # the north star is MLE spots/s, so the default chain users get
+    # carries a measured number too (VERDICT r4 next #3). ----
+    run_stage(
+        "e2e_compute_mle",
+        lambda: _run_e2e_compute(
+            "e2e_localize_compute_mle", "sigmaxy", 100
+        ),
+        deadline=600,
+    )
 
     # ---- 3b. the PUBLIC localize() on an in-RAM movie (VERDICT r3
     # next #4): same fused production path users hit, measured
@@ -757,24 +822,24 @@ def main():
     def _stage_fused_e2e():
         from picasso_tpu.localize import localize
 
-        rng = np.random.default_rng(17)
+        movie = get_e2e_movie()  # same workload as the compute rows
         n_frames, size = E2E_FRAMES, E2E_SIZE
-        movie = _make_movie(n_frames, size, E2E_SITES, 0.5, rng)
         camera = {
             "Baseline": 0, "Sensitivity": 1.0, "Gain": 1,
             "Pixelsize": 130,
         }
-        params = {"Min. Net Gradient": 4000.0, "Box Size": 7}
+        params = {"Min. Net Gradient": NG_T, "Box Size": 7}
+        perf: dict = {}
 
         def run_once():
+            perf.clear()
             return localize(
                 movie, camera, params, fitting_method="gausslq",
+                perf=perf,
             )
 
-        locs = run_once()  # warm compiles + bucket hints
-        t0 = time.perf_counter()
-        locs = run_once()
-        dt = time.perf_counter() - t0
+        run_once()  # warm compiles + bucket hints
+        locs, dt, disp = timed_reps(run_once, reps=3)
         n_spots = len(locs)
         assert n_spots > 0
         emit(
@@ -782,6 +847,7 @@ def main():
             (n_spots / dt) / 1e6,
             n_spots=n_spots, frames_per_s=round(n_frames / dt, 1),
             frame_px=size, wall_s=round(dt, 3),
+            **disp, **perf,  # perf = last rep's phase breakdown
         )
 
     run_stage("fused_e2e", _stage_fused_e2e, deadline=600)
@@ -796,16 +862,23 @@ def main():
         # time must not contaminate the steady-state wall-clock)
         postprocess.undrift(locs, info, 500, display=False)
         aim_mod.aim(locs, info, segmentation=500)
-        t0 = time.perf_counter()
-        drift, _ = postprocess.undrift(locs, info, 500, display=False)
-        locs_aim, _, _ = aim_mod.aim(locs, info, segmentation=500)
-        undrift_s = time.perf_counter() - t0
+
+        def run_once():
+            drift, _ = postprocess.undrift(
+                locs, info, 500, display=False
+            )
+            locs_aim, _, _ = aim_mod.aim(locs, info, segmentation=500)
+            return drift, locs_aim
+
+        (drift, locs_aim), undrift_s, disp = timed_reps(
+            run_once, reps=3, budget_s=120,
+        )
         assert np.isfinite(drift.to_numpy()).all()
         assert len(locs_aim) == len(locs)
         emit(
             "undrift_rcc_aim_s", round(undrift_s, 3), "s",
             60.0 / undrift_s,
-            n_locs=len(locs), n_frames=info[0]["Frames"],
+            n_locs=len(locs), n_frames=info[0]["Frames"], **disp,
         )
 
     run_stage("undrift", _stage_undrift)
@@ -917,17 +990,19 @@ def main():
             clocs.iloc[:10000], radius_xy=0.15, min_locs=10,
             frame_analysis=False,
         )  # warm
-        t0 = time.perf_counter()
-        clusterer.cluster(
-            clocs, radius_xy=0.15, min_locs=10, frame_analysis=False
+        _, dt_c, disp = timed_reps(
+            lambda: clusterer.cluster(
+                clocs, radius_xy=0.15, min_locs=10,
+                frame_analysis=False,
+            ),
+            reps=3, budget_s=60,
         )
-        dt_c = time.perf_counter() - t0
         total = (n_z + n_c) / (dt_z + dt_c)
         emit(
             "zfit_cluster_throughput", round(total), "locs/s",
             total / 1e6,
             zfit_locs_per_s=round(n_z / dt_z),
-            cluster_locs_per_s=round(n_c / dt_c),
+            cluster_locs_per_s=round(n_c / dt_c), **disp,
         )
 
     run_stage("zfit_cluster", _stage_zfit_cluster)
@@ -974,14 +1049,15 @@ def main():
         avg_mod.average(
             alocs, ainfo, display_pixel_size=10.0, iterations=1
         )  # warm
-        t0 = time.perf_counter()
-        avg_mod.average(
-            alocs, ainfo, display_pixel_size=10.0, iterations=1
+        _, avg_s, disp = timed_reps(
+            lambda: avg_mod.average(
+                alocs, ainfo, display_pixel_size=10.0, iterations=1
+            ),
+            reps=3, budget_s=90,
         )
-        avg_s = time.perf_counter() - t0
         emit(
             "average_5k_groups_s", round(avg_s, 3), "s", 60.0 / avg_s,
-            n_groups=5000,
+            n_groups=5000, **disp,
         )
 
     run_stage("average", _stage_average)
@@ -1059,16 +1135,17 @@ def main():
                 return movie[it]
 
         camera = {"Baseline": 0, "Sensitivity": 1.0, "Gain": 1}
+        perf: dict = {}
 
         def run_once():
+            perf.clear()
             return fused_mod.localize_fused(
                 _Lazy(), 4000, 7, camera, fitting_method="gausslq",
+                perf=perf,
             )
 
-        ids, _ = run_once()  # warm compiles
-        t0 = time.perf_counter()
-        ids, (theta, *_rest) = run_once()
-        dt = time.perf_counter() - t0
+        run_once()  # warm compiles
+        (ids, _fits), dt, disp = timed_reps(run_once, reps=3)
 
         # measured link rate at this transfer size -> the
         # transfer-bound frames/s ceiling for this config
@@ -1090,14 +1167,21 @@ def main():
             link_mbps=round(link_mbps, 1),
             transfer_ceiling_frames_s=round(ceiling, 1),
             link_fraction=round((n_frames / dt) / ceiling, 3),
+            **disp, **perf,  # perf = last rep's phase breakdown
         )
 
     run_stage("e2e_localize", _stage_e2e_localize)
 
     # ---- headline last (drivers that keep only the tail still get
-    # the north-star metric + selftest) ----
+    # the north-star metric + selftest), preceded by ONE compact
+    # summary carrying every stage's value so nothing falls outside
+    # the driver's 2000-char tail (VERDICT r4 next #1) ----
     if "headline" in state["done"]:
         return
+    if _METRIC_LOG:
+        emit(
+            "summary", len(_METRIC_LOG), "metrics", 1.0, **_METRIC_LOG,
+        )
     extra = {
         "selftest": data.get("selftest", "not-run (stage skipped)"),
         **data.get("selftest_paths", {}),
