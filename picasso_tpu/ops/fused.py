@@ -530,6 +530,22 @@ def cut_rois_t_wincols(
     (box, box, N) lanes-last layout the fit cores consume, removing
     the final transpose pass.
     """
+    cols, xoff = gather_wincols(frames, f, y, x, box)
+    if cols is None:
+        return cut_rois_t(frames, f, y, x, box)
+    X = frames.shape[-1]
+    rows = cols.reshape(box, X, f.shape[0])
+    out = _barrel_extract(rows, xoff, 1, box, batch_axis=-1)
+    return out.astype(jnp.float32)
+
+
+def gather_wincols(frames, f, y, x, box):
+    """The wincols overlapped-window TRANSPOSED row gather without the
+    column extraction: returns (cols (box·X, N) in the movie's native
+    dtype, xoff (N,) i32 in-row column offsets), or (None, None) when
+    the window build exceeds the HBM budget.  Shared by
+    :func:`cut_rois_t_wincols` (XLA barrel) and the fused cut+fit
+    Pallas kernel (ops/winfit_pallas — barrel runs in VMEM)."""
     r = box // 2
     B, Y, X = frames.shape
     nwin = Y - box + 1
@@ -538,14 +554,13 @@ def cut_rois_t_wincols(
         or B * nwin * box * X * frames.dtype.itemsize
         > _WINROWS_MAX_BYTES
     ):
-        return cut_rois_t(frames, f, y, x, box)
+        return None, None
     # full clamp: the gather below PROMISES in-bounds starts, so an
     # f >= B from a caller must degrade like the sibling variants
     # (clamp to the last frame), not read undefined memory
     fc = jnp.clip(f, 0, B - 1)
     yc = jnp.clip(y, r, Y - r - 1)
     xc = jnp.clip(x, r, X - r - 1)
-    N = fc.shape[0]
     win = jnp.stack(
         [frames[:, i:i + nwin, :] for i in range(box)], axis=2
     ).reshape(B * nwin, box * X)
@@ -559,9 +574,7 @@ def cut_rois_t_wincols(
         win, starts, dn, slice_sizes=(1, box * X),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     )  # (box·X, N)
-    rows = cols.reshape(box, X, N)
-    out = _barrel_extract(rows, xc - r, 1, box, batch_axis=-1)
-    return out.astype(jnp.float32)
+    return cols, (xc - r).astype(jnp.int32)
 
 
 @functools.partial(
@@ -599,6 +612,14 @@ def identify_cut_fit(
     count, f, y, x, ng = _identify_compact(
         frames, ng_thresh, box, size
     )
+    if use_pallas and _winfit_wanted(frames.shape[-1]):
+        out = _winfit_branch(
+            frames, count, f, y, x, ng, baseline, factor,
+            box=box, eps=eps, max_it=max_it, method=method,
+            interpret=pallas_interpret,
+        )
+        if out is not None:
+            return out
     spots_t = _select_cut(frames.shape[-1])(frames, f, y, x, box)
     photons = (spots_t.astype(jnp.float32) - baseline) * factor
     # use_pallas routes the fit through the tiled Mosaic kernels
@@ -688,6 +709,63 @@ def identify_cut_fit_packed(
         axis=0,
     )
     return count, payload
+
+
+#: flips to True when the on-chip A/B shows the fused cut+fit kernel
+#: beating the winrows default on narrow frames (measured, not
+#: inferred — tools/measure_chain.py chain:winfit row)
+_WINFIT_AUTO = False
+
+
+def _winfit_wanted(width: int) -> bool:
+    """Route the Pallas chain through the fused cut+fit kernel
+    (ops/winfit_pallas) — explicitly via PICASSO_TPU_ROI_CUT=winfit,
+    or by default on narrow frames once measured on (_WINFIT_AUTO)."""
+    import os
+
+    mode = os.environ.get("PICASSO_TPU_ROI_CUT", "auto")
+    if mode == "winfit":
+        return True
+    return mode == "auto" and _WINFIT_AUTO and width < _BLOCK_MIN_X
+
+
+def _winfit_branch(frames, count, f, y, x, ng, baseline, factor, *,
+                   box, eps, max_it, method, interpret):
+    """Fused ROI-extract + photon-convert + fit as ONE Pallas kernel
+    over the wincols row gather; None when the window build is over
+    budget or the kernel does not lower here (callers fall back to the
+    split cut→convert→fit path)."""
+    from picasso_tpu.ops import winfit_pallas
+
+    cols, xoff = gather_wincols(frames, f, y, x, box)
+    if cols is None:
+        return None
+    if interpret:
+        ec = False
+    else:
+        ec = winfit_pallas.probe(
+            box, frames.shape[-1], method, np.dtype(frames.dtype)
+        )
+        if ec is None:
+            return None
+    xoff2 = xoff[None, :]
+    if method == "lq":
+        theta = winfit_pallas.fit_lq_t(
+            cols, xoff2, baseline, factor, box=box, max_it=max_it,
+            ftol=1e-6, early_cast=ec, interpret=interpret,
+        )
+        zeros6 = jnp.zeros_like(theta)
+        zeros1 = jnp.zeros(theta.shape[1], jnp.float32)
+        return (
+            count, f, y, x, ng, theta, zeros6, zeros1,
+            zeros1.astype(jnp.int32),
+        )
+    thetas6, crlb6, ll, iters = winfit_pallas.fit_mle_t(
+        cols, xoff2, baseline, factor, box=box, eps=eps,
+        max_it=max_it, method=method, early_cast=ec,
+        interpret=interpret,
+    )
+    return count, f, y, x, ng, thetas6, crlb6, ll, iters
 
 
 def _select_cut(width: int):

@@ -464,3 +464,73 @@ def test_chain_parity_blocks_cut_and_pallas_identify(
         )
     else:
         np.testing.assert_array_equal(got[5], want[5])
+
+
+@pytest.mark.parametrize("method", ["lq", "sigmaxy"])
+def test_chain_parity_winfit_fused_cut_fit(monkeypatch, method):
+    """The fused cut+photon-convert+fit Pallas kernel
+    (PICASSO_TPU_ROI_CUT=winfit, ops/winfit_pallas) must be
+    BIT-identical to the split wincols-cut -> convert -> Pallas-fit
+    chain: the in-VMEM barrel picks the same raw values, and the
+    photon conversion and fit program are the same jnp code."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(27)
+    frames = rng.poisson(30, (8, 64, 64)).astype(np.uint16)
+    yy, xx = np.mgrid[-3:4, -3:4]
+    psf = np.exp(-(yy**2 + xx**2) / 2.4)
+    for i in range(8):
+        for cy, cx in ((10, 10), (30, 20), (50, 40), (20, 50)):
+            frames[i, cy - 3:cy + 4, cx - 3:cx + 4] += rng.poisson(
+                psf * 600
+            ).astype(np.uint16)
+    dev = jnp.asarray(frames)
+    # non-trivial camera constants so the in-kernel conversion is
+    # actually exercised
+    args = (dev, jnp.float32(2000), jnp.float32(1.5), jnp.float32(0.8))
+    kw = dict(
+        box=7, size=512, eps=1e-3, max_it=30, method=method,
+        use_pallas=True, pallas_interpret=True,
+    )
+
+    monkeypatch.setenv("PICASSO_TPU_ROI_CUT", "wincols")
+    fused.identify_cut_fit.clear_cache()
+    want = tuple(map(np.asarray, fused.identify_cut_fit(*args, **kw)))
+    assert int(want[0]) > 8
+
+    monkeypatch.setenv("PICASSO_TPU_ROI_CUT", "winfit")
+    fused.identify_cut_fit.clear_cache()
+    try:
+        got = tuple(
+            map(np.asarray, fused.identify_cut_fit(*args, **kw))
+        )
+    finally:
+        monkeypatch.undo()
+        fused.identify_cut_fit.clear_cache()
+
+    assert int(got[0]) == int(want[0])
+    for g, w in zip(got[1:], want[1:]):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_winfit_barrel_matches_xla_barrel():
+    """_barrel_mid (right-aligned hi windows, no pads) must agree with
+    the proven ops/fused._barrel_extract on every offset."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.winfit_pallas import _barrel_mid
+
+    rng = np.random.default_rng(5)
+    for width, out in ((256, 7), (64, 7), (33, 5), (8, 7), (7, 7)):
+        n = 16
+        arr = jnp.asarray(
+            rng.integers(0, 60000, (out, width, n)).astype(np.uint16)
+        )
+        offs = jnp.asarray(
+            rng.integers(0, width - out + 1, (1, n)).astype(np.int32)
+        )
+        got = np.asarray(_barrel_mid(arr, offs, out))
+        want = np.asarray(
+            fused._barrel_extract(arr, offs[0], 1, out, batch_axis=-1)
+        )
+        np.testing.assert_array_equal(got, want)

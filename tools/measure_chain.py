@@ -244,7 +244,8 @@ def main():
     # A/B children vary identify-stage knobs only — one cut route
     # (the narrow-frame production default) isolates their effect
     modes = ("rows",) if args.inner else ("rows", "blocks", "shift",
-                                          "slab", "winrows", "wincols")
+                                          "slab", "winrows", "wincols",
+                                          "winfit")
     for mode in modes:
         os.environ["PICASSO_TPU_ROI_CUT"] = mode
 
