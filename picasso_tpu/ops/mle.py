@@ -237,6 +237,112 @@ def _newton_step_sigmaxy(theta, spots_t, max_step):
     return theta
 
 
+def _newton_step_sigmaxy_early(theta, spots_t, max_step):
+    """One Newton update — early-reduction form of
+    :func:`_newton_step_sigmaxy` (round 5).
+
+    The y-axis (sublane) reduction moves INSIDE the column loop: per
+    column i the C/D slices contract against the y-factor rows down to
+    (N,) scalars immediately (t/u dots below), so the loop carries 16
+    (N,) accumulators instead of 10 (S, N) rows — ~8× less accumulator
+    read/write traffic per iteration at identical FLOPs. The roofline
+    pins VMEM traffic (not FLOPs) as the binding cost of the fit
+    kernel (docs/performance.md), which is exactly what this form
+    removes. Same update math as the reference
+    (picasso/gaussmle.py:793-841); the f32 reduction order differs
+    (j-then-i), so parameters agree to fp tolerance, not bitwise.
+    """
+    s = spots_t.shape[0]
+    x, y, photons, bg, sx, sy = theta
+    (
+        psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
+        dsig_x, d2sig_x, dsig_y, d2sig_y,
+    ) = _axis_factors_sigmaxy(x, y, photons, sx, sy, s)
+    ph = photons
+    ph2 = photons * photons
+
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+    psf_y2 = psf_y * psf_y
+    dmu_y2 = dmu_y * dmu_y
+    dsig_y2 = dsig_y * dsig_y
+    acc = [None] * 16
+
+    def _add(k, v):
+        acc[k] = v if acc[k] is None else acc[k] + v
+
+    for i in range(s):
+        data_i = spots_sw[i]  # (S_j, N)
+        model_i = ph[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
+        valid = model_i > 10e-3
+        r_i = 1.0 / model_i
+        dr_i = data_i * r_i
+        cf_i = jnp.minimum(jnp.where(valid, dr_i - 1.0, 0.0), 10e4)
+        df_i = jnp.minimum(jnp.where(valid, dr_i * r_i, 0.0), 10e4)
+        # y-contractions to (N,) — the whole point of this form
+        t1 = jnp.sum(psf_y * cf_i, axis=0)
+        t2 = jnp.sum(dmu_y * cf_i, axis=0)
+        t3 = jnp.sum(cf_i, axis=0)
+        t4 = jnp.sum(dsig_y * cf_i, axis=0)
+        t5 = jnp.sum(d2mu_y * cf_i, axis=0)
+        t6 = jnp.sum(d2sig_y * cf_i, axis=0)
+        u1 = jnp.sum(psf_y2 * df_i, axis=0)
+        u2 = jnp.sum(dmu_y2 * df_i, axis=0)
+        u3 = jnp.sum(df_i, axis=0)
+        u4 = jnp.sum(dsig_y2 * df_i, axis=0)
+        px, px2 = psf_x[i], psf_x[i] * psf_x[i]
+        _add(0, dmu_x[i] * t1)                # num x  (× ph below)
+        _add(1, px * t2)                      # num y  (× ph)
+        _add(2, px * t1)                      # num photons
+        _add(3, t3)                           # num bg
+        _add(4, dsig_x[i] * t1)               # num sx (× ph)
+        _add(5, px * t4)                      # num sy (× ph)
+        _add(6, d2mu_x[i] * t1)               # den x cf
+        _add(7, dmu_x[i] * dmu_x[i] * u1)     # den x df
+        _add(8, px * t5)                      # den y cf
+        _add(9, px2 * u2)                     # den y df
+        _add(10, px2 * u1)                    # den photons
+        _add(11, u3)                          # den bg
+        _add(12, d2sig_x[i] * t1)             # den sx cf
+        _add(13, dsig_x[i] * dsig_x[i] * u1)  # den sx df
+        _add(14, px * t6)                     # den sy cf
+        _add(15, px2 * u4)                    # den sy df
+
+    num = jnp.stack(
+        [
+            ph * acc[0], ph * acc[1], acc[2], acc[3],
+            ph * acc[4], ph * acc[5],
+        ]
+    )
+    den = jnp.stack(
+        [
+            ph * acc[6] - ph2 * acc[7],
+            ph * acc[8] - ph2 * acc[9],
+            -acc[10],
+            -acc[11],
+            ph * acc[12] - ph2 * acc[13],
+            ph * acc[14] - ph2 * acc[15],
+        ]
+    )
+
+    update = jnp.where(
+        den == 0.0,
+        jnp.sign(num) * max_step,
+        jnp.clip(num / den, -max_step, max_step),
+    )
+    theta = theta - update
+    theta = jnp.stack(
+        [
+            theta[0],
+            theta[1],
+            jnp.maximum(theta[2], 1.0),
+            jnp.maximum(theta[3], 0.01),
+            jnp.maximum(theta[4], 0.01),
+            jnp.maximum(theta[5], 0.01),
+        ]
+    )
+    return theta
+
+
 def _axis_factors_sigma(x, y, sigma, s: int):
     idx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0).astype(x.dtype)
     dx = idx - x[None, :]
@@ -336,6 +442,106 @@ def _newton_step_sigma(theta, spots_t, max_step):
 
     # The reference's sigma-method zero-denominator branch subtracts
     # sign(numerator * max_step), i.e. +-1 (picasso/gaussmle.py:657-664).
+    update = jnp.where(
+        den == 0.0,
+        jnp.sign(num * max_step),
+        jnp.clip(num / den, -max_step, max_step),
+    )
+    theta = theta - update
+    theta = jnp.stack(
+        [
+            theta[0],
+            theta[1],
+            jnp.maximum(theta[2], 1.0),
+            jnp.maximum(theta[3], 0.01),
+            jnp.clip(theta[4], 0.01, jnp.asarray(s, theta.dtype)),
+        ]
+    )
+    return theta
+
+
+def _newton_step_sigma_early(theta, spots_t, max_step):
+    """Early-reduction form of :func:`_newton_step_sigma` — see
+    :func:`_newton_step_sigmaxy_early` for the rationale. 18 (N,)
+    accumulators replace 11 (S, N) rows."""
+    s = spots_t.shape[0]
+    x, y, photons, bg, sigma = theta
+    (
+        psf_x, psf_y, dmu_x, d2mu_x, dmu_y, d2mu_y,
+        dPSFx, d2PSFx, dPSFy, d2PSFy,
+    ) = _axis_factors_sigma(x, y, sigma, s)
+    ph = photons
+    ph2 = photons * photons
+
+    spots_sw = jnp.transpose(spots_t, (1, 0, 2))  # (S_i, S_j, N)
+    psf_y2 = psf_y * psf_y
+    dmu_y2 = dmu_y * dmu_y
+    pd_y = psf_y * dPSFy
+    dPSFy2 = dPSFy * dPSFy
+    acc = [None] * 18
+
+    def _add(k, v):
+        acc[k] = v if acc[k] is None else acc[k] + v
+
+    for i in range(s):
+        data_i = spots_sw[i]  # (S_j, N)
+        model_i = ph[None, :] * psf_y * psf_x[i][None, :] + bg[None, :]
+        valid = model_i > 10e-3
+        r_i = 1.0 / model_i
+        dr_i = data_i * r_i
+        cf_i = jnp.minimum(jnp.where(valid, dr_i - 1.0, 0.0), 10e4)
+        df_i = jnp.minimum(jnp.where(valid, dr_i * r_i, 0.0), 10e4)
+        t1 = jnp.sum(psf_y * cf_i, axis=0)
+        t2 = jnp.sum(dmu_y * cf_i, axis=0)
+        t3 = jnp.sum(cf_i, axis=0)
+        t5 = jnp.sum(d2mu_y * cf_i, axis=0)
+        t7 = jnp.sum(dPSFy * cf_i, axis=0)
+        t8 = jnp.sum(d2PSFy * cf_i, axis=0)
+        u1 = jnp.sum(psf_y2 * df_i, axis=0)
+        u2 = jnp.sum(dmu_y2 * df_i, axis=0)
+        u3 = jnp.sum(df_i, axis=0)
+        u5 = jnp.sum(pd_y * df_i, axis=0)
+        u6 = jnp.sum(dPSFy2 * df_i, axis=0)
+        px, px2 = psf_x[i], psf_x[i] * psf_x[i]
+        _add(0, dmu_x[i] * t1)                 # num x (× ph)
+        _add(1, px * t2)                       # num y (× ph)
+        _add(2, px * t1)                       # num photons
+        _add(3, t3)                            # num bg
+        _add(4, dPSFx[i] * t1)                 # num sigma term 1
+        _add(5, px * t7)                       # num sigma term 2
+        _add(6, d2mu_x[i] * t1)                # den x cf
+        _add(7, dmu_x[i] * dmu_x[i] * u1)      # den x df
+        _add(8, px * t5)                       # den y cf
+        _add(9, px2 * u2)                      # den y df
+        _add(10, px2 * u1)                     # den photons
+        _add(11, u3)                           # den bg
+        _add(12, d2PSFx[i] * t1)               # den sigma cf 1
+        _add(13, dPSFx[i] * t7)                # den sigma cf 2
+        _add(14, px * t8)                      # den sigma cf 3
+        _add(15, dPSFx[i] * dPSFx[i] * u1)     # den sigma df 1
+        _add(16, dPSFx[i] * px * u5)           # den sigma df 2
+        _add(17, px2 * u6)                     # den sigma df 3
+
+    num = jnp.stack(
+        [
+            ph * acc[0], ph * acc[1], acc[2], acc[3],
+            ph * (acc[4] + acc[5]),
+        ]
+    )
+    # d2udt2_sigma: photons multiplies only the first term
+    # (picasso/gaussmle.py:380-382 quirk, reproduced)
+    den_sigma_cf = ph * acc[12] + 2 * acc[13] + acc[14]
+    den_sigma_df = ph2 * (acc[15] + 2 * acc[16] + acc[17])
+    den = jnp.stack(
+        [
+            ph * acc[6] - ph2 * acc[7],
+            ph * acc[8] - ph2 * acc[9],
+            -acc[10],
+            -acc[11],
+            den_sigma_cf - den_sigma_df,
+        ]
+    )
+
     update = jnp.where(
         den == 0.0,
         jnp.sign(num * max_step),
@@ -526,11 +732,24 @@ def _run_newton_rounds(
     relayouted and boolean/int vector carries fail to legalize across
     scf.yield. done/iters are therefore f32 {0,1}/count masks."""
     eps = float(eps)
+    # PICASSO_TPU_MLE_STEP selects the Newton-step formulation at
+    # trace time: "rowacc" (round-2 (S, N) row accumulators) or
+    # "early" (round-5 early y-reduction, (N,) accumulators). Same
+    # math, different f32 summation order; the on-chip A/B decides
+    # the default (docs/performance.md).
+    import os
+
+    early = os.environ.get("PICASSO_TPU_MLE_STEP", "rowacc") == "early"
     if method == "sigmaxy":
-        step_fn = _newton_step_sigmaxy
+        step_fn = (
+            _newton_step_sigmaxy_early if early
+            else _newton_step_sigmaxy
+        )
         conv_rows = (0, 1, 4, 5)
     else:
-        step_fn = _newton_step_sigma
+        step_fn = (
+            _newton_step_sigma_early if early else _newton_step_sigma
+        )
         conv_rows = (0, 1)
 
     def cond(state):
