@@ -539,6 +539,66 @@ def cut_rois_t_wincols(
     return out.astype(jnp.float32)
 
 
+def cut_rois_t_winblocks(
+    frames: jnp.ndarray,
+    f: jnp.ndarray,
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    box: int,
+    blk: int | None = None,
+) -> jnp.ndarray:
+    """Column-blocked overlapped-window ROI cut (round 5).
+
+    The round-5 decomposition (tools/measure_r5c.py, docs) pinned the
+    winrows cut's cost on its ROW GATHER: one whole (box·X)-wide row
+    per spot is 36× overfetch at X=256 (3.6 KB fetched for a 98-byte
+    ROI) and XLA's gather streams those bytes at ~1/5 of HBM BW
+    (4.9 of the 8.15 ms cut). This variant blocks the columns BEFORE
+    windowing: the window stack is built per PAIR of adjacent blk-px
+    column blocks, so each spot's ROI rows are still ONE whole
+    trailing-axis gather row (the only gather form XLA:TPU lowers
+    fast — the round-4 span lesson) but of box·2·blk elements instead
+    of box·X.  Costs: the window build materializes
+    ~2·box·(frame bytes) once (vs box× for winrows), the gather moves
+    X/(2·blk)× fewer bytes, and the barrel starts at width 2·blk
+    instead of X.
+    """
+    import os
+
+    if blk is None:
+        blk = int(os.environ.get("PICASSO_TPU_WINBLK", "16"))
+    r = box // 2
+    B, Y, X = frames.shape
+    nwin = Y - box + 1
+    nb = X // blk
+    if (
+        nwin < 1
+        or X % blk
+        or nb < 2
+        or blk < box
+        or B * nwin * (nb - 1) * box * 2 * blk * frames.dtype.itemsize
+        > 2 * _WINROWS_MAX_BYTES
+    ):
+        return cut_rois_t_winrows(frames, f, y, x, box)
+    fc = jnp.clip(f, 0, B - 1)
+    yc = jnp.clip(y, r, Y - r - 1)
+    xc = jnp.clip(x, r, X - r - 1)
+    N = fc.shape[0]
+    win = jnp.stack(
+        [frames[:, i:i + nwin, :] for i in range(box)], axis=2
+    )  # (B, nwin, box, X)
+    win2 = jnp.stack(
+        [win[..., b * blk:(b + 2) * blk] for b in range(nb - 1)],
+        axis=2,
+    ).reshape(B * nwin * (nb - 1), box * 2 * blk)
+    bx = jnp.clip((xc - r) // blk, 0, nb - 2)
+    rows = win2[
+        (fc * nwin + (yc - r)) * (nb - 1) + bx
+    ].reshape(N, box, 2 * blk)
+    out = _barrel_extract(rows, xc - r - bx * blk, 2, box)
+    return jnp.transpose(out, (1, 2, 0)).astype(jnp.float32)
+
+
 def gather_wincols(frames, f, y, x, box):
     """The wincols overlapped-window TRANSPOSED row gather without the
     column extraction: returns (cols (box·X, N) in the movie's native
@@ -794,6 +854,7 @@ def _select_cut(width: int):
         "shift": cut_rois_t_shift,
         "slab": cut_rois_t_slab,
         "winrows": cut_rois_t_winrows,
+        "winblocks": cut_rois_t_winblocks,
         "wincols": cut_rois_t_wincols,
         "span": cut_rois_t_span,
         "spanblocks": cut_rois_t_spanblocks,

@@ -405,7 +405,8 @@ class TestCutRoisTSpan:
 
 
 @pytest.mark.parametrize(
-    "cut", ["blocks", "span", "spanblocks", "shift", "slab", "winrows", "wincols"]
+    "cut", ["blocks", "span", "spanblocks", "shift", "slab", "winrows",
+            "wincols", "winblocks"]
 )
 def test_chain_parity_blocks_cut_and_pallas_identify(
     monkeypatch, cut
@@ -458,7 +459,7 @@ def test_chain_parity_blocks_cut_and_pallas_identify(
     # the barrel cuts' select chains fuse INTO the LM loop and change
     # XLA's f32 reduction order there; 30 LM iterations amplify that
     # reassociation to ~2e-4 relative, so those two pin allclose.
-    if cut in ("shift", "slab", "winrows", "wincols"):
+    if cut in ("shift", "slab", "winrows", "wincols", "winblocks"):
         np.testing.assert_allclose(
             got[5], want[5], rtol=1e-3, atol=1e-3
         )
@@ -534,3 +535,53 @@ def test_winfit_barrel_matches_xla_barrel():
             fused._barrel_extract(arr, offs[0], 1, out, batch_axis=-1)
         )
         np.testing.assert_array_equal(got, want)
+
+
+class TestCutRoisTWinblocks:
+    def test_matches_reference_cut_all_blk(self):
+        """Column-blocked window cut is an exact window extraction for
+        every blk at every geometry (eligible centers: the identifier
+        never emits centers within r of the border, and the window
+        variants clamp the CENTER at edges where the einsum cut clamps
+        per-row — a documented don't-care)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        r = 3
+        cases = [
+            ((4, 64, 64), 16), ((4, 64, 64), 32), ((2, 48, 96), 16),
+            ((2, 40, 256), 8), ((2, 40, 256), 64),
+        ]
+        for (B, Y, X), blk in cases:
+            frames = jnp.asarray(
+                rng.integers(0, 60000, (B, Y, X)).astype(np.uint16)
+            )
+            n = 257
+            f = jnp.asarray(rng.integers(0, B, n))
+            y = jnp.asarray(rng.integers(r, Y - r, n))
+            x = jnp.asarray(rng.integers(r, X - r, n))
+            want = np.asarray(fused.cut_rois_t(frames, f, y, x, 7))
+            got = np.asarray(
+                fused.cut_rois_t_winblocks(frames, f, y, x, 7, blk=blk)
+            )
+            np.testing.assert_array_equal(got, want)
+
+    def test_fallback_when_unsuitable(self):
+        """X not a multiple of blk (or blk < box) falls back to the
+        winrows route, exactly."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        frames = jnp.asarray(
+            rng.integers(0, 60000, (2, 33, 37)).astype(np.uint16)
+        )
+        n = 31
+        f = jnp.asarray(rng.integers(0, 2, n))
+        y = jnp.asarray(rng.integers(3, 30, n))
+        x = jnp.asarray(rng.integers(3, 34, n))
+        want = np.asarray(fused.cut_rois_t(frames, f, y, x, 7))
+        for blk in (16, 4):
+            got = np.asarray(
+                fused.cut_rois_t_winblocks(frames, f, y, x, 7, blk=blk)
+            )
+            np.testing.assert_array_equal(got, want)
