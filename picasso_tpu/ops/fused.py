@@ -566,7 +566,10 @@ def cut_rois_t_winblocks(
     import os
 
     if blk is None:
-        blk = int(os.environ.get("PICASSO_TPU_WINBLK", "16"))
+        # measured sweep (tools/measure_r5d.py, (256, 256²)/118k):
+        # blk 8: 33.7 ms (sub-128-byte rows hit a slow gather path),
+        # 16: 4.34, 32: 3.48 (best), 64: 5.69
+        blk = int(os.environ.get("PICASSO_TPU_WINBLK", "32"))
     r = box // 2
     B, Y, X = frames.shape
     nwin = Y - box + 1
@@ -848,7 +851,10 @@ def _select_cut(width: int):
 
     mode = os.environ.get("PICASSO_TPU_ROI_CUT", "auto")
     if mode == "auto":
-        mode = "blocks" if width >= _BLOCK_MIN_X else "winrows"
+        # round-5 measured defaults (tools/measure_r5d.py): winblocks
+        # (blk 32) cut the narrow stage 8.38 -> 3.48 ms over winrows
+        # (chain 23.0 -> 18.1 ms); wide dispatch re-measured below
+        mode = "blocks" if width >= _BLOCK_MIN_X else "winblocks"
     return {
         "blocks": cut_rois_t_blocks,
         "shift": cut_rois_t_shift,

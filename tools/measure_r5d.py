@@ -104,6 +104,14 @@ def main():
 
     run("cut:winrows", f_winrows, f, y, x)
 
+    def f_blocks(fr, eps, ff, yy, xx):
+        rois = fused.cut_rois_t_blocks(
+            fr, ff, data_dep(eps, yy), xx, 7
+        )
+        return jnp.sum(rois)
+
+    run("cut:blocks", f_blocks, f, y, x)
+
     for blk in (8, 16, 32, 64):
         def f_cut(fr, eps, ff, yy, xx, _blk=blk):
             rois = fused.cut_rois_t_winblocks(
