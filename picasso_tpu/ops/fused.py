@@ -582,6 +582,10 @@ def cut_rois_t_winblocks(
         or B * nwin * (nb - 1) * box * 2 * blk * frames.dtype.itemsize
         > 2 * _WINROWS_MAX_BYTES
     ):
+        # width-aware fallback: the blocks gather is the measured
+        # next-best at wide frames, winrows at narrow ones
+        if X >= _BLOCK_MIN_X:
+            return cut_rois_t_blocks(frames, f, y, x, box)
         return cut_rois_t_winrows(frames, f, y, x, box)
     fc = jnp.clip(f, 0, B - 1)
     yc = jnp.clip(y, r, Y - r - 1)
@@ -832,29 +836,32 @@ def _winfit_branch(frames, count, f, y, x, ng, baseline, factor, *,
 
 
 def _select_cut(width: int):
-    """ROI-cut formulation for the fused chain, dispatched on frame
-    width (all measured on TPU v5e, round 4, decision table in
-    docs/performance.md): ``winrows`` wins on narrow frames (cut 7.3
-    ms vs rows 11.5 on (256, 256²)/118k spots — one gather row per
-    spot) and the 3×3-tile ``blocks`` gather wins on wide ones
-    (cut 4.9 ms at (32, 1024²)/18.8k spots, where winrows' box×
-    overlapped-window build scales with the frame bytes).  Measured
-    negative results kept for the record/regression A/B: ``span``
-    (15–40× slower — XLA:TPU's fast gather path only covers ENTIRE
-    trailing-axis rows), ``shift``/``slab`` (the batch-major barrel's
-    narrowing widths pad to the 128-lane quantum, quadrupling select
-    traffic), ``wincols`` (the transposed lanes-last gather costs
-    what the sublane barrel saves — a wash at 8.25 vs 7.3).  Read at
-    trace time: set PICASSO_TPU_ROI_CUT before the first fused call
-    to override."""
+    """ROI-cut formulation for the fused chain (all measured on TPU
+    v5e; decision tables in docs/performance.md). Round-5 default:
+    ``winblocks`` (column-blocked overlapped windows, blk=32) wins at
+    every width — the round-4 ``winrows`` row gather was 36×
+    overfetch at X=256 and XLA gathers stream at ~1/5 HBM BW, so
+    shrinking the gather row to box·2·blk bytes cut the stage 8.38 →
+    3.48 ms (chains: lq 23.0 → 17.35 ms, mle 34.6 → 29.3, wide lq
+    53.1/66.3 → 40.4).  Measured negatives kept for the record/
+    regression A/B: ``span`` (15–40× slower — XLA:TPU's fast gather
+    path only covers ENTIRE trailing-axis rows), ``shift``/``slab``
+    (the batch-major barrel's narrowing widths pad to the 128-lane
+    quantum), ``wincols`` (the transposed lanes-last gather costs
+    what the sublane barrel saves), ``winfit`` (fused cut+fit kernel
+    — the monolithic tile DMA serializes against each tile's fit).
+    Read at trace time: set PICASSO_TPU_ROI_CUT before the first
+    fused call to override."""
     import os
 
     mode = os.environ.get("PICASSO_TPU_ROI_CUT", "auto")
     if mode == "auto":
-        # round-5 measured defaults (tools/measure_r5d.py): winblocks
-        # (blk 32) cut the narrow stage 8.38 -> 3.48 ms over winrows
-        # (chain 23.0 -> 18.1 ms); wide dispatch re-measured below
-        mode = "blocks" if width >= _BLOCK_MIN_X else "winblocks"
+        # round-5 measured default (tools/measure_r5d/e.py, one
+        # session): winblocks blk=32 wins BOTH widths — narrow cut
+        # 8.38 -> 3.48 ms (lq chain 23.0 -> 17.35, mle 34.6 -> 29.3),
+        # wide chain 53.1 (blocks) / 66.3 (winrows) -> 40.4. Its own
+        # budget guard falls back width-aware.
+        mode = "winblocks"
     return {
         "blocks": cut_rois_t_blocks,
         "shift": cut_rois_t_shift,
