@@ -755,27 +755,31 @@ def identify_cut_fit_packed(
     readback round-trips were the unaccounted cost). f/y/x/iters are
     integers far below 2^24, so the f32 stacking is exact.
 
-    Payload row layout: [f, y, x, ng, theta(6), crlb(6), ll, iters].
+    Payload row layout: [f, y, x, ng, theta(6), crlb(6), ll, iters]
+    (18 rows); the LQ path stops after theta (10 rows) — its crlb/ll/
+    iters are zeros by contract (precision comes from Mortensen's
+    formula on host, picasso/gausslq.py:547), so shipping them would
+    waste 44 % of the readback.
     """
     count, f, y, x, ng, theta, crlb, ll, iters = identify_cut_fit(
         frames, ng_thresh, baseline, factor, box=box, size=size,
         eps=eps, max_it=max_it, method=method, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret,
     )
-    payload = jnp.concatenate(
-        [
-            f[None].astype(jnp.float32),
-            y[None].astype(jnp.float32),
-            x[None].astype(jnp.float32),
-            ng[None].astype(jnp.float32),
-            theta.astype(jnp.float32),
+    rows = [
+        f[None].astype(jnp.float32),
+        y[None].astype(jnp.float32),
+        x[None].astype(jnp.float32),
+        ng[None].astype(jnp.float32),
+        theta.astype(jnp.float32),
+    ]
+    if method != "lq":
+        rows += [
             crlb.astype(jnp.float32),
             ll[None].astype(jnp.float32),
             iters[None].astype(jnp.float32),
-        ],
-        axis=0,
-    )
-    return count, payload
+        ]
+    return count, jnp.concatenate(rows, axis=0)
 
 
 #: flips to True when the on-chip A/B shows the fused cut+fit kernel
@@ -1020,15 +1024,23 @@ def _finalize_chunk(handle):
             m <<= 1
         m = min(m, payload.shape[1])
         block = np.asarray(payload[:, :m])
+        if block.shape[0] == 10:  # lq: crlb/ll/iters are zeros
+            crlb = np.zeros((n, 6), np.float32)
+            ll = np.zeros(n, np.float32)
+            iters = np.zeros(n, np.int32)
+        else:
+            crlb = block[10:16, :n].T.copy()
+            ll = block[16, :n]
+            iters = block[17, :n].astype(np.int32)
         return (
             block[0, :n].astype(np.int64),
             block[1, :n].astype(np.int64),
             block[2, :n].astype(np.int64),
             block[3, :n],
             block[4:10, :n].T.copy(),
-            block[10:16, :n].T.copy(),
-            block[16, :n],
-            block[17, :n].astype(np.int32),
+            crlb,
+            ll,
+            iters,
         )
     _, f, y, x, ng, theta, crlb, ll, iters = result
     # sharded: per-device buckets; shards hold contiguous frame
