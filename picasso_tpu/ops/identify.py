@@ -325,14 +325,29 @@ def _net_gradient_mxu(gy, gx, box: int):
 
     Yp, Sy = tile_plan(Y)
     Xp, Sx = tile_plan(X)
+    Ty = Yp // Sy
+    Tx = Xp // Sx
     Ay, _ = _tile_matrices(box, Sy)
     _, Bx = _tile_matrices(box, Sx)
+    # single-tile axes drop the halo EXACTLY: the halo there is the
+    # correlation's own zero padding, so the banded matrix's first/
+    # last `half` columns only ever multiply zeros — slicing them off
+    # shrinks the MXU contraction depth from S+2h (3 depth tiles at
+    # S=256) to S (2 tiles): 1/3 fewer MACs on the round-5 narrow
+    # workload where both axes are single-tile
+    if Ty == 1:
+        Ay = Ay[..., :, half:half + Sy]
+    if Tx == 1:
+        Bx = Bx[..., :, half:half + Sx]
     Ay = jnp.asarray(Ay)
     Bx = jnp.asarray(Bx)
     g = jnp.stack([gy, gx])  # (2, B, Y, X)
     g = jnp.pad(g, ((0, 0), (0, 0), (0, Yp - Y), (0, Xp - X)))
-    gp = jnp.pad(g, ((0, 0), (0, 0), (half, half), (0, 0)))
-    Tx = Xp // Sx
+    if Ty == 1:
+        gp, ylen = g, Sy
+    else:
+        gp = jnp.pad(g, ((0, 0), (0, 0), (half, half), (0, 0)))
+        ylen = Sy + 2 * half
     hp = jax.lax.Precision.HIGHEST
 
     # One y row-band at a time (lax.map) so the 6x (k, r) rank
@@ -342,17 +357,21 @@ def _net_gradient_mxu(gy, gx, box: int):
     # and blew the RSS budget in tests/test_stream.py).
     def band(t):
         tile = jax.lax.dynamic_slice_in_dim(
-            gp, t * Sy, Sy + 2 * half, axis=2)  # (2, B, Sy+2h, Xp)
+            gp, t * Sy, ylen, axis=2)  # (2, B, ylen, Xp)
         t1 = jnp.einsum("kriy,kbyx->krbix", Ay, tile, precision=hp)
-        tp = jnp.pad(t1, ((0, 0),) * 4 + ((half, half),))
-        xt = jnp.stack(
-            [jax.lax.dynamic_slice_in_dim(
-                tp, u * Sx, Sx + 2 * half, axis=4)
-             for u in range(Tx)], axis=4)  # (k, r, B, Sy, Tx, Sx+2h)
+        if Tx == 1:
+            xt = t1[:, :, :, :, None, :]  # (k, r, B, Sy, 1, Sx)
+        else:
+            tp = jnp.pad(t1, ((0, 0),) * 4 + ((half, half),))
+            xt = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(
+                    tp, u * Sx, Sx + 2 * half, axis=4)
+                 for u in range(Tx)], axis=4
+            )  # (k, r, B, Sy, Tx, Sx+2h)
         return jnp.einsum("krjx,krbytx->bytj", Bx, xt, precision=hp
                           ).reshape(B, Sy, Xp)
 
-    out = jax.lax.map(band, jnp.arange(Yp // Sy))  # (Ty, B, Sy, Xp)
+    out = jax.lax.map(band, jnp.arange(Ty))  # (Ty, B, Sy, Xp)
     out = jnp.moveaxis(out, 0, 1).reshape(B, Yp, Xp)
     return out[:, :Y, :X]
 
