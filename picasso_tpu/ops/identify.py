@@ -166,11 +166,20 @@ def identify_maps(
     else:
         import os
 
+        # round-5 A/B (one session, (256, 256²)): mxu 6.5-7.1 ms,
+        # halo-elided mxu and the rank-5 folded kernel both WITHIN
+        # NOISE of it — the stage is not MAC-bound (17-33% MAC cuts
+        # moved nothing); kept env-gated as pinned washes
         ng_mode = os.environ.get("PICASSO_TPU_NG", "mxu")
-        ng = {
-            "sep": _net_gradient_sep,
-            "conv": _net_gradient_conv,
-        }.get(ng_mode, _net_gradient_mxu)(gy, gx, box)
+        if ng_mode == "folded":
+            # rank-5 folded kernel on the frames directly (gy/gx
+            # above are dead code the compiler removes)
+            ng = _net_gradient_folded(frames, box)
+        else:
+            ng = {
+                "sep": _net_gradient_sep,
+                "conv": _net_gradient_conv,
+            }.get(ng_mode, _net_gradient_mxu)(gy, gx, box)
     return maxima, ng
 
 
@@ -194,6 +203,56 @@ def _net_gradient_conv(gy, gx, box: int):
         )[:, 0]
 
     return corr(gy, uy) + corr(gx, ux)
+
+
+@functools.lru_cache(maxsize=None)
+def _folded_factors(box: int) -> tuple[np.ndarray, np.ndarray]:
+    """Low-rank factorization of the FOLDED net-gradient kernel.
+
+    The ±1-pixel gradient shifts are absorbed into the correlation
+    masks: ng[p] = Σ_d W[d]·f[p+d] over a (box+2)² kernel
+    W = shift(uy, +e_y) − shift(uy, −e_y) + shift(ux, +e_x) −
+    shift(ux, −e_x), so the correlation runs on the FRAMES directly —
+    no gy/gx gradient maps — and W has exact rank 5 at box=7
+    (vs 3+3 rank terms of the two-mask form: one full rank term AND
+    two frame-sized intermediates saved).
+
+    Exact for all ELIGIBLE centers except the reference's numba
+    wraparound quirk at the first eligible row/column (gy row 0 reads
+    f[-1] = f[Y-1], localize.py:179-180), which
+    :func:`_net_gradient_folded` restores with two rank-1 border
+    corrections.
+    """
+    uy, ux = _unit_vector_masks(box)
+    S = box + 2
+    W = np.zeros((S, S), np.float64)
+    W[2:, 1:-1] += uy
+    W[:-2, 1:-1] -= uy
+    W[1:-1, 2:] += ux
+    W[1:-1, :-2] -= ux
+    U, s, Vt = np.linalg.svd(W)
+    r = int((s > 1e-9 * s[0]).sum())
+    cols = (U[:, :r] * s[:r]).T  # (r, box+2)
+    rows = Vt[:r]
+    return cols, rows
+
+
+@functools.lru_cache(maxsize=None)
+def _folded_tile_matrices(box: int, S: int) -> tuple[np.ndarray, np.ndarray]:
+    """Banded tile matrices for the folded kernel (halo box//2 + 1)."""
+    half2 = box // 2 + 1
+    cols, rows = _folded_factors(box)
+
+    def banded(vec):
+        M = np.zeros((S, S + 2 * half2), np.float64)
+        for a, v in enumerate(vec):
+            for i in range(S):
+                M[i, i + a] = v
+        return M
+
+    A = np.stack([banded(c) for c in cols])[None].astype(np.float32)
+    Bm = np.stack([banded(c) for c in rows])[None].astype(np.float32)
+    return A, Bm
 
 
 @functools.lru_cache(maxsize=None)
@@ -335,15 +394,21 @@ def _net_gradient_mxu(gy, gx, box: int):
     # shrinks the MXU contraction depth from S+2h (3 depth tiles at
     # S=256) to S (2 tiles): 1/3 fewer MACs on the round-5 narrow
     # workload where both axes are single-tile
-    if Ty == 1:
+    # (PICASSO_TPU_NG_HALO=keep disables for A/B)
+    import os as _os
+
+    _elide = _os.environ.get("PICASSO_TPU_NG_HALO", "elide") != "keep"
+    elide_y = Ty == 1 and _elide
+    elide_x = Tx == 1 and _elide
+    if elide_y:
         Ay = Ay[..., :, half:half + Sy]
-    if Tx == 1:
+    if elide_x:
         Bx = Bx[..., :, half:half + Sx]
     Ay = jnp.asarray(Ay)
     Bx = jnp.asarray(Bx)
     g = jnp.stack([gy, gx])  # (2, B, Y, X)
     g = jnp.pad(g, ((0, 0), (0, 0), (0, Yp - Y), (0, Xp - X)))
-    if Ty == 1:
+    if elide_y:
         gp, ylen = g, Sy
     else:
         gp = jnp.pad(g, ((0, 0), (0, 0), (half, half), (0, 0)))
@@ -359,7 +424,7 @@ def _net_gradient_mxu(gy, gx, box: int):
         tile = jax.lax.dynamic_slice_in_dim(
             gp, t * Sy, ylen, axis=2)  # (2, B, ylen, Xp)
         t1 = jnp.einsum("kriy,kbyx->krbix", Ay, tile, precision=hp)
-        if Tx == 1:
+        if elide_x:
             xt = t1[:, :, :, :, None, :]  # (k, r, B, Sy, 1, Sx)
         else:
             tp = jnp.pad(t1, ((0, 0),) * 4 + ((half, half),))
@@ -374,6 +439,86 @@ def _net_gradient_mxu(gy, gx, box: int):
     out = jax.lax.map(band, jnp.arange(Ty))  # (Ty, B, Sy, Xp)
     out = jnp.moveaxis(out, 0, 1).reshape(B, Yp, Xp)
     return out[:, :Y, :X]
+
+
+def _net_gradient_folded(frames, box: int):
+    """Net gradient as ONE rank-5 banded-MXU correlation of the
+    frames (round 5; see :func:`_folded_factors`): vs the two-mask
+    gradient form, one less rank term (5 vs 6 → 17 % fewer MACs) and
+    the two frame-sized gy/gx intermediates never exist.
+
+    The reference's numba wraparound (gy row 0 reads f[Y-1]; gx col 0
+    reads f[:, X-1] — localize.py:179-180) reaches eligible centers
+    only on the FIRST eligible row/column; two rank-1 shifted dot
+    products of the last frame row/column restore it exactly there.
+    Non-eligible border values differ from the gradient form — they
+    are masked off by every consumer (the maxima map is
+    eligible-masked before the NG threshold).
+    """
+    half = box // 2
+    half2 = half + 1
+    B, Y, X = frames.shape
+
+    def tile_plan(n):
+        import os
+
+        cap = int(os.environ.get("PICASSO_TPU_NG_TILE", "256"))
+        npad = -(-n // 64) * 64
+        S = npad if npad <= cap else max(64, (cap // 64) * 64)
+        npad = -(-npad // S) * S
+        return npad, S
+
+    Yp, Sy = tile_plan(Y)
+    Xp, Sx = tile_plan(X)
+    Ty = Yp // Sy
+    Tx = Xp // Sx
+    A, _ = _folded_tile_matrices(box, Sy)
+    _, Bm = _folded_tile_matrices(box, Sx)
+    if Ty == 1:  # halo is the correlation's own zero pad: elide
+        A = A[..., :, half2:half2 + Sy]
+    if Tx == 1:
+        Bm = Bm[..., :, half2:half2 + Sx]
+    A = jnp.asarray(A)
+    Bm = jnp.asarray(Bm)
+    g = frames[None]  # (1, B, Y, X)
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, Yp - Y), (0, Xp - X)))
+    if Ty == 1:
+        gp, ylen = g, Sy
+    else:
+        gp = jnp.pad(g, ((0, 0), (0, 0), (half2, half2), (0, 0)))
+        ylen = Sy + 2 * half2
+    hp = jax.lax.Precision.HIGHEST
+
+    def band(t):
+        tile = jax.lax.dynamic_slice_in_dim(
+            gp, t * Sy, ylen, axis=2)  # (1, B, ylen, Xp)
+        t1 = jnp.einsum("kriy,kbyx->krbix", A, tile, precision=hp)
+        if Tx == 1:
+            xt = t1[:, :, :, :, None, :]
+        else:
+            tp = jnp.pad(t1, ((0, 0),) * 4 + ((half2, half2),))
+            xt = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(
+                    tp, u * Sx, Sx + 2 * half2, axis=4)
+                 for u in range(Tx)], axis=4)
+        return jnp.einsum("krjx,krbytx->bytj", Bm, xt, precision=hp
+                          ).reshape(B, Sy, Xp)
+
+    out = jax.lax.map(band, jnp.arange(Ty))
+    out = jnp.moveaxis(out, 0, 1).reshape(B, Yp, Xp)[:, :Y, :X]
+
+    # wraparound corrections at the first eligible row/column
+    uy, ux = _unit_vector_masks(box)
+    rowp = jnp.pad(frames[:, Y - 1, :], ((0, 0), (half, half)))
+    corr_r = sum(
+        float(uy[0, j]) * rowp[:, j:j + X] for j in range(box)
+    )
+    out = out.at[:, half, :].add(-corr_r)
+    colp = jnp.pad(frames[:, :, X - 1], ((0, 0), (half, half)))
+    corr_c = sum(
+        float(ux[i, 0]) * colp[:, i:i + Y] for i in range(box)
+    )
+    return out.at[:, :, half].add(-corr_c)
 
 
 @functools.partial(jax.jit, static_argnames=("box", "size"))

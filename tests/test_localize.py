@@ -623,6 +623,39 @@ class TestNetGradientMXUEquivalence:
     @pytest.mark.parametrize(
         "box,shape",
         [(3, (2, 24, 24)), (7, (3, 32, 32)), (7, (2, 70, 130)),
+         (9, (2, 96, 64)), (7, (2, 320, 320))],
+    )
+    def test_folded_kernel_matches_conv_at_eligible(self, box, shape):
+        """The round-5 folded net-gradient (one rank-5 correlation of
+        the frames, ops/identify._net_gradient_folded) must match the
+        gradient+conv formulation to f32 eps at every ELIGIBLE pixel —
+        including the first eligible row/column, where the reference's
+        numba wraparound (gy row 0 reads f[Y-1]) is restored by the
+        rank-1 border corrections. Non-eligible border pixels are
+        don't-care (the maxima map is eligible-masked before the NG
+        threshold)."""
+        from picasso_tpu.ops.identify import (
+            _net_gradient_conv, _net_gradient_folded,
+        )
+
+        rng = np.random.default_rng(box + shape[1])
+        frames = rng.integers(80, 1100, shape).astype(np.float32)
+        gy = np.roll(frames, -1, axis=1) - np.roll(frames, 1, axis=1)
+        gx = np.roll(frames, -1, axis=2) - np.roll(frames, 1, axis=2)
+        ref = np.asarray(
+            _net_gradient_conv(jnp.asarray(gy), jnp.asarray(gx), box)
+        )
+        got = np.asarray(_net_gradient_folded(jnp.asarray(frames), box))
+        h = box // 2
+        _, Y, X = shape
+        ref_e = ref[:, h:Y - h - 1, h:X - h - 1]
+        got_e = got[:, h:Y - h - 1, h:X - h - 1]
+        scale = np.abs(ref_e).max()
+        np.testing.assert_allclose(got_e, ref_e, atol=3e-6 * scale)
+
+    @pytest.mark.parametrize(
+        "box,shape",
+        [(3, (2, 24, 24)), (7, (3, 32, 32)), (7, (2, 70, 130)),
          (9, (2, 96, 64))],
     )
     def test_banded_matmul_matches_conv(self, box, shape):
