@@ -908,8 +908,7 @@ def main():
                 xr, yr, s_r, s_r, size, size, TILE
             )
         )
-        K = 1 << max(int(np.ceil(np.log2(max(mc, 16)))), 4)
-        K = min(K, render_ops._SPLAT_K_CAP)
+        K = min(render_ops._round_k(mc), render_ops._SPLAT_K_CAP)
         TC = max(8, 1 << int(np.log2(max(32e6 / (K * TILE), 8))))
 
         @jax.jit

@@ -360,6 +360,20 @@ _SPLAT_TILE = 128
 _SPLAT_K_CAP = 4096
 
 
+def _round_k(max_count: int) -> int:
+    """Candidate-table width: round up to a HALF-octave step (…, 512,
+    768, 1024, 1536, 2048, 3072, 4096) instead of a full power of
+    two. Every padded slot still pays the (TC, K, TILE) factor
+    evaluation (the splat body is exp-bound), so a pow2 round-up
+    wastes up to ~2× body work; half-octaves cap the waste at ~33 %
+    while keeping the distinct-K compile count at two per octave."""
+    k = max(int(max_count), 16)
+    p = 1 << max(int(np.ceil(np.log2(k))), 4)
+    if k <= (p * 3) // 4:
+        return (p * 3) // 4
+    return p
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ny", "nx", "TILE"),
@@ -433,13 +447,17 @@ def _splat_tiles_kernel(x, y, sx, sy, ny, nx, K, TILE, TC):
     tid, locs4, wide, (i_min, i_max, j_min, j_max) = (
         _splat_tile_entries(x, y, sx, sy, ny, nx, TILE)
     )
-    order = jnp.argsort(tid)
-    tid_s = tid[order]
-    locs_s = locs4[order]
-    counts = jnp.bincount(tid_s, length=T + 1)
-    starts = jnp.concatenate([
-        jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]
-    ])
+    # Round-5 measured rewrite of the binning (one-session A/B,
+    # docs/performance.md): carrying locs4 THROUGH the stable sort
+    # replaces the argsort + two 4n-row permutation gathers (~40 ms
+    # each at the ~10 ns/gather-row cost model) at no extra sort cost
+    # (argsort is itself a two-operand sort), and searchsorted on the
+    # sorted tids replaces the bincount dense-accumulation scatter +
+    # cumsum (125 -> ~10 ms for the whole binning).
+    tid_s, locs_s = jax.lax.sort((tid, locs4), num_keys=1)
+    starts = jnp.searchsorted(
+        tid_s, jnp.arange(T + 1, dtype=tid_s.dtype)
+    )
     pos = jnp.arange(4 * n) - starts[tid_s]
     in_tile = tid_s < T
     # a loc with ANY overflowed entry leaves the tile path entirely
@@ -549,10 +567,7 @@ def _splat_tiles_device(x, y, sx, sy, ny, nx):
     max_count = int(
         _splat_tile_max_count(xd, yd, sxd, syd, ny, nx, TILE)
     )
-    K = 1 << max(
-        int(np.ceil(np.log2(max(max_count, 16)))), 4
-    )
-    K = min(K, _SPLAT_K_CAP)
+    K = min(_round_k(max_count), _SPLAT_K_CAP)
     # chunk size bounds the (TC, K, TILE) factor tensors to ~32M f32
     TC = max(8, 1 << int(np.log2(max(32e6 / (K * TILE), 8))))
     img, leftover = _splat_tiles_kernel(
