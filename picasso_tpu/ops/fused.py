@@ -700,26 +700,32 @@ def identify_cut_fit(
             from picasso_tpu.ops import lq_pallas
 
             theta = lq_pallas.fit_pallas_t(
-                photons, max_it, 1e-6, interpret=pallas_interpret
+                photons, max_it, 1e-6, interpret=pallas_interpret,
+                n_valid=count,
             )
         else:
-            theta = _lq._lm_core(photons, max_it, 1e-6)  # (6, N)
+            theta = _lq._lm_core(
+                photons, max_it, 1e-6, n_valid=count
+            )  # (6, N)
         zeros6 = jnp.zeros_like(theta)
         zeros1 = jnp.zeros(theta.shape[1], jnp.float32)
         return (
             count, f, y, x, ng, theta, zeros6, zeros1,
             zeros1.astype(jnp.int32),
         )
+    # padding lanes (>= count) start converged: the bucket's clamped
+    # garbage tail must not drag tiles (or the XLA whole-batch loop)
+    # to max_it — measured 100 executed iterations in every tail tile
     if use_pallas:
         from picasso_tpu.ops import mle_pallas
 
         thetas6, crlb6, ll, iters = mle_pallas.fit_pallas_t(
             photons, eps, max_it, method=method,
-            interpret=pallas_interpret,
+            interpret=pallas_interpret, n_valid=count,
         )
     else:
         thetas6, crlb6, ll, iters = _mle._fit_core(
-            photons, eps, max_it, method=method
+            photons, eps, max_it, method=method, n_valid=count
         )
     return count, f, y, x, ng, thetas6, crlb6, ll, iters
 
@@ -824,6 +830,7 @@ def _winfit_branch(frames, count, f, y, x, ng, baseline, factor, *,
         theta = winfit_pallas.fit_lq_t(
             cols, xoff2, baseline, factor, box=box, max_it=max_it,
             ftol=1e-6, early_cast=ec, interpret=interpret,
+            n_valid=count,
         )
         zeros6 = jnp.zeros_like(theta)
         zeros1 = jnp.zeros(theta.shape[1], jnp.float32)
@@ -834,7 +841,7 @@ def _winfit_branch(frames, count, f, y, x, ng, baseline, factor, *,
     thetas6, crlb6, ll, iters = winfit_pallas.fit_mle_t(
         cols, xoff2, baseline, factor, box=box, eps=eps,
         max_it=max_it, method=method, early_cast=ec,
-        interpret=interpret,
+        interpret=interpret, n_valid=count,
     )
     return count, f, y, x, ng, thetas6, crlb6, ll, iters
 

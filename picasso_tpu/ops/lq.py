@@ -187,18 +187,33 @@ def _fit_chunk(
 
 
 def _lm_core(
-    spots_t: jnp.ndarray, max_it: int, ftol: float
+    spots_t: jnp.ndarray, max_it: int, ftol: float,
+    n_valid=None, lane0=None,
 ) -> jnp.ndarray:
     """LM loop on a (S, S, N) batch; returns theta (6, N). Pure — also
     runs inside the Pallas tile kernel (ops/lq_pallas.py), so loop
     carries follow the Mosaic layout rules (2D (1, N) f32 masks, no
-    captured constants; see ops/mle.py)."""
+    captured constants; see ops/mle.py).
+
+    ``n_valid``/``lane0``: lanes at global index >= n_valid start
+    converged so bucket-padding garbage never drags a tile (or the
+    XLA whole-batch loop) to max_it; real lanes are bit-identical
+    (convergence is per-lane). See ops/mle._fit_core."""
     s = spots_t.shape[0]
     theta0 = initial_parameters_t(spots_t)  # (6, N)
     cost0 = _cost(theta0, spots_t, s)[None, :]  # (1, N)
     # NaN-safe data-derived zero row (degenerate spots have NaN cost —
     # cost0 * 0.0 would poison the done mask and the loop condition).
     zero_row = jnp.where(jnp.isfinite(cost0), cost0, 0.0) * 0.0
+    if n_valid is not None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, zero_row.shape, 1)
+        if lane0 is not None:
+            lane = lane + lane0
+        done0 = jnp.maximum(
+            zero_row, (lane >= n_valid).astype(zero_row.dtype)
+        )
+    else:
+        done0 = zero_row
     lam0 = zero_row + 1e-3
 
     def cond(state):
@@ -256,7 +271,7 @@ def _lm_core(
     # Data-derived zero state: keeps carry types device-varying under
     # shard_map (see ops/mle.py).
     data_zero = (zero_row[0, 0]).astype(jnp.int32)
-    state = (theta0, lam0, cost0, zero_row, data_zero)
+    state = (theta0, lam0, cost0, done0, data_zero)
     theta, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return theta
 

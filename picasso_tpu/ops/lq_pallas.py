@@ -22,9 +22,12 @@ from picasso_tpu.ops import lq as _lq
 TILE = 512
 
 
-def _tile_kernel(spots_ref, theta_ref, *, max_it, ftol):
+def _tile_kernel(spots_ref, nv_ref, theta_ref, *, max_it, ftol):
     spots_t = spots_ref[:, :, :]
-    theta_ref[:, :] = _lq._lm_core(spots_t, max_it, ftol)
+    theta_ref[:, :] = _lq._lm_core(
+        spots_t, max_it, ftol,
+        n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE,
+    )
 
 
 def fit_pallas_t(
@@ -32,16 +35,22 @@ def fit_pallas_t(
     max_it: int = 30,
     ftol: float = 1e-6,
     interpret: bool = False,
+    n_valid=None,
 ) -> jnp.ndarray:
     """Lanes-last entry: (S, S, N) f32 spots, N a multiple of TILE.
     Returns theta (6, N). Composes inside larger jitted programs (the
     fused identify+cut+fit chain feeds it directly — its ROIs are
-    already lanes-last, so no transpose happens on device)."""
+    already lanes-last, so no transpose happens on device).
+    Lanes >= ``n_valid`` start converged (bucket-padding garbage must
+    not drag its tile to max_it)."""
     s, _, n = spots_t.shape
     assert n % TILE == 0, f"batch must be a multiple of {TILE}"
     kernel = functools.partial(
         _tile_kernel, max_it=max_it, ftol=float(ftol)
     )
+    nv = jnp.asarray(
+        n if n_valid is None else n_valid, jnp.int32
+    ).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         grid=(n // TILE,),
@@ -50,13 +59,14 @@ def fit_pallas_t(
                 (s, s, TILE), lambda t: (0, 0, t),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (6, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((6, n), jnp.float32),
         interpret=interpret,
-    )(spots_t)
+    )(spots_t, nv)
 
 
 @functools.partial(

@@ -804,15 +804,35 @@ def _fit_core(
     eps: float,
     max_it: int,
     method: str = "sigmaxy",
+    n_valid=None,
+    lane0=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fit a (S, S, N) spot batch in lanes-last layout. Returns
     (thetas (6, N), CRLBs (6, N), log_likelihoods (N,),
     iterations (N,)). Pure function — also runs inside the Pallas
-    tile kernel (ops/mle_pallas.py)."""
+    tile kernel (ops/mle_pallas.py).
+
+    ``n_valid``/``lane0``: optional traced scalars marking lanes at
+    global index >= n_valid as padding — they start CONVERGED, so a
+    bucket's clamped-garbage tail never drags its tile (or, in the
+    XLA path, the whole batch) to max_it. Round-5 measurement: the
+    dense chain's junk tail ran the full 100 iterations in every
+    tail tile. Results for real lanes are bit-identical (convergence
+    freezing is per-lane).
+    """
     s = spots_t.shape[0]
     theta0, old0, done0, iters0, max_step = _init_state(
         spots_t, method
     )
+    if n_valid is not None:
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, done0.shape, done0.ndim - 1
+        )
+        if lane0 is not None:
+            lane = lane + lane0
+        done0 = jnp.maximum(
+            done0, (lane >= n_valid).astype(done0.dtype)
+        )
     theta, _, _, iters2 = _run_newton_rounds(
         spots_t, theta0, old0, done0, iters0, max_step, eps, max_it,
         method,

@@ -33,11 +33,13 @@ from picasso_tpu.ops import mle as _mle
 TILE = 512
 
 
-def _tile_kernel(spots_ref, theta_ref, crlb_ref, ll_ref, iters_ref,
-                 *, eps, max_it, method):
+def _tile_kernel(spots_ref, nv_ref, theta_ref, crlb_ref, ll_ref,
+                 iters_ref, *, eps, max_it, method):
     spots_t = spots_ref[:, :, :]
+    lane0 = pl.program_id(0) * TILE
     theta6, crlb6, ll, iters = _mle._fit_core(
-        spots_t, eps, max_it, method=method
+        spots_t, eps, max_it, method=method,
+        n_valid=nv_ref[0, 0], lane0=lane0,
     )
     theta_ref[:, :] = theta6
     crlb_ref[:, :] = crlb6
@@ -51,17 +53,25 @@ def fit_pallas_t(
     max_it: int,
     method: str = "sigmaxy",
     interpret: bool = False,
+    n_valid=None,
 ):
     """Lanes-last entry: (S, S, N) f32 spots, N a multiple of TILE.
     Returns (theta (6, N), crlb (6, N), ll (N,), iters (N,)).
     Composes inside larger jitted programs (the fused
-    identify+cut+fit chain feeds it directly)."""
+    identify+cut+fit chain feeds it directly).
+
+    ``n_valid``: lanes at index >= n_valid start converged (bucket
+    padding must not drag its tile to max_it — see _mle._fit_core).
+    """
     s, _, n = spots_t.shape
     assert n % TILE == 0, f"batch must be a multiple of {TILE}"
     grid = (n // TILE,)
     kernel = functools.partial(
         _tile_kernel, eps=eps, max_it=max_it, method=method
     )
+    nv = jnp.asarray(
+        n if n_valid is None else n_valid, jnp.int32
+    ).reshape(1, 1)
     theta, crlb, ll, iters = pl.pallas_call(
         kernel,
         grid=grid,
@@ -71,6 +81,7 @@ def fit_pallas_t(
                 lambda t: (0, 0, t),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -97,7 +108,7 @@ def fit_pallas_t(
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ),
         interpret=interpret,
-    )(spots_t)
+    )(spots_t, nv)
     return theta, crlb, ll[0], iters[0]
 
 

@@ -93,24 +93,28 @@ def _extract_photons(cols_ref, xoff_ref, base_ref, fac_ref, *, box,
     return photons
 
 
-def _lq_kernel(cols_ref, xoff_ref, base_ref, fac_ref, theta_ref, *,
-               box, width, max_it, ftol, early_cast):
+def _lq_kernel(cols_ref, xoff_ref, base_ref, fac_ref, nv_ref,
+               theta_ref, *, box, width, max_it, ftol, early_cast):
     spots_t = _extract_photons(
         cols_ref, xoff_ref, base_ref, fac_ref,
         box=box, width=width, early_cast=early_cast,
     )
-    theta_ref[...] = _lq._lm_core(spots_t, max_it, ftol)
+    theta_ref[...] = _lq._lm_core(
+        spots_t, max_it, ftol,
+        n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE,
+    )
 
 
-def _mle_kernel(cols_ref, xoff_ref, base_ref, fac_ref, theta_ref,
-                crlb_ref, ll_ref, iters_ref, *, box, width, eps,
-                max_it, method, early_cast):
+def _mle_kernel(cols_ref, xoff_ref, base_ref, fac_ref, nv_ref,
+                theta_ref, crlb_ref, ll_ref, iters_ref, *, box,
+                width, eps, max_it, method, early_cast):
     spots_t = _extract_photons(
         cols_ref, xoff_ref, base_ref, fac_ref,
         box=box, width=width, early_cast=early_cast,
     )
     theta6, crlb6, ll, iters = _mle._fit_core(
-        spots_t, eps, max_it, method=method
+        spots_t, eps, max_it, method=method,
+        n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE,
     )
     theta_ref[...] = theta6
     crlb_ref[...] = crlb6
@@ -144,10 +148,12 @@ def fit_lq_t(
     ftol: float = 1e-6,
     early_cast: bool = False,
     interpret: bool = False,
+    n_valid=None,
 ) -> jnp.ndarray:
     """cols (box·width, N) raw window rows (native dtype), xoff (1, N)
     i32 column offsets, scalar baseline/factor. Returns theta (6, N);
     bit-identical to cutting + converting + ``lq_pallas.fit_pallas_t``.
+    Lanes >= ``n_valid`` start converged.
     """
     bw, n = cols.shape
     width = bw // box
@@ -156,10 +162,14 @@ def fit_lq_t(
         _lq_kernel, box=box, width=width, max_it=max_it,
         ftol=float(ftol), early_cast=early_cast,
     )
+    nv = jnp.asarray(
+        n if n_valid is None else n_valid, jnp.int32
+    ).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         grid=(n // TILE,),
-        in_specs=_common_specs(box, width),
+        in_specs=_common_specs(box, width)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(
             (6, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
         ),
@@ -169,6 +179,7 @@ def fit_lq_t(
         cols, xoff.astype(jnp.int32),
         jnp.asarray(baseline, jnp.float32).reshape(1, 1),
         jnp.asarray(factor, jnp.float32).reshape(1, 1),
+        nv,
     )
 
 
@@ -184,9 +195,11 @@ def fit_mle_t(
     method: str = "sigmaxy",
     early_cast: bool = False,
     interpret: bool = False,
+    n_valid=None,
 ):
     """MLE twin of :func:`fit_lq_t`. Returns (theta (6, N), crlb
-    (6, N), ll (N,), iters (N,))."""
+    (6, N), ll (N,), iters (N,)). Lanes >= ``n_valid`` start
+    converged (bucket-padding tiles must not run to max_it)."""
     bw, n = cols.shape
     width = bw // box
     assert bw == box * width and n % TILE == 0
@@ -194,10 +207,14 @@ def fit_mle_t(
         _mle_kernel, box=box, width=width, eps=eps, max_it=max_it,
         method=method, early_cast=early_cast,
     )
+    nv = jnp.asarray(
+        n if n_valid is None else n_valid, jnp.int32
+    ).reshape(1, 1)
     theta, crlb, ll, iters = pl.pallas_call(
         kernel,
         grid=(n // TILE,),
-        in_specs=_common_specs(box, width),
+        in_specs=_common_specs(box, width)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(
             pl.BlockSpec(
                 (6, TILE), lambda t: (0, t), memory_space=pltpu.VMEM
@@ -223,6 +240,7 @@ def fit_mle_t(
         cols, xoff.astype(jnp.int32),
         jnp.asarray(baseline, jnp.float32).reshape(1, 1),
         jnp.asarray(factor, jnp.float32).reshape(1, 1),
+        nv,
     )
     return theta, crlb, ll[0], iters[0]
 

@@ -63,6 +63,75 @@ def test_pallas_multi_tile():
     )
 
 
+def test_n_valid_freezes_padding_only():
+    """Lanes >= n_valid start converged (bucket-padding garbage must
+    not drag tiles to max_it); real lanes are bit-identical with and
+    without the hint, in both the XLA core and the Pallas tiles."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.mle import _fit_core
+    from picasso_tpu.ops.mle_pallas import TILE, fit_pallas_t
+
+    n_real = TILE + 37
+    spots = _spots(2 * TILE, seed=3)
+    # Poison the tail with clamped-garbage-looking data (all-equal
+    # rows never converge under Newton without the freeze).
+    spots[n_real:] = 1.0
+    spots_t = jnp.asarray(np.transpose(spots, (1, 2, 0)))
+
+    base = _fit_core(spots_t, 1e-3, 12)
+    hint = _fit_core(spots_t, 1e-3, 12, n_valid=jnp.int32(n_real))
+    for a, b, name in zip(base, hint, ("theta", "crlb", "ll", "it")):
+        np.testing.assert_array_equal(
+            np.asarray(a)[..., :n_real],
+            np.asarray(b)[..., :n_real],
+            err_msg=name,
+        )
+    # Padding lanes ran zero iterations under the hint.
+    assert int(np.max(np.asarray(hint[3])[n_real:])) == 0
+
+    # Same contract inside the Pallas tiles: the hint leaves real
+    # lanes bit-identical (tile-vs-whole-batch width differences are
+    # orthogonal and covered by test_pallas_multi_tile).
+    p0 = fit_pallas_t(spots_t, 1e-3, 12, interpret=True)
+    p = fit_pallas_t(
+        spots_t, 1e-3, 12, n_valid=jnp.int32(n_real), interpret=True
+    )
+    for a, b, name in zip(p0, p, ("theta", "crlb", "ll", "it")):
+        np.testing.assert_array_equal(
+            np.asarray(a)[..., :n_real],
+            np.asarray(b)[..., :n_real],
+            err_msg=name,
+        )
+    assert int(np.max(np.asarray(p[3])[n_real:])) == 0
+
+
+def test_n_valid_freezes_padding_lq():
+    """Same contract for the LM (gausslq) core and its Pallas tiles."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.lq import _lm_core
+    from picasso_tpu.ops.lq_pallas import TILE, fit_pallas_t
+
+    n_real = TILE + 37
+    spots = _spots(2 * TILE, seed=4)
+    spots[n_real:] = 1.0
+    spots_t = jnp.asarray(np.transpose(spots, (1, 2, 0)))
+
+    base = _lm_core(spots_t, 12, 1e-6)
+    hint = _lm_core(spots_t, 12, 1e-6, n_valid=jnp.int32(n_real))
+    np.testing.assert_array_equal(
+        np.asarray(base)[:, :n_real], np.asarray(hint)[:, :n_real]
+    )
+    p0 = fit_pallas_t(spots_t, 12, 1e-6, interpret=True)
+    p = fit_pallas_t(
+        spots_t, 12, 1e-6, n_valid=jnp.int32(n_real), interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p0)[:, :n_real], np.asarray(p)[:, :n_real]
+    )
+
+
 def test_multiround_bit_identical_to_single_pass():
     """Straggler-compaction schedule must reproduce the single-pass
     kernel exactly (same trajectories, just permuted lanes)."""
