@@ -699,7 +699,12 @@ def identify_cut_fit(
         if use_pallas:
             from picasso_tpu.ops import lq_pallas
 
-            theta = lq_pallas.fit_pallas_t(
+            fit_lq = (
+                lq_pallas.fit_pallas_boundary_t
+                if _boundaries_wanted()
+                else lq_pallas.fit_pallas_t
+            )
+            theta = fit_lq(
                 photons, max_it, 1e-6, interpret=pallas_interpret,
                 n_valid=count,
             )
@@ -719,7 +724,12 @@ def identify_cut_fit(
     if use_pallas:
         from picasso_tpu.ops import mle_pallas
 
-        thetas6, crlb6, ll, iters = mle_pallas.fit_pallas_t(
+        fit_mle = (
+            mle_pallas.fit_pallas_boundary_t
+            if _boundaries_wanted()
+            else mle_pallas.fit_pallas_t
+        )
+        thetas6, crlb6, ll, iters = fit_mle(
             photons, eps, max_it, method=method,
             interpret=pallas_interpret, n_valid=count,
         )
@@ -792,6 +802,17 @@ def identify_cut_fit_packed(
 #: beating the winrows default on narrow frames (measured, not
 #: inferred — tools/measure_chain.py chain:winfit row)
 _WINFIT_AUTO = False
+
+
+def _boundaries_wanted() -> bool:
+    """Phase-boundary straggler compaction in the Pallas fit
+    (ops/mle_pallas.fit_pallas_boundary_t): PICASSO_TPU_FIT_BOUNDARY
+    = "1"/"0" to force; default on (measured on chip, round 5: the
+    dense chain's heavy-tailed iteration counts make every tile pay
+    near max_it without it — docs/performance.md)."""
+    import os
+
+    return os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "1") != "0"
 
 
 def _winfit_wanted(width: int) -> bool:

@@ -199,6 +199,16 @@ def _lm_core(
     converged so bucket-padding garbage never drags a tile (or the
     XLA whole-batch loop) to max_it; real lanes are bit-identical
     (convergence is per-lane). See ops/mle._fit_core."""
+    theta0, lam0, cost0, done0 = _lm_init(spots_t, n_valid, lane0)
+    theta, _, _, _ = _lm_rounds(
+        spots_t, theta0, lam0, cost0, done0, max_it, ftol
+    )
+    return theta
+
+
+def _lm_init(spots_t, n_valid=None, lane0=None):
+    """Initial LM state (theta (6,N), lam (1,N), cost (1,N),
+    done (1,N))."""
     s = spots_t.shape[0]
     theta0 = initial_parameters_t(spots_t)  # (6, N)
     cost0 = _cost(theta0, spots_t, s)[None, :]  # (1, N)
@@ -215,6 +225,15 @@ def _lm_core(
     else:
         done0 = zero_row
     lam0 = zero_row + 1e-3
+    return theta0, lam0, cost0, done0
+
+
+def _lm_rounds(spots_t, theta0, lam0, cost0, done0, max_it, ftol):
+    """Run up to max_it LM iterations from carried state; RESUMABLE —
+    two calls of a then b iterations are bit-identical to one of a+b
+    (the carry holds everything the body reads). Exits early when
+    every lane is done."""
+    s = spots_t.shape[0]
 
     def cond(state):
         theta, lam, cost, done, kk = state
@@ -270,10 +289,12 @@ def _lm_core(
 
     # Data-derived zero state: keeps carry types device-varying under
     # shard_map (see ops/mle.py).
-    data_zero = (zero_row[0, 0]).astype(jnp.int32)
+    data_zero = (
+        (jnp.where(jnp.isfinite(cost0), cost0, 0.0) * 0.0)[0, 0]
+    ).astype(jnp.int32)
     state = (theta0, lam0, cost0, done0, data_zero)
-    theta, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return theta
+    theta, lam, cost, done, _ = jax.lax.while_loop(cond, body, state)
+    return theta, lam, cost, done
 
 
 def fit_spots_batched(

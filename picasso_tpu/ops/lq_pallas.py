@@ -69,6 +69,129 @@ def fit_pallas_t(
     )(spots_t, nv)
 
 
+# ---------------------------------------------------------------------------
+# Phase-boundary LM fit (straggler compaction between log-spaced
+# iteration boundaries — see ops/mle_pallas.py for the measured
+# rationale; the LM carry (theta, lam, cost, done) is resumable per
+# ops/lq._lm_rounds).
+# ---------------------------------------------------------------------------
+
+
+def _lm_state_specs(n):
+    rows = (6, 1, 1, 1)                      # theta, lam, cost, done
+    specs = tuple(
+        pl.BlockSpec((r, TILE), lambda t, r=r: (0, t),
+                     memory_space=pltpu.VMEM)
+        for r in rows
+    )
+    shapes = tuple(
+        jax.ShapeDtypeStruct((r, n), jnp.float32) for r in rows
+    )
+    return specs, shapes
+
+
+def _lm_start_kernel(spots_ref, nv_ref, th_o, lam_o, cost_o, done_o,
+                     *, k, ftol):
+    sp = spots_ref[:, :, :]
+    th0, lam0, cost0, done0 = _lq._lm_init(
+        sp, n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE
+    )
+    th, lam, cost, done = _lq._lm_rounds(
+        sp, th0, lam0, cost0, done0, k, ftol
+    )
+    th_o[:, :] = th
+    lam_o[:, :] = lam
+    cost_o[:, :] = cost
+    done_o[:, :] = done
+
+
+def _lm_resume_kernel(spots_ref, th_ref, lam_ref, cost_ref, done_ref,
+                      th_o, lam_o, cost_o, done_o, *, k, ftol):
+    th, lam, cost, done = _lq._lm_rounds(
+        spots_ref[:, :, :], th_ref[:, :], lam_ref[:, :],
+        cost_ref[:, :], done_ref[:, :], k, ftol,
+    )
+    th_o[:, :] = th
+    lam_o[:, :] = lam
+    cost_o[:, :] = cost
+    done_o[:, :] = done
+
+
+def fit_pallas_boundary_t(
+    spots_t: jnp.ndarray,
+    max_it: int = 30,
+    ftol: float = 1e-6,
+    n_valid=None,
+    boundaries: tuple[int, ...] | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Phase-boundary LM fit, lanes-last: bit-identical to
+    :func:`fit_pallas_t` (per-lane trajectories are position-
+    independent), with stragglers compacted into the leading tiles at
+    each boundary so converged tiles exit at the first condition
+    check."""
+    from picasso_tpu.ops import mle_pallas as _mp
+
+    s, _, n = spots_t.shape
+    assert n % TILE == 0, f"batch must be a multiple of {TILE}"
+    if boundaries is None:
+        boundaries = _mp.default_boundaries(max_it)
+    bs = sorted({int(b) for b in boundaries if 0 < int(b) < max_it})
+    if not bs:
+        return fit_pallas_t(
+            spots_t, max_it, ftol, interpret=interpret,
+            n_valid=n_valid,
+        )
+    grid = (n // TILE,)
+    nv = jnp.asarray(
+        n if n_valid is None else n_valid, jnp.int32
+    ).reshape(1, 1)
+    state_specs, state_shapes = _lm_state_specs(n)
+    spots_spec = pl.BlockSpec(
+        (s, s, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+    )
+
+    start = pl.pallas_call(
+        functools.partial(_lm_start_kernel, k=bs[0], ftol=float(ftol)),
+        grid=grid,
+        in_specs=[spots_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=state_specs,
+        out_shape=state_shapes,
+        interpret=interpret,
+    )
+    th, lam, cost, done = start(spots_t, nv)
+    orig = jax.lax.iota(jnp.int32, n).astype(jnp.float32)[None, :]
+
+    prev = bs[0]
+    for b in bs[1:] + [max_it]:
+        perm = _mp._stragglers_first(done[0])
+        state = jnp.concatenate([th, lam, cost, done, orig])
+        spots_t, state = _mp._permute_lanes(perm, spots_t, state)
+        th, lam, cost = state[:6], state[6:7], state[7:8]
+        done, orig = state[8:9], state[9:]
+        resume = pl.pallas_call(
+            functools.partial(
+                _lm_resume_kernel, k=b - prev, ftol=float(ftol)
+            ),
+            grid=grid,
+            in_specs=[spots_spec] + list(state_specs),
+            out_specs=state_specs,
+            out_shape=state_shapes,
+            interpret=interpret,
+        )
+        th, lam, cost, done = resume(spots_t, th, lam, cost, done)
+        prev = b
+
+    orig_i = orig[0].astype(jnp.int32)
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[orig_i]
+        .set(jax.lax.iota(jnp.int32, n))
+    )
+    (th,) = _mp._permute_lanes(inv, th)
+    return th
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_it", "ftol", "interpret")
 )

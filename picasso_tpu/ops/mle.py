@@ -799,6 +799,60 @@ def _crlb_ll_for(theta, spots_t, method: str):
     )
 
 
+def _freeze_tail(done0, n_valid, lane0):
+    """Mark lanes at global index >= n_valid as converged (bucket
+    padding must not drag tiles, or the XLA whole-batch loop, to
+    max_it)."""
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, done0.shape, done0.ndim - 1
+    )
+    if lane0 is not None:
+        lane = lane + lane0
+    return jnp.maximum(done0, (lane >= n_valid).astype(done0.dtype))
+
+
+def _fit_start(spots_t, eps, k, method, n_valid=None, lane0=None):
+    """Phase-boundary entry: init + up to ``k`` Newton iterations.
+    Returns the resumable carry (theta (R,N), old (R,N), done (1,N),
+    iters (1,N), max_step (R,N)); R = 6 (sigmaxy) or 5 (sigma).
+    ``_fit_start(k1)`` → ``_fit_resume(k2)`` → ``_fit_finish(k3)`` is
+    bit-identical to ``_fit_core`` with max_it = k1+k2+k3 — the
+    orchestrator in ops/mle_pallas.py permutes lanes between phases
+    (stragglers first) so converged Pallas tiles exit immediately."""
+    theta0, old0, done0, iters0, max_step = _init_state(
+        spots_t, method
+    )
+    if n_valid is not None:
+        done0 = _freeze_tail(done0, n_valid, lane0)
+    theta, old, done, iters = _run_newton_rounds(
+        spots_t, theta0, old0, done0, iters0, max_step, eps, k,
+        method,
+    )
+    return theta, old, done, iters, max_step
+
+
+def _fit_resume(spots_t, theta, old, done, iters, max_step, eps, k,
+                method):
+    """Continue a carried fit for up to ``k`` more iterations (see
+    :func:`_fit_start`; resumability per `_run_newton_rounds`)."""
+    theta, old, done, iters = _run_newton_rounds(
+        spots_t, theta, old, done, iters, max_step, eps, k, method
+    )
+    return theta, old, done, iters, max_step
+
+
+def _fit_finish(spots_t, theta, old, done, iters, max_step, eps, k,
+                method):
+    """Final phase: up to ``k`` more iterations, then CRLB +
+    log-likelihood at the converged theta. Returns (theta6, crlb6,
+    ll (N,), iters (N,) i32)."""
+    theta, _, _, iters2 = _run_newton_rounds(
+        spots_t, theta, old, done, iters, max_step, eps, k, method
+    )
+    thetas6, crlb6, ll = _crlb_ll_for(theta, spots_t, method)
+    return thetas6, crlb6, ll, iters2[0].astype(jnp.int32)
+
+
 def _fit_core(
     spots_t: jnp.ndarray,
     eps: float,
@@ -825,14 +879,7 @@ def _fit_core(
         spots_t, method
     )
     if n_valid is not None:
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, done0.shape, done0.ndim - 1
-        )
-        if lane0 is not None:
-            lane = lane + lane0
-        done0 = jnp.maximum(
-            done0, (lane >= n_valid).astype(done0.dtype)
-        )
+        done0 = _freeze_tail(done0, n_valid, lane0)
     theta, _, _, iters2 = _run_newton_rounds(
         spots_t, theta0, old0, done0, iters0, max_step, eps, max_it,
         method,

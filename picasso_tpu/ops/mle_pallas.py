@@ -175,6 +175,258 @@ def pallas_supported(box: int = 7, method: str = "sigmaxy") -> bool:
 # cost is unchanged.
 
 
+# ---------------------------------------------------------------------------
+# Phase-boundary fit: log-spaced straggler compaction
+# ---------------------------------------------------------------------------
+# Round-5 measurement (118k dense spots, (256, 256²) chunk): per-spot
+# Newton iteration counts are heavy-tailed — 45% of spots are still
+# iterating at 12, 15% at 32, 4% never converge — and the stragglers
+# are spread uniformly, so EVERY 512-lane tile runs to max_it: 23,100
+# tile-iterations where an oracle lane order needs 4,536 (0.196×). No
+# pre-fit feature predicts iteration count (best, sx+sy, reaches only
+# 0.78×; net gradient 0.95×) — but after K iterations the done mask is
+# a PERFECT predictor of "needs more". So: run K iterations, stable-
+# partition lanes (stragglers first) with a sort-free counting-sort
+# permutation, resume; converged tiles' while_loops exit on the first
+# condition check. The multiround variant below this section lost to
+# its own argsort + lane-axis takes (~5 ms per round); the boundary
+# permute here measures 0.21 ms per 49-row batch on chip (counting-
+# sort slot + transpose + row-gather — gathers must ride whole
+# trailing rows, CLAUDE.md round-3/4 rules). Log-spaced boundaries
+# track the tail with O(log max_it) permutes.
+
+
+def _phase_specs(s, R, with_state):
+    specs = [
+        pl.BlockSpec((s, s, TILE), lambda t: (0, 0, t),
+                     memory_space=pltpu.VMEM),       # spots
+    ]
+    if with_state:
+        for r in (R, R, 1, 1, R):                    # th/old/done/it/ms
+            specs.append(
+                pl.BlockSpec((r, TILE), lambda t, r=r: (0, t),
+                             memory_space=pltpu.VMEM)
+            )
+    return specs
+
+
+def _phase_state_out(n, R):
+    specs = tuple(
+        pl.BlockSpec((r, TILE), lambda t, r=r: (0, t),
+                     memory_space=pltpu.VMEM)
+        for r in (R, R, 1, 1, R)
+    )
+    shapes = tuple(
+        jax.ShapeDtypeStruct((r, n), jnp.float32)
+        for r in (R, R, 1, 1, R)
+    )
+    return specs, shapes
+
+
+def _start_phase_kernel(spots_ref, nv_ref, th_o, old_o, done_o, it_o,
+                        ms_o, *, eps, k, method):
+    th, old, done, it, ms = _mle._fit_start(
+        spots_ref[:, :, :], eps, k, method,
+        n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE,
+    )
+    th_o[:, :] = th
+    old_o[:, :] = old
+    done_o[:, :] = done
+    it_o[:, :] = it
+    ms_o[:, :] = ms
+
+
+def _resume_phase_kernel(spots_ref, th_ref, old_ref, done_ref, it_ref,
+                         ms_ref, th_o, old_o, done_o, it_o, ms_o, *,
+                         eps, k, method):
+    th, old, done, it, ms = _mle._fit_resume(
+        spots_ref[:, :, :], th_ref[:, :], old_ref[:, :],
+        done_ref[:, :], it_ref[:, :], ms_ref[:, :], eps, k, method,
+    )
+    th_o[:, :] = th
+    old_o[:, :] = old
+    done_o[:, :] = done
+    it_o[:, :] = it
+    ms_o[:, :] = ms
+
+
+def _finish_phase_kernel(spots_ref, th_ref, old_ref, done_ref, it_ref,
+                         ms_ref, theta_o, crlb_o, ll_o, iters_o, *,
+                         eps, k, method):
+    theta6, crlb6, ll, iters = _mle._fit_finish(
+        spots_ref[:, :, :], th_ref[:, :], old_ref[:, :],
+        done_ref[:, :], it_ref[:, :], ms_ref[:, :], eps, k, method,
+    )
+    theta_o[:, :] = theta6
+    crlb_o[:, :] = crlb6
+    ll_o[:, :] = ll[None, :]
+    iters_o[:, :] = iters[None, :].astype(jnp.int32)
+
+
+def _permute_lanes(perm, *arrays_t):
+    """Permute the LAST (lane) axis of each array by ``perm`` via the
+    fast whole-trailing-row gather: (R, N) → rows-first (N, R) → row
+    gather → back. Lane-axis advanced indexing would be the slow
+    elementwise-gather path (round-3 table)."""
+    outs = []
+    for a in arrays_t:
+        flat = a.reshape(-1, a.shape[-1])
+        outs.append(jnp.take(flat.T, perm, axis=0).T.reshape(a.shape))
+    return outs
+
+
+def _stragglers_first(done_row):
+    """Stable counting-sort permutation putting unconverged lanes
+    first: perm (N,) i32 with new_pos → old_pos. Sort-free (argsort
+    lowers to a ~3M elem/s variadic sort; two cumsums + a 1-to-1
+    scatter are ~free)."""
+    n = done_row.shape[0]
+    unconv = 1.0 - done_row
+    cu = jnp.cumsum(unconv)
+    slot = jnp.where(
+        unconv > 0.5, cu - 1.0, cu[-1] + jnp.cumsum(done_row) - 1.0
+    ).astype(jnp.int32)
+    t = jax.lax.iota(jnp.int32, n)
+    return jnp.zeros((n,), jnp.int32).at[slot].set(t)
+
+
+def default_boundaries(max_it: int) -> tuple[int, ...]:
+    """Log-spaced compaction points: max_it/8, /4, /2 (deduped, >= 4).
+    For the measured iteration histogram this cuts tile-iterations
+    ~3.5× vs single-pass; beyond 3 boundaries the savings are inside
+    the permute + phase-overhead noise."""
+    bs = sorted({
+        b for b in (max_it // 8, max_it // 4, max_it // 2)
+        if 4 <= b < max_it
+    })
+    return tuple(bs)
+
+
+def fit_pallas_boundary_t(
+    spots_t: jnp.ndarray,
+    eps: float,
+    max_it: int,
+    method: str = "sigmaxy",
+    n_valid=None,
+    boundaries: tuple[int, ...] | None = None,
+    interpret: bool = False,
+):
+    """Phase-boundary MLE fit, lanes-last: same contract and BIT-
+    IDENTICAL results as :func:`fit_pallas_t` (resumed Newton rounds
+    reproduce the single-pass trajectory per lane; the permutes only
+    relocate lanes), but tiles stop paying for stragglers they don't
+    own. Composes inside the fused identify+cut+fit chain."""
+    s, _, n = spots_t.shape
+    assert n % TILE == 0, f"batch must be a multiple of {TILE}"
+    if boundaries is None:
+        boundaries = default_boundaries(max_it)
+    bs = sorted({int(b) for b in boundaries if 0 < int(b) < max_it})
+    if not bs:
+        return fit_pallas_t(
+            spots_t, eps, max_it, method=method, n_valid=n_valid,
+            interpret=interpret,
+        )
+    R = 6 if method == "sigmaxy" else 5
+    grid = (n // TILE,)
+    nv = jnp.asarray(
+        n if n_valid is None else n_valid, jnp.int32
+    ).reshape(1, 1)
+    state_out, state_shapes = _phase_state_out(n, R)
+
+    start = pl.pallas_call(
+        functools.partial(
+            _start_phase_kernel, eps=eps, k=bs[0], method=method
+        ),
+        grid=grid,
+        in_specs=_phase_specs(s, R, False)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=state_out,
+        out_shape=state_shapes,
+        interpret=interpret,
+    )
+    th, old, done, iters, ms = start(spots_t, nv)
+    # original lane index, carried as an f32 row through the permutes
+    # (exact for n < 2^24; avoids slow 1D integer lane gathers)
+    orig = jax.lax.iota(jnp.int32, n).astype(jnp.float32)[None, :]
+
+    def compact(spots_t, th, old, done, iters, ms, orig):
+        perm = _stragglers_first(done[0])
+        state = jnp.concatenate([th, old, done, iters, ms, orig])
+        spots_t, state = _permute_lanes(perm, spots_t, state)
+        th, old = state[:R], state[R:2 * R]
+        done, iters = state[2 * R:2 * R + 1], state[2 * R + 1:2 * R + 2]
+        ms, orig = state[2 * R + 2:3 * R + 2], state[3 * R + 2:]
+        return spots_t, th, old, done, iters, ms, orig
+
+    prev = bs[0]
+    for b in bs[1:]:
+        spots_t, th, old, done, iters, ms, orig = compact(
+            spots_t, th, old, done, iters, ms, orig
+        )
+        resume = pl.pallas_call(
+            functools.partial(
+                _resume_phase_kernel, eps=eps, k=b - prev,
+                method=method,
+            ),
+            grid=grid,
+            in_specs=_phase_specs(s, R, True),
+            out_specs=state_out,
+            out_shape=state_shapes,
+            interpret=interpret,
+        )
+        th, old, done, iters, ms = resume(
+            spots_t, th, old, done, iters, ms
+        )
+        prev = b
+
+    spots_t, th, old, done, iters, ms, orig = compact(
+        spots_t, th, old, done, iters, ms, orig
+    )
+    finish = pl.pallas_call(
+        functools.partial(
+            _finish_phase_kernel, eps=eps, k=max_it - prev,
+            method=method,
+        ),
+        grid=grid,
+        in_specs=_phase_specs(s, R, True),
+        out_specs=(
+            pl.BlockSpec((6, TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((6, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+    theta6, crlb6, ll, it_i = finish(spots_t, th, old, done, iters, ms)
+
+    # undo the composed permutation: lane i holds original spot
+    # orig[i]; inv[orig[i]] = i, then one row-gather restores order
+    orig_i = orig[0].astype(jnp.int32)
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[orig_i]
+        .set(jax.lax.iota(jnp.int32, n))
+    )
+    out = jnp.concatenate(
+        [theta6, crlb6, ll, it_i.astype(jnp.float32)]
+    )
+    (out,) = _permute_lanes(inv, out)
+    return (
+        out[0:6], out[6:12], out[12],
+        out[13].astype(jnp.int32),
+    )
+
+
 def _round_specs(s):
     state_in = [
         pl.BlockSpec((s, s, TILE), lambda t: (0, 0, t),

@@ -132,6 +132,80 @@ def test_n_valid_freezes_padding_lq():
     )
 
 
+@pytest.mark.parametrize("method", ["sigmaxy", "sigma"])
+def test_boundary_bit_identical(method):
+    """Phase-boundary straggler compaction (log-spaced boundaries,
+    counting-sort permutes) reproduces the single-pass kernel exactly
+    for real lanes, junk tail included."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.mle_pallas import (
+        TILE, fit_pallas_boundary_t, fit_pallas_t,
+    )
+
+    n_real = TILE + 101
+    spots = _spots(2 * TILE, seed=5)
+    spots[n_real:] = 1.0
+    spots_t = jnp.asarray(np.transpose(spots, (1, 2, 0)))
+
+    a = fit_pallas_t(
+        spots_t, 1e-3, 24, method=method, n_valid=jnp.int32(n_real),
+        interpret=True,
+    )
+    b = fit_pallas_boundary_t(
+        spots_t, 1e-3, 24, method=method, n_valid=jnp.int32(n_real),
+        boundaries=(6, 12), interpret=True,
+    )
+    for x, y, name in zip(a, b, ("theta", "crlb", "ll", "iters")):
+        np.testing.assert_array_equal(
+            np.asarray(x)[..., :n_real],
+            np.asarray(y)[..., :n_real],
+            err_msg=name,
+        )
+
+
+def test_boundary_empty_schedule_falls_back():
+    """No in-range boundaries → the single-pass kernel verbatim."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.mle_pallas import (
+        TILE, fit_pallas_boundary_t, fit_pallas_t,
+    )
+
+    spots = _spots(TILE, seed=6)
+    spots_t = jnp.asarray(np.transpose(spots, (1, 2, 0)))
+    a = fit_pallas_t(spots_t, 1e-3, 8, interpret=True)
+    b = fit_pallas_boundary_t(
+        spots_t, 1e-3, 8, boundaries=(8, 99), interpret=True
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_boundary_bit_identical_lq():
+    """Same contract for the LM fitter."""
+    import jax.numpy as jnp
+
+    from picasso_tpu.ops.lq_pallas import (
+        TILE, fit_pallas_boundary_t, fit_pallas_t,
+    )
+
+    n_real = TILE + 101
+    spots = _spots(2 * TILE, seed=7)
+    spots[n_real:] = 1.0
+    spots_t = jnp.asarray(np.transpose(spots, (1, 2, 0)))
+    a = fit_pallas_t(
+        spots_t, 20, 1e-6, n_valid=jnp.int32(n_real), interpret=True
+    )
+    b = fit_pallas_boundary_t(
+        spots_t, 20, 1e-6, n_valid=jnp.int32(n_real),
+        boundaries=(5, 10), interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a)[:, :n_real], np.asarray(b)[:, :n_real]
+    )
+
+
 def test_multiround_bit_identical_to_single_pass():
     """Straggler-compaction schedule must reproduce the single-pass
     kernel exactly (same trajectories, just permuted lanes)."""
