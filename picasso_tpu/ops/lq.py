@@ -350,7 +350,12 @@ def fit_spots_batched(
                 dev, jnp.float32(baseline), jnp.float32(factor)
             )
         if use_pallas:
-            fit = lq_pallas.fit_pallas(dev, max_it)
+            # Same straggler-compaction default as the fused chain
+            # (PICASSO_TPU_FIT_BOUNDARY=0 disables).
+            if os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "1") != "0":
+                fit = lq_pallas.fit_pallas_boundary(dev, max_it)
+            else:
+                fit = lq_pallas.fit_pallas(dev, max_it)
         else:
             fit = _fit_chunk(dev, max_it)
         results.append((n_part, fit))

@@ -209,6 +209,23 @@ def fit_pallas(
     ).T
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_it", "ftol", "interpret")
+)
+def fit_pallas_boundary(
+    spots: jnp.ndarray,
+    max_it: int = 30,
+    ftol: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(N, S, S) wrapper over :func:`fit_pallas_boundary_t` — same
+    contract and bit-identical results as :func:`fit_pallas`."""
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    return fit_pallas_boundary_t(
+        spots_t, max_it=max_it, ftol=ftol, interpret=interpret
+    ).T
+
+
 _PALLAS_OK: dict[int, bool] = {}
 
 

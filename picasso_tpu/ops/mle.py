@@ -989,12 +989,21 @@ def gaussmle_batched(
                 dev, jnp.float32(baseline), jnp.float32(factor)
             )
         if use_pallas:
+            # Boundary compaction pays whenever the chunk's iteration
+            # counts are heavy-tailed (same default as the fused
+            # chain; PICASSO_TPU_FIT_BOUNDARY=0 disables).
+            boundary = (
+                os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "1")
+                != "0"
+            )
+            fit = (
+                mle_pallas.fit_pallas_boundary
+                if boundary else mle_pallas.fit_pallas
+            )
             results.append(
                 (
                     n_part,
-                    mle_pallas.fit_pallas(
-                        dev, float(eps), max_it, method=method,
-                    ),
+                    fit(dev, float(eps), max_it, method=method),
                 )
             )
         else:

@@ -133,6 +133,27 @@ def fit_pallas(
     return theta.T, crlb.T, ll, iters
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "max_it", "method", "interpret"),
+)
+def fit_pallas_boundary(
+    spots: jnp.ndarray,
+    eps: float,
+    max_it: int,
+    method: str = "sigmaxy",
+    interpret: bool = False,
+):
+    """(N, S, S) wrapper over :func:`fit_pallas_boundary_t` — same
+    contract as :func:`fit_pallas`, bit-identical results, straggler
+    compaction between log-spaced boundaries."""
+    spots_t = jnp.transpose(spots.astype(jnp.float32), (1, 2, 0))
+    theta, crlb, ll, iters = fit_pallas_boundary_t(
+        spots_t, eps, max_it, method=method, interpret=interpret
+    )
+    return theta.T, crlb.T, ll, iters
+
+
 _PALLAS_OK: dict[tuple[int, str], bool] = {}
 
 
