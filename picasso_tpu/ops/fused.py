@@ -701,7 +701,7 @@ def identify_cut_fit(
 
             fit_lq = (
                 lq_pallas.fit_pallas_boundary_t
-                if _boundaries_wanted()
+                if _boundaries_wanted("lq")
                 else lq_pallas.fit_pallas_t
             )
             theta = fit_lq(
@@ -726,7 +726,7 @@ def identify_cut_fit(
 
         fit_mle = (
             mle_pallas.fit_pallas_boundary_t
-            if _boundaries_wanted()
+            if _boundaries_wanted(method)
             else mle_pallas.fit_pallas_t
         )
         thetas6, crlb6, ll, iters = fit_mle(
@@ -804,15 +804,20 @@ def identify_cut_fit_packed(
 _WINFIT_AUTO = False
 
 
-def _boundaries_wanted() -> bool:
+def _boundaries_wanted(method: str = "sigmaxy") -> bool:
     """Phase-boundary straggler compaction in the Pallas fit
     (ops/mle_pallas.fit_pallas_boundary_t): PICASSO_TPU_FIT_BOUNDARY
-    = "1"/"0" to force; default on (measured on chip, round 5: the
-    dense chain's heavy-tailed iteration counts make every tile pay
-    near max_it without it — docs/performance.md)."""
+    = "1"/"0" to force; "auto" (default) enables it for the MLE
+    methods only. Measured on chip (tools/measure_r5g/h, one
+    session): MLE chain 28.2 → 21.7 ms (+30%), but LQ 17.2 → 17.9 —
+    each boundary costs ~1.4 ms of XLA glue, more than the LM fit's
+    straggler tail at max_it 30."""
     import os
 
-    return os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "1") != "0"
+    env = os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return method != "lq"
 
 
 def _winfit_wanted(width: int) -> bool:

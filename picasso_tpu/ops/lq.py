@@ -350,9 +350,11 @@ def fit_spots_batched(
                 dev, jnp.float32(baseline), jnp.float32(factor)
             )
         if use_pallas:
-            # Same straggler-compaction default as the fused chain
-            # (PICASSO_TPU_FIT_BOUNDARY=0 disables).
-            if os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "1") != "0":
+            # Boundary compaction default-OFF for LM: measured loss
+            # (each boundary costs ~1.4 ms of XLA glue, more than the
+            # straggler tail at max_it 30 — tools/measure_r5h).
+            # PICASSO_TPU_FIT_BOUNDARY=1 forces it on.
+            if os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "auto") == "1":
                 fit = lq_pallas.fit_pallas_boundary(dev, max_it)
             else:
                 fit = lq_pallas.fit_pallas(dev, max_it)

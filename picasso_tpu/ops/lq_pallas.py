@@ -77,10 +77,10 @@ def fit_pallas_t(
 # ---------------------------------------------------------------------------
 
 
-def _lm_state_specs(n):
+def _lm_state_specs(n, tile):
     rows = (6, 1, 1, 1)                      # theta, lam, cost, done
     specs = tuple(
-        pl.BlockSpec((r, TILE), lambda t, r=r: (0, t),
+        pl.BlockSpec((r, tile), lambda t, r=r: (0, t),
                      memory_space=pltpu.VMEM)
         for r in rows
     )
@@ -91,10 +91,10 @@ def _lm_state_specs(n):
 
 
 def _lm_start_kernel(spots_ref, nv_ref, th_o, lam_o, cost_o, done_o,
-                     *, k, ftol):
+                     *, k, ftol, tile):
     sp = spots_ref[:, :, :]
     th0, lam0, cost0, done0 = _lq._lm_init(
-        sp, n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE
+        sp, n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * tile
     )
     th, lam, cost, done = _lq._lm_rounds(
         sp, th0, lam0, cost0, done0, k, ftol
@@ -123,17 +123,22 @@ def fit_pallas_boundary_t(
     ftol: float = 1e-6,
     n_valid=None,
     boundaries: tuple[int, ...] | None = None,
+    phase_tile: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Phase-boundary LM fit, lanes-last: bit-identical to
     :func:`fit_pallas_t` (per-lane trajectories are position-
     independent), with stragglers compacted into the leading tiles at
     each boundary so converged tiles exit at the first condition
-    check."""
+    check. ``phase_tile`` widens the per-phase tile (see
+    ops/mle_pallas.fit_pallas_boundary_t)."""
     from picasso_tpu.ops import mle_pallas as _mp
 
     s, _, n = spots_t.shape
-    assert n % TILE == 0, f"batch must be a multiple of {TILE}"
+    if phase_tile is None:
+        phase_tile = _mp._default_phase_tile(s, n)
+    tile = phase_tile
+    assert n % tile == 0, f"batch must be a multiple of {tile}"
     if boundaries is None:
         boundaries = _mp.default_boundaries(max_it)
     bs = sorted({int(b) for b in boundaries if 0 < int(b) < max_it})
@@ -142,17 +147,19 @@ def fit_pallas_boundary_t(
             spots_t, max_it, ftol, interpret=interpret,
             n_valid=n_valid,
         )
-    grid = (n // TILE,)
+    grid = (n // tile,)
     nv = jnp.asarray(
         n if n_valid is None else n_valid, jnp.int32
     ).reshape(1, 1)
-    state_specs, state_shapes = _lm_state_specs(n)
+    state_specs, state_shapes = _lm_state_specs(n, tile)
     spots_spec = pl.BlockSpec(
-        (s, s, TILE), lambda t: (0, 0, t), memory_space=pltpu.VMEM
+        (s, s, tile), lambda t: (0, 0, t), memory_space=pltpu.VMEM
     )
 
     start = pl.pallas_call(
-        functools.partial(_lm_start_kernel, k=bs[0], ftol=float(ftol)),
+        functools.partial(
+            _lm_start_kernel, k=bs[0], ftol=float(ftol), tile=tile
+        ),
         grid=grid,
         in_specs=[spots_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=state_specs,

@@ -989,11 +989,11 @@ def gaussmle_batched(
                 dev, jnp.float32(baseline), jnp.float32(factor)
             )
         if use_pallas:
-            # Boundary compaction pays whenever the chunk's iteration
-            # counts are heavy-tailed (same default as the fused
-            # chain; PICASSO_TPU_FIT_BOUNDARY=0 disables).
+            # Boundary compaction pays for the MLE's heavy-tailed
+            # iteration counts (same default as the fused chain;
+            # PICASSO_TPU_FIT_BOUNDARY=0/1 forces).
             boundary = (
-                os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "1")
+                os.environ.get("PICASSO_TPU_FIT_BOUNDARY", "auto")
                 != "0"
             )
             fit = (

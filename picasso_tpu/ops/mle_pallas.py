@@ -217,23 +217,23 @@ def pallas_supported(box: int = 7, method: str = "sigmaxy") -> bool:
 # track the tail with O(log max_it) permutes.
 
 
-def _phase_specs(s, R, with_state):
+def _phase_specs(s, R, with_state, tile):
     specs = [
-        pl.BlockSpec((s, s, TILE), lambda t: (0, 0, t),
+        pl.BlockSpec((s, s, tile), lambda t: (0, 0, t),
                      memory_space=pltpu.VMEM),       # spots
     ]
     if with_state:
         for r in (R, R, 1, 1, R):                    # th/old/done/it/ms
             specs.append(
-                pl.BlockSpec((r, TILE), lambda t, r=r: (0, t),
+                pl.BlockSpec((r, tile), lambda t, r=r: (0, t),
                              memory_space=pltpu.VMEM)
             )
     return specs
 
 
-def _phase_state_out(n, R):
+def _phase_state_out(n, R, tile):
     specs = tuple(
-        pl.BlockSpec((r, TILE), lambda t, r=r: (0, t),
+        pl.BlockSpec((r, tile), lambda t, r=r: (0, t),
                      memory_space=pltpu.VMEM)
         for r in (R, R, 1, 1, R)
     )
@@ -245,10 +245,10 @@ def _phase_state_out(n, R):
 
 
 def _start_phase_kernel(spots_ref, nv_ref, th_o, old_o, done_o, it_o,
-                        ms_o, *, eps, k, method):
+                        ms_o, *, eps, k, method, tile):
     th, old, done, it, ms = _mle._fit_start(
         spots_ref[:, :, :], eps, k, method,
-        n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * TILE,
+        n_valid=nv_ref[0, 0], lane0=pl.program_id(0) * tile,
     )
     th_o[:, :] = th
     old_o[:, :] = old
@@ -312,15 +312,26 @@ def _stragglers_first(done_row):
 
 
 def default_boundaries(max_it: int) -> tuple[int, ...]:
-    """Log-spaced compaction points: max_it/8, /4, /2 (deduped, >= 4).
-    For the measured iteration histogram this cuts tile-iterations
-    ~3.5× vs single-pass; beyond 3 boundaries the savings are inside
-    the permute + phase-overhead noise."""
+    """Two log-spaced compaction points (~max_it/6 and /2). On-chip
+    A/B over the measured iteration histogram (tools/measure_r5g):
+    (16, 48) beat (12, 25, 50) and (8, 16, 32, 64) at max_it=100 —
+    each extra phase costs a full-grid pass of fixed per-tile
+    overhead, so two well-placed boundaries win."""
     bs = sorted({
-        b for b in (max_it // 8, max_it // 4, max_it // 2)
-        if 4 <= b < max_it
+        b for b in (max(max_it // 6, 4), max_it // 2) if b < max_it
     })
     return tuple(bs)
+
+
+def _default_phase_tile(s: int, n: int) -> int:
+    """Widest phase tile that divides n within the VMEM budget
+    (~60 (S, tile) f32 rows + 3 (S, S, tile) grids + state): 2048
+    lanes for s <= 9, 1024 for s <= 13, else the base TILE."""
+    cap = 2048 if s <= 9 else (1024 if s <= 13 else TILE)
+    t = cap
+    while t > TILE and n % t:
+        t //= 2
+    return t if n % t == 0 else TILE
 
 
 def fit_pallas_boundary_t(
@@ -330,15 +341,25 @@ def fit_pallas_boundary_t(
     method: str = "sigmaxy",
     n_valid=None,
     boundaries: tuple[int, ...] | None = None,
+    phase_tile: int | None = None,
     interpret: bool = False,
 ):
     """Phase-boundary MLE fit, lanes-last: same contract and BIT-
     IDENTICAL results as :func:`fit_pallas_t` (resumed Newton rounds
     reproduce the single-pass trajectory per lane; the permutes only
     relocate lanes), but tiles stop paying for stragglers they don't
-    own. Composes inside the fused identify+cut+fit chain."""
+    own. Composes inside the fused identify+cut+fit chain.
+
+    ``phase_tile`` widens the per-phase tile (fewer grid steps — the
+    measured fixed cost is ~8 µs per grid step, so a 256-step phase
+    pays ~2 ms of pure overhead at TILE=512). Early-exit granularity
+    stays fine-grained because lanes are stragglers-first: at most
+    one tile per phase straddles the active front."""
     s, _, n = spots_t.shape
-    assert n % TILE == 0, f"batch must be a multiple of {TILE}"
+    if phase_tile is None:
+        phase_tile = _default_phase_tile(s, n)
+    tile = phase_tile
+    assert n % tile == 0, f"batch must be a multiple of {tile}"
     if boundaries is None:
         boundaries = default_boundaries(max_it)
     bs = sorted({int(b) for b in boundaries if 0 < int(b) < max_it})
@@ -348,18 +369,19 @@ def fit_pallas_boundary_t(
             interpret=interpret,
         )
     R = 6 if method == "sigmaxy" else 5
-    grid = (n // TILE,)
+    grid = (n // tile,)
     nv = jnp.asarray(
         n if n_valid is None else n_valid, jnp.int32
     ).reshape(1, 1)
-    state_out, state_shapes = _phase_state_out(n, R)
+    state_out, state_shapes = _phase_state_out(n, R, tile)
 
     start = pl.pallas_call(
         functools.partial(
-            _start_phase_kernel, eps=eps, k=bs[0], method=method
+            _start_phase_kernel, eps=eps, k=bs[0], method=method,
+            tile=tile,
         ),
         grid=grid,
-        in_specs=_phase_specs(s, R, False)
+        in_specs=_phase_specs(s, R, False, tile)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=state_out,
         out_shape=state_shapes,
@@ -390,7 +412,7 @@ def fit_pallas_boundary_t(
                 method=method,
             ),
             grid=grid,
-            in_specs=_phase_specs(s, R, True),
+            in_specs=_phase_specs(s, R, True, tile),
             out_specs=state_out,
             out_shape=state_shapes,
             interpret=interpret,
@@ -409,15 +431,15 @@ def fit_pallas_boundary_t(
             method=method,
         ),
         grid=grid,
-        in_specs=_phase_specs(s, R, True),
+        in_specs=_phase_specs(s, R, True, tile),
         out_specs=(
-            pl.BlockSpec((6, TILE), lambda t: (0, t),
+            pl.BlockSpec((6, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, TILE), lambda t: (0, t),
+            pl.BlockSpec((6, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t),
+            pl.BlockSpec((1, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda t: (0, t),
+            pl.BlockSpec((1, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
