@@ -521,7 +521,7 @@ def main():
             and lq_pallas.pallas_supported()
         ):
             st_spots = get_spots()[:8192]
-            t_p, c_p, ll_p, _ = map(
+            t_p, c_p, ll_p, it_p = map(
                 np.asarray, mle_pallas.fit_pallas(st_spots, 0.001, 100)
             )
             t_x, c_x, ll_x, _ = map(
@@ -537,7 +537,19 @@ def main():
                     d = d / np.maximum(np.abs(b), 1e-12)
                 return float(np.nanmax(d))
 
+            # the timed MLE stage runs the phase-boundary path: gate
+            # its on-device bit-identity to the single-pass kernel
+            # (unit tests pin it in interpret mode; this pins the
+            # Mosaic lowering on the real chip)
+            t_b, c_b, ll_b, it_b = map(
+                np.asarray,
+                mle_pallas.fit_pallas_boundary(st_spots, 0.001, 100),
+            )
             checks = {
+                "mleb_theta": (dev(t_b, t_p), 0.0),
+                "mleb_crlb": (dev(c_b, c_p), 0.0),
+                "mleb_ll": (dev(ll_b, ll_p), 0.0),
+                "mleb_iters": (dev(it_b, it_p), 0.0),
                 "mle_xy": (dev(t_p[:, :2], t_x[:, :2]), 2e-3),
                 "mle_photons": (dev(t_p[:, 2], t_x[:, 2], True), 5e-3),
                 "mle_sigma": (dev(t_p[:, 4:], t_x[:, 4:]), 5e-3),
@@ -567,6 +579,21 @@ def main():
                 for k, (got, lim) in checks.items()
                 if not got <= lim
             }
+            # a boundary-path mismatch falls back to the single-pass
+            # kernel for the timed stage; it must not disable the
+            # (independently verified) Pallas path wholesale
+            boundary_failed = {
+                k: v for k, v in failed.items()
+                if k.startswith("mleb")
+            }
+            failed = {
+                k: v for k, v in failed.items()
+                if not k.startswith("mleb")
+            }
+            data["mle_boundary"] = (
+                "ok" if not boundary_failed
+                else f"FAIL({boundary_failed})"
+            )
 
             def _verdict(prefix):
                 bad = {k: v for k, v in failed.items()
@@ -592,11 +619,33 @@ def main():
 
     run_stage("selftest", _stage_selftest, deadline=600, tries=3)
     use_pallas = bool(data.get("use_pallas", False))
+    # Phase-boundary compaction for the STANDALONE fit stage is a
+    # measured on-chip NEGATIVE (26.05M -> 9.85M spots/s, same
+    # session A/B): on the bench synthetic's mild iteration tail
+    # (mean 8.3, tile-max 24.1, replayed phased budget 16.8) the
+    # saved iterations are worth ~3 ms while the O(N) permute glue
+    # costs ~16 ms at N=262k. It stays the default INSIDE the fused
+    # chain, whose movie bucket has the heavy tail (45% iterating at
+    # 12, 4% never converge) that made it a 28.2 -> 21.7 ms win.
+    # The selftest above still gates the boundary kernels' on-device
+    # bit-identity because the production chain runs them.
+    use_boundary = (
+        use_pallas
+        and data.get("mle_boundary") == "ok"
+        and os.environ.get("PICASSO_BENCH_MLE_BOUNDARY") == "1"
+    )
 
     def make_mle_fit():
         from picasso_tpu.ops import mle_pallas
         from picasso_tpu.ops.mle import _fit_chunk as mle_fit_chunk
 
+        if use_boundary:
+            # phase-boundary straggler compaction (bit-identical to
+            # the single-pass kernel — selftest gates it on device):
+            # tiles stop paying for stragglers they don't own
+            return lambda s: mle_pallas.fit_pallas_boundary(
+                s, 0.001, 100
+            )
         if use_pallas:
             return lambda s: mle_pallas.fit_pallas(s, 0.001, 100)
         return lambda s: mle_fit_chunk(
@@ -623,10 +672,14 @@ def main():
     # iter -> achieved TFLOP/s vs the chip's (estimated) VPU f32 peak,
     # PLUS the HBM-bandwidth bound so the binding roof is named
     # (VERDICT r3 weak #2). "Executed" counts the whole lane budget:
-    # the Pallas kernel runs each 512-lane tile until ITS slowest spot
-    # converges, the XLA fallback runs the batch until the global
-    # slowest converges; frozen lanes still occupy VPU issue slots.
-    # "Useful" counts only per-spot iterations until own convergence.
+    # the Pallas kernel runs each lane tile until ITS slowest spot
+    # converges — with phase-boundary straggler compaction the
+    # executed budget is simulated per phase over the measured
+    # per-lane iteration counts (stragglers-first reorder at each
+    # boundary, tile max within each phase) — while the XLA fallback
+    # runs the batch until the global slowest converges; frozen lanes
+    # still occupy VPU issue slots. "Useful" counts only per-spot
+    # iterations until own convergence.
     def _stage_mle_measure():
         import jax as _jax
 
@@ -640,7 +693,30 @@ def main():
 
         iters = np.asarray(mle_fit(spots)[3])
         mean_iters = float(iters.mean())
-        if use_pallas:
+        if use_boundary:
+            from picasso_tpu.ops import mle_pallas as _mp
+
+            box_ = spots.shape[-1]
+            tile = _mp._default_phase_tile(box_, n)
+            bs = _mp.default_boundaries(100)
+            # replay the phase schedule over the measured per-lane
+            # iteration counts: stragglers-first stable reorder at
+            # each boundary, per-tile max within each phase
+            order = np.arange(n)
+            total, prev = 0.0, 0
+            for b in list(bs) + [100]:
+                if prev > 0:
+                    cur = iters[order]
+                    order = order[
+                        np.argsort(cur <= prev, kind="stable")
+                    ]
+                ex = np.clip(
+                    np.minimum(iters[order], b) - prev, 0, None
+                )
+                total += ex.reshape(-1, tile).max(axis=1).sum() * tile
+                prev = b
+            exec_iters = float(total / n)
+        elif use_pallas:
             tiles = iters[: n - n % 512].reshape(-1, 512)
             exec_iters = float(tiles.max(axis=1).mean())
         else:
@@ -659,6 +735,10 @@ def main():
             "mean_iters": round(mean_iters, 1),
             "exec_iters": round(exec_iters, 1),
             "device_kind": kind,
+            "mle_fit_path": (
+                "pallas_boundary" if use_boundary
+                else ("pallas" if use_pallas else "xla")
+            ),
         }
         # HBM bound: the Pallas kernel streams each spot tile from
         # HBM exactly once (iterations run in VMEM) and writes 14 f32
@@ -666,10 +746,23 @@ def main():
         # iteration. bytes/spot -> spots/s roof at the chip's HBM BW.
         spot_bytes = box * box * 4
         out_bytes = 14 * 4
-        hbm_bytes = (
-            spot_bytes + out_bytes if use_pallas
-            else spot_bytes * exec_iters + out_bytes
-        )
+        if use_boundary:
+            # boundary path: each compaction streams the spot tile +
+            # the (3R+3)-row resume state through HBM again (permute
+            # read + write; the transpose/gather/transpose lowering
+            # makes this a lower bound on actual traffic)
+            from picasso_tpu.ops import mle_pallas as _mp
+
+            n_b = len(_mp.default_boundaries(100))
+            state_bytes = (3 * 6 + 3) * 4
+            hbm_bytes = (
+                spot_bytes + out_bytes
+                + 2 * n_b * (spot_bytes + state_bytes)
+            )
+        elif use_pallas:
+            hbm_bytes = spot_bytes + out_bytes
+        else:
+            hbm_bytes = spot_bytes * exec_iters + out_bytes
         roofline["hbm_bytes_per_spot"] = round(hbm_bytes)
         hbm = peaks.get("hbm")
         if hbm:
