@@ -310,8 +310,17 @@ def pallas_supported(shape: tuple[int, int, int], box: int) -> bool:
                 out = identify_tiles_pallas(probe, 1.0, box)
                 np.asarray(out[0])
             _SUPPORTED[key] = True
-        except Exception:
-            _SUPPORTED[key] = False
+        except Exception as exc:
+            from picasso_tpu.ops import _probe
+
+            if _probe.probe_failure_permanent(
+                exc, _probe.current_platform()
+            ):
+                _SUPPORTED[key] = False
+            else:
+                # transient backend weather: report, do NOT cache
+                _probe.note_transient("identify", exc)
+                return False
     return _SUPPORTED[key]
 
 

@@ -246,6 +246,15 @@ def pallas_supported(box: int = 7) -> bool:
             out = fit_pallas(probe, max_it=1)
             np.asarray(out)
             _PALLAS_OK[box] = True
-        except Exception:
-            _PALLAS_OK[box] = False
+        except Exception as exc:
+            from picasso_tpu.ops import _probe
+
+            if _probe.probe_failure_permanent(
+                exc, _probe.current_platform()
+            ):
+                _PALLAS_OK[box] = False
+            else:
+                # transient backend weather: report, do NOT cache
+                _probe.note_transient("lq", exc)
+                return False
     return _PALLAS_OK[box]

@@ -169,8 +169,17 @@ def pallas_supported(box: int = 7, method: str = "sigmaxy") -> bool:
             out = fit_pallas(probe, 1e-3, 1, method=method)
             np.asarray(out[3])
             _PALLAS_OK[key] = True
-        except Exception:
-            _PALLAS_OK[key] = False
+        except Exception as exc:
+            from picasso_tpu.ops import _probe
+
+            if _probe.probe_failure_permanent(
+                exc, _probe.current_platform()
+            ):
+                _PALLAS_OK[key] = False
+            else:
+                # transient backend weather: report, do NOT cache
+                _probe.note_transient("mle", exc)
+                return False
     return _PALLAS_OK[key]
 
 
