@@ -13,6 +13,12 @@ import tempfile
 
 import numpy as np
 
+# run from a checkout even when the editable install is absent
+# (fresh containers lose site-packages; the repo root is authoritative)
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 if os.environ.get("PICASSO_FORCE_CPU") == "1":
     # the environment's TPU plugin shadows JAX_PLATFORMS; pin CPU
     # before any backend query
