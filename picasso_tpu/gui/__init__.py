@@ -17,6 +17,11 @@ from picasso_tpu.gui.viewers import (  # noqa: F401
     LocalizeApp,
     RenderApp,
 )
+from picasso_tpu.gui.panels import (  # noqa: F401
+    ChannelsPanel,
+    DisplaySettingsPanel,
+    InfoPanel,
+)
 from picasso_tpu.gui.apps import (  # noqa: F401
     Average3App,
     AverageApp,

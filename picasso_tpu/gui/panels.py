@@ -1,0 +1,501 @@
+"""Interactive control panels for the matplotlib GUI apps.
+
+The reference packs its display controls into Qt dialogs —
+DisplaySettingsDialog (picasso/gui/render.py:6030), DatasetDialog
+(:378), InfoDialog (:4295). Here each panel is a matplotlib-widgets
+figure bound to a live :class:`~picasso_tpu.gui.render_app.RenderApp`:
+every control calls the app's public setter (so panels, scripted use
+and plugins all share one state), and :meth:`sync` refreshes the
+widgets from app state without firing callbacks. Everything works
+headless under the Agg backend, which is how the tests drive it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import numpy as np
+
+__all__ = ["DisplaySettingsPanel", "ChannelsPanel", "InfoPanel"]
+
+_COLORMAPS = ["hot", "gray", "viridis", "inferno", "magma", "plasma"]
+_BLUR_LABELS = [
+    "none", "smooth", "gaussian", "gaussian_iso", "convolve"
+]
+# DatasetDialog's default per-channel color cycle
+_CHANNEL_COLORS = [
+    (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (1, 1, 0), (0, 1, 1), (1, 0, 1), (1, 1, 1),
+]
+
+
+def _parse_float(text: str) -> float | None:
+    """Blank/invalid text means "automatic" everywhere a numeric
+    field can be cleared (contrast limits, scalebar length)."""
+    text = text.strip()
+    if not text:
+        return None
+    try:
+        return float(text)
+    except ValueError:
+        return None
+
+
+class _Panel:
+    """Figure lifecycle + callback-suppression shared by the panels."""
+
+    def __init__(self, app, title: str, figsize=(5.2, 7.0)):
+        self.app = app
+        self.fig = app._new_fig(figsize=figsize)
+        with contextlib.suppress(Exception):
+            self.fig.canvas.manager.set_window_title(title)
+        self._updating = 0
+
+    @contextlib.contextmanager
+    def _no_callbacks(self):
+        self._updating += 1
+        try:
+            yield
+        finally:
+            self._updating -= 1
+
+    def _guarded(self, fn):
+        """Wrap a widget callback so sync() doesn't re-enter it."""
+
+        def cb(*args):
+            if not self._updating:
+                fn(*args)
+
+        return cb
+
+    def close(self):
+        import matplotlib.pyplot as plt
+
+        plt.close(self.fig)
+
+
+class DisplaySettingsPanel(_Panel):
+    """DisplaySettingsDialog equivalent: general (display pixel size /
+    dynamic / minimap / invert), contrast (min/max density, colormap),
+    blur (method + min blur width), camera (pixel size), scale bar
+    (show / length / print text / automatic), and render-by-property.
+    Control set mirrors reference gui/render.py:6030-6420."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import (
+            Button, CheckButtons, RadioButtons, Slider, TextBox,
+        )
+
+        super().__init__(app, "Display settings")
+        fig = self.fig
+        fig.text(0.04, 0.975, "Display settings", fontsize=11,
+                 fontweight="bold")
+
+        # --- general -------------------------------------------------
+        fig.text(0.04, 0.945, "General", fontsize=9, color="0.35")
+        ax = fig.add_axes([0.30, 0.895, 0.55, 0.035])
+        self.oversampling = Slider(
+            ax, "oversampling (log2)", -2.0, 6.0,
+            valinit=float(np.log2(max(app.oversampling, 0.25))),
+        )
+        self.oversampling.on_changed(self._guarded(
+            lambda v: app.set_oversampling(
+                2.0 ** float(v), dynamic=app.dynamic_oversampling
+            )
+        ))
+        ax = fig.add_axes([0.04, 0.77, 0.42, 0.115], frameon=False)
+        self.general_checks = CheckButtons(
+            ax, ["dynamic", "minimap", "invert colors"],
+            [app.dynamic_oversampling,
+             bool(getattr(app, "show_minimap", False)),
+             app.invert_colors],
+        )
+        self.general_checks.on_clicked(
+            self._guarded(self._on_general_check)
+        )
+
+        # --- contrast ------------------------------------------------
+        fig.text(0.04, 0.745, "Contrast", fontsize=9, color="0.35")
+        c = app.contrast or (None, None)
+        ax = fig.add_axes([0.30, 0.70, 0.16, 0.035])
+        self.min_density = TextBox(
+            ax, "min ", initial="" if c[0] is None else str(c[0])
+        )
+        ax = fig.add_axes([0.62, 0.70, 0.16, 0.035])
+        self.max_density = TextBox(
+            ax, "max ", initial="" if c[1] is None else str(c[1])
+        )
+        self.min_density.on_submit(self._guarded(self._on_contrast))
+        self.max_density.on_submit(self._guarded(self._on_contrast))
+        ax = fig.add_axes([0.04, 0.50, 0.30, 0.185], frameon=False)
+        cmaps = list(_COLORMAPS)
+        if app.colormap not in cmaps:
+            cmaps.insert(0, app.colormap)
+        self.colormap = RadioButtons(
+            ax, cmaps, active=cmaps.index(app.colormap)
+        )
+        self.colormap.on_clicked(self._guarded(app.set_colormap))
+
+        # --- blur ----------------------------------------------------
+        fig.text(0.44, 0.685, "Blur", fontsize=9, color="0.35")
+        ax = fig.add_axes([0.44, 0.50, 0.34, 0.175], frameon=False)
+        active = _BLUR_LABELS.index(
+            app.blur_method if app.blur_method is not None else "none"
+        )
+        self.blur = RadioButtons(ax, _BLUR_LABELS, active=active)
+        self.blur.on_clicked(self._guarded(
+            lambda lbl: app.set_blur(None if lbl == "none" else lbl)
+        ))
+        ax = fig.add_axes([0.55, 0.435, 0.23, 0.035])
+        self.min_blur = TextBox(
+            ax, "min blur (cam. px) ", initial=str(app.min_blur_width)
+        )
+        self.min_blur.on_submit(self._guarded(
+            lambda t: app.set_min_blur_width(_parse_float(t) or 0.0)
+        ))
+
+        # --- camera --------------------------------------------------
+        fig.text(0.04, 0.40, "Camera", fontsize=9, color="0.35")
+        from picasso_tpu import lib
+
+        px = lib.get_from_metadata(
+            app.info, "Pixelsize", default=130.0, raise_error=False
+        )
+        ax = fig.add_axes([0.55, 0.355, 0.23, 0.035])
+        self.pixelsize = TextBox(
+            ax, "pixel size (nm) ", initial=str(px)
+        )
+        self.pixelsize.on_submit(self._guarded(
+            lambda t: app.set_pixelsize(_parse_float(t) or px)
+        ))
+
+        # --- scale bar -----------------------------------------------
+        fig.text(0.04, 0.325, "Scale bar", fontsize=9, color="0.35")
+        ax = fig.add_axes([0.04, 0.19, 0.42, 0.115], frameon=False)
+        self.scalebar_checks = CheckButtons(
+            ax, ["show", "print length", "automatic length"],
+            [bool(getattr(app, "show_scalebar", False)),
+             bool(getattr(app, "scalebar_text", True)),
+             getattr(app, "scalebar_length_nm", None) is None],
+        )
+        self.scalebar_checks.on_clicked(
+            self._guarded(self._on_scalebar_check)
+        )
+        length = getattr(app, "scalebar_length_nm", None)
+        ax = fig.add_axes([0.62, 0.245, 0.20, 0.035])
+        self.scalebar_length = TextBox(
+            ax, "length (nm) ",
+            initial="" if length is None else str(length),
+        )
+        self.scalebar_length.on_submit(
+            self._guarded(self._on_scalebar_length)
+        )
+
+        # --- render by property ---------------------------------------
+        fig.text(0.04, 0.155, "Render properties", fontsize=9,
+                 color="0.35")
+        prop = getattr(app, "render_property", None) or {}
+        ax = fig.add_axes([0.22, 0.105, 0.22, 0.035])
+        self.prop_parameter = TextBox(
+            ax, "parameter ", initial=prop.get("parameter", "")
+        )
+        ax = fig.add_axes([0.56, 0.105, 0.10, 0.035])
+        self.prop_min = TextBox(
+            ax, "min ",
+            initial="" if prop.get("min_value") is None
+            else str(prop["min_value"]),
+        )
+        ax = fig.add_axes([0.76, 0.105, 0.10, 0.035])
+        self.prop_max = TextBox(
+            ax, "max ",
+            initial="" if prop.get("max_value") is None
+            else str(prop["max_value"]),
+        )
+        ax = fig.add_axes([0.22, 0.055, 0.10, 0.035])
+        self.prop_colors = TextBox(
+            ax, "colors ", initial=str(prop.get("n_colors", 32))
+        )
+        ax = fig.add_axes([0.44, 0.055, 0.16, 0.035])
+        self.prop_apply = Button(ax, "Render")
+        self.prop_apply.on_clicked(
+            self._guarded(lambda ev: self.apply_render_property())
+        )
+        ax = fig.add_axes([0.64, 0.055, 0.16, 0.035])
+        self.prop_clear = Button(ax, "Clear")
+        self.prop_clear.on_clicked(
+            self._guarded(lambda ev: self._clear_render_property())
+        )
+
+    # -- callbacks ----------------------------------------------------
+    def _on_general_check(self, _label):
+        dyn, minimap, invert = self.general_checks.get_status()
+        app = self.app
+        app.dynamic_oversampling = bool(dyn)
+        if bool(minimap) != bool(getattr(app, "show_minimap", False)):
+            app.set_minimap(minimap)
+        if bool(invert) != app.invert_colors:
+            app.set_invert_colors(invert)
+
+    def _on_contrast(self, _text):
+        self.app.set_contrast(
+            _parse_float(self.min_density.text),
+            _parse_float(self.max_density.text),
+        )
+
+    def _on_scalebar_length(self, text):
+        """Typing a length implies manual mode; clearing it implies
+        automatic — keep the checkbox consistent either way."""
+        length = _parse_float(text)
+        self.app.set_scalebar(length_nm=length)
+        want_auto = length is None
+        with self._no_callbacks():
+            if self.scalebar_checks.get_status()[2] != want_auto:
+                self.scalebar_checks.set_active(2)
+
+    def _on_scalebar_check(self, _label):
+        show, text, optimal = self.scalebar_checks.get_status()
+        self.app.set_scalebar(
+            show=show, text=text,
+            length_nm=None if optimal
+            else _parse_float(self.scalebar_length.text),
+        )
+
+    def apply_render_property(self):
+        """Apply the render-properties group (reference
+        activate_render_property, gui/render.py:10814)."""
+        param = self.prop_parameter.text.strip()
+        if not param:
+            self._clear_render_property()
+            return
+        n_colors = _parse_float(self.prop_colors.text) or 32
+        self.app.set_render_property(
+            param,
+            n_colors=int(n_colors),
+            min_value=_parse_float(self.prop_min.text),
+            max_value=_parse_float(self.prop_max.text),
+        )
+
+    def _clear_render_property(self):
+        self.app.clear_render_property()
+
+    # -- state refresh --------------------------------------------------
+    def sync(self):
+        """Refresh every widget from app state (after scripted
+        changes), without firing the control callbacks."""
+        app = self.app
+        with self._no_callbacks():
+            self.oversampling.set_val(
+                float(np.log2(max(app.oversampling, 0.25)))
+            )
+            want = [
+                app.dynamic_oversampling,
+                bool(getattr(app, "show_minimap", False)),
+                app.invert_colors,
+            ]
+            for i, (cur, tgt) in enumerate(
+                zip(self.general_checks.get_status(), want)
+            ):
+                if cur != tgt:
+                    self.general_checks.set_active(i)
+            c = app.contrast or (None, None)
+            self.min_density.set_val(
+                "" if c[0] is None else str(c[0])
+            )
+            self.max_density.set_val(
+                "" if c[1] is None else str(c[1])
+            )
+            labels = [t.get_text() for t in self.colormap.labels]
+            if app.colormap in labels:
+                self.colormap.set_active(
+                    labels.index(app.colormap)
+                )
+            self.blur.set_active(_BLUR_LABELS.index(
+                app.blur_method if app.blur_method is not None
+                else "none"
+            ))
+            self.min_blur.set_val(str(app.min_blur_width))
+            want = [
+                bool(getattr(app, "show_scalebar", False)),
+                bool(getattr(app, "scalebar_text", True)),
+                getattr(app, "scalebar_length_nm", None) is None,
+            ]
+            for i, (cur, tgt) in enumerate(
+                zip(self.scalebar_checks.get_status(), want)
+            ):
+                if cur != tgt:
+                    self.scalebar_checks.set_active(i)
+            length = getattr(app, "scalebar_length_nm", None)
+            self.scalebar_length.set_val(
+                "" if length is None else str(length)
+            )
+
+
+class ChannelsPanel(_Panel):
+    """DatasetDialog equivalent (reference gui/render.py:378): one row
+    per channel — visibility tick, color cycle, relative intensity —
+    plus the global legend toggle. Rebuilt on add/remove."""
+
+    MAX_ROWS = 8
+
+    def __init__(self, app):
+        super().__init__(app, "Channels", figsize=(5.2, 4.6))
+        self.rebuild()
+
+    def rebuild(self):
+        from matplotlib.widgets import Button, CheckButtons, Slider
+
+        fig = self.fig
+        fig.clear()
+        app = self.app
+        fig.text(0.04, 0.94, "Channels", fontsize=11,
+                 fontweight="bold")
+        ax = fig.add_axes([0.60, 0.90, 0.36, 0.07], frameon=False)
+        self.legend_check = CheckButtons(
+            ax, ["show legend"],
+            [bool(getattr(app, "show_legend", False))],
+        )
+        self.legend_check.on_clicked(self._guarded(
+            lambda _l: app.set_legend(
+                self.legend_check.get_status()[0]
+            )
+        ))
+        n = min(len(app.channels), self.MAX_ROWS)
+        self.visible_checks = None
+        self.color_buttons: list = []
+        self.intensity_sliders: list = []
+        if n:
+            labels = [
+                (ch.path or f"channel {i}").rsplit("/", 1)[-1][:24]
+                for i, ch in enumerate(app.channels[:n])
+            ]
+            ax = fig.add_axes(
+                [0.04, 0.86 - 0.085 * n, 0.40, 0.085 * n],
+                frameon=False,
+            )
+            self.visible_checks = CheckButtons(
+                ax, labels,
+                [bool(getattr(ch, "visible", True))
+                 for ch in app.channels[:n]],
+            )
+            self.visible_checks.on_clicked(
+                self._guarded(self._on_visible)
+            )
+            for i in range(n):
+                y = 0.86 - 0.085 * (i + 0.8)
+                bax = fig.add_axes([0.48, y, 0.12, 0.055])
+                btn = Button(bax, "color")
+                btn.on_clicked(self._guarded(
+                    lambda ev, i=i: self.cycle_color(i)
+                ))
+                self.color_buttons.append(btn)
+                sax = fig.add_axes([0.68, y + 0.012, 0.26, 0.03])
+                s = Slider(
+                    sax, "", 0.0, 2.0,
+                    valinit=float(
+                        getattr(
+                            app.channels[i], "relative_intensity", 1.0
+                        )
+                    ),
+                )
+                s.on_changed(self._guarded(
+                    lambda v, i=i: (
+                        app.set_channel_intensity(i, float(v)),
+                        app.redraw(),
+                    )
+                ))
+                self.intensity_sliders.append(s)
+        if len(app.channels) > self.MAX_ROWS:
+            fig.text(
+                0.04, 0.02,
+                f"... {len(app.channels) - self.MAX_ROWS} more "
+                "channels (use the scripting API)", fontsize=8,
+            )
+
+    def _on_visible(self, _label):
+        status = self.visible_checks.get_status()
+        for i, vis in enumerate(status):
+            self.app.set_channel_visible(i, bool(vis))
+        self.app.redraw()
+
+    def cycle_color(self, i: int):
+        """Advance channel ``i`` through the default color cycle
+        (DatasetDialog's per-channel color combo)."""
+        ch = self.app.channels[i]
+        cur = getattr(ch, "color", None)
+        try:
+            idx = _CHANNEL_COLORS.index(tuple(cur))
+        except (TypeError, ValueError):
+            idx = -1
+        nxt = _CHANNEL_COLORS[(idx + 1) % len(_CHANNEL_COLORS)]
+        self.app.set_channel_color(i, nxt)
+        self.app.redraw()
+
+
+class InfoPanel(_Panel):
+    """InfoDialog equivalent (reference gui/render.py:4295): display /
+    movie / localization statistics as text, with NeNA and FRC actions
+    that run the real analyses and append their results."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button
+
+        super().__init__(app, "Info", figsize=(5.2, 5.6))
+        fig = self.fig
+        fig.text(0.04, 0.95, "Info", fontsize=11, fontweight="bold")
+        self._text = fig.text(
+            0.04, 0.90, "", fontsize=8, family="monospace",
+            va="top",
+        )
+        ax = fig.add_axes([0.04, 0.04, 0.26, 0.06])
+        self.nena_button = Button(ax, "NeNA")
+        self.nena_button.on_clicked(
+            self._guarded(lambda ev: self.run_nena())
+        )
+        ax = fig.add_axes([0.37, 0.04, 0.26, 0.06])
+        self.frc_button = Button(ax, "FRC")
+        self.frc_button.on_clicked(
+            self._guarded(lambda ev: self.run_frc())
+        )
+        ax = fig.add_axes([0.70, 0.04, 0.26, 0.06])
+        self.refresh_button = Button(ax, "Refresh")
+        self.refresh_button.on_clicked(
+            self._guarded(lambda ev: self.refresh())
+        )
+        self.nena_result: dict | None = None
+        self.frc_result: dict | None = None
+        self.refresh()
+
+    def refresh(self):
+        info = self.app.show_info()
+        lines = [f"{k}: {v}" for k, v in info.items()]
+        if self.app.picks:
+            with contextlib.suppress(Exception):
+                pi = self.app.pick_info()
+                lines.append("")
+                lines += [f"picks.{k}: {v}" for k, v in pi.items()]
+        if self.nena_result is not None:
+            lines.append("")
+            lines.append(
+                "NeNA lp (px): "
+                f"{self.nena_result.get('lp', float('nan')):.4f}"
+            )
+        if self.frc_result is not None:
+            res = self.frc_result.get("resolution")
+            lines.append(
+                "FRC resolution (nm): "
+                + (f"{res:.1f}" if res is not None
+                   else "n/a (no 1/7 crossing)")
+            )
+        self._text.set_text("\n".join(lines))
+        self.fig.canvas.draw_idle()
+        return info
+
+    def run_nena(self) -> dict:
+        self.nena_result = self.app.calculate_nena()
+        self.refresh()
+        return self.nena_result
+
+    def run_frc(self) -> dict:
+        self.frc_result = self.app.calculate_frc()
+        self.refresh()
+        return self.frc_result

@@ -256,6 +256,55 @@ class RenderApp(_PluginHost):
         self.invert_colors = bool(invert)
         self.redraw()
 
+    def set_pixelsize(self, nm: float):
+        """Camera pixel size (DisplaySettingsDialog camera group,
+        reference gui/render.py:6030): written into every channel's
+        metadata chain so all nm conversions (blur widths, scalebar,
+        FRC/NeNA reporting) follow."""
+        nm = float(nm)
+        for ch in self.channels:
+            for entry in ch.info:
+                if isinstance(entry, dict) and "Pixelsize" in entry:
+                    entry["Pixelsize"] = nm
+                    break
+            else:
+                if ch.info and isinstance(ch.info[0], dict):
+                    ch.info[0]["Pixelsize"] = nm
+        self.redraw()
+
+    def set_scalebar(
+        self,
+        show: bool | None = None,
+        length_nm: float | None = ...,
+        text: bool | None = None,
+        optimal: bool | None = None,
+    ):
+        """Scale bar group of the display settings (reference
+        gui/render.py:6030): ``length_nm=None`` means automatic
+        (optimal) length; pass ``...`` to leave the length unchanged."""
+        if show is not None:
+            self.show_scalebar = bool(show)
+        if length_nm is not ...:
+            self.scalebar_length_nm = (
+                None if length_nm is None else float(length_nm)
+            )
+        if optimal is not None and optimal:
+            self.scalebar_length_nm = None
+        if text is not None:
+            self.scalebar_text = bool(text)
+        self.redraw()
+
+    def set_minimap(self, show: bool):
+        """Minimap checkbox (DisplaySettingsDialog general group)."""
+        self.show_minimap = bool(show)
+        self.redraw()
+
+    def set_legend(self, show: bool):
+        """Legend checkbox (DatasetDialog, reference
+        gui/render.py:378)."""
+        self.show_legend = bool(show)
+        self.redraw()
+
     def set_fast_render(self, fraction: float, seed: int = 0):
         """Display a random locs subsample while navigating
         (FastRenderDialog, gui/render.py:6519)."""
@@ -706,9 +755,9 @@ class RenderApp(_PluginHost):
         'Calculate' button, gui/render.py:4533)."""
         from picasso_tpu import postprocess
 
-        result = postprocess.nena(self.locs, self.info)
-        self.status(f"NeNA lp = {result['lp']:.4f} px")
-        return result
+        best_values, lp = postprocess.nena(self.locs, self.info)
+        self.status(f"NeNA lp = {lp:.4f} px")
+        return {"lp": float(lp), "best_values": best_values}
 
     # ------------------------------------------------------------------
     # slicer (SlicerDialog gui/render.py:6610)
@@ -1946,6 +1995,31 @@ class RenderApp(_PluginHost):
         from picasso_tpu.gui.viewers import FilterApp
 
         return FilterApp(self.locs, self.info)
+
+    def open_display_settings(self):
+        """Interactive display-settings panel (the reference's
+        DisplaySettingsDialog, gui/render.py:6030, as a
+        matplotlib-widgets figure)."""
+        from picasso_tpu.gui.panels import DisplaySettingsPanel
+
+        self.display_settings = DisplaySettingsPanel(self)
+        return self.display_settings
+
+    def open_channels_panel(self):
+        """Per-channel dataset panel (the reference's DatasetDialog,
+        gui/render.py:378)."""
+        from picasso_tpu.gui.panels import ChannelsPanel
+
+        self.channels_panel = ChannelsPanel(self)
+        return self.channels_panel
+
+    def open_info_panel(self):
+        """Info window with NeNA/FRC actions (the reference's
+        InfoDialog, gui/render.py:4295)."""
+        from picasso_tpu.gui.panels import InfoPanel
+
+        self.info_panel = InfoPanel(self)
+        return self.info_panel
 
     def molecular_mapping(self, **kwargs):
         """Postprocess > Molecular mapping (G5MDialog
