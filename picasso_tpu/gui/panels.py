@@ -16,7 +16,14 @@ import contextlib
 
 import numpy as np
 
-__all__ = ["DisplaySettingsPanel", "ChannelsPanel", "InfoPanel"]
+__all__ = [
+    "DisplaySettingsPanel",
+    "ChannelsPanel",
+    "InfoPanel",
+    "ToolsSettingsPanel",
+    "SlicerPanel",
+    "FastRenderPanel",
+]
 
 _COLORMAPS = ["hot", "gray", "viridis", "inferno", "magma", "plasma"]
 _BLUR_LABELS = [
@@ -499,3 +506,269 @@ class InfoPanel(_Panel):
         self.frc_result = self.app.calculate_frc()
         self.refresh()
         return self.frc_result
+
+
+class ToolsSettingsPanel(_Panel):
+    """ToolsSettingsDialog equivalent (reference gui/render.py:5688):
+    pick shape, the per-shape size field (circle diameter / rectangle
+    width / square side, camera px), pick annotation, and the
+    'pick similar' std range with its action button."""
+
+    _SHAPES = ("Circle", "Rectangle", "Polygon", "Square")
+
+    def __init__(self, app):
+        from matplotlib.widgets import (
+            Button, CheckButtons, RadioButtons, TextBox,
+        )
+
+        super().__init__(app, "Tools settings", figsize=(4.6, 4.6))
+        fig = self.fig
+        fig.text(0.04, 0.94, "Tools settings", fontsize=11,
+                 fontweight="bold")
+
+        fig.text(0.04, 0.88, "Pick shape", fontsize=9, color="0.35")
+        ax = fig.add_axes([0.04, 0.60, 0.38, 0.26], frameon=False)
+        self.shape = RadioButtons(
+            ax, self._SHAPES,
+            active=self._SHAPES.index(app.pick_shape),
+        )
+        self.shape.on_clicked(self._guarded(self._on_shape))
+
+        ax = fig.add_axes([0.62, 0.76, 0.30, 0.05])
+        self.size = TextBox(
+            ax, "size (px) ", initial=str(self._current_size())
+        )
+        self.size.on_submit(self._guarded(self._on_size))
+        self._size_note = fig.text(
+            0.62, 0.70, self._size_label(), fontsize=8, color="0.35"
+        )
+
+        ax = fig.add_axes([0.50, 0.52, 0.46, 0.10], frameon=False)
+        self.annotate = CheckButtons(
+            ax, ["annotate picks"],
+            [bool(getattr(app, "annotate_picks", False))],
+        )
+        self.annotate.on_clicked(self._guarded(self._on_annotate))
+
+        fig.text(0.04, 0.44, "Pick similar", fontsize=9, color="0.35")
+        ax = fig.add_axes([0.44, 0.33, 0.22, 0.06])
+        self.std_range = TextBox(ax, "std range ", initial="2.0")
+        ax = fig.add_axes([0.04, 0.18, 0.42, 0.08])
+        self.similar_button = Button(ax, "Pick similar")
+        self.similar_button.on_clicked(
+            self._guarded(lambda ev: self.run_pick_similar())
+        )
+        ax = fig.add_axes([0.54, 0.18, 0.42, 0.08])
+        self.clear_button = Button(ax, "Clear picks")
+        self.clear_button.on_clicked(
+            self._guarded(lambda ev: app.clear_picks())
+        )
+        self._status = fig.text(0.04, 0.06, "", fontsize=8)
+
+    def _size_label(self) -> str:
+        return {
+            "Circle": "diameter",
+            "Rectangle": "width",
+            "Square": "side",
+            "Polygon": "(no size: click vertices)",
+        }[self.app.pick_shape]
+
+    def _current_size(self) -> float:
+        app = self.app
+        return {
+            "Circle": app.pick_diameter,
+            "Rectangle": app.pick_width,
+            "Square": app.pick_side,
+            "Polygon": 0.0,
+        }[app.pick_shape]
+
+    # -- callbacks ----------------------------------------------------
+    def _on_shape(self, label):
+        self.app.set_pick_shape(label)
+        with self._no_callbacks():
+            self.size.set_val(str(self._current_size()))
+        self._size_note.set_text(self._size_label())
+        self.fig.canvas.draw_idle()
+
+    def _on_size(self, text):
+        size = _parse_float(text)
+        if size is None or size <= 0:
+            return
+        app = self.app
+        if app.pick_shape == "Circle":
+            app.pick_diameter = size
+        elif app.pick_shape == "Rectangle":
+            app.pick_width = size
+        elif app.pick_shape == "Square":
+            app.pick_side = size
+        app.redraw()
+
+    def _on_annotate(self, _label):
+        self.app.annotate_picks = self.annotate.get_status()[0]
+        self.app.redraw()
+
+    def run_pick_similar(self) -> int:
+        """Reference 'Pick similar' tool (gui/render.py:11904):
+        expands the pick set to all regions statistically like the
+        current picks; returns the new pick count."""
+        std = _parse_float(self.std_range.text) or 2.0
+        self.app.pick_similar(std_range=std)
+        n = len(self.app.picks)
+        self._status.set_text(f"{n} picks")
+        self.fig.canvas.draw_idle()
+        return n
+
+    def sync(self):
+        app = self.app
+        with self._no_callbacks():
+            self.shape.set_active(self._SHAPES.index(app.pick_shape))
+            self.size.set_val(str(self._current_size()))
+            if (
+                self.annotate.get_status()[0]
+                != bool(getattr(app, "annotate_picks", False))
+            ):
+                self.annotate.set_active(0)
+        self._size_note.set_text(self._size_label())
+
+
+class SlicerPanel(_Panel):
+    """SlicerDialog equivalent (reference gui/render.py:6610): z
+    histogram with the active slab shaded, thickness field, slice
+    slider, prev/next steppers and PNG stack export. Requires 3D locs
+    (a ``z`` column), like the reference dialog."""
+
+    def __init__(self, app, thickness_nm: float = 50.0):
+        from matplotlib.widgets import Button, Slider, TextBox
+
+        super().__init__(app, "Slicer", figsize=(5.2, 4.2))
+        if "z" not in app.locs.columns:
+            self.close()
+            raise ValueError(
+                "Slicer requires 3D locs (a 'z' column)."
+            )
+        if not app.slicer_on:
+            app.start_slicer(thickness_nm=thickness_nm)
+        fig = self.fig
+        fig.text(0.04, 0.93, "Slicer", fontsize=11, fontweight="bold")
+
+        self.hist_ax = fig.add_axes([0.12, 0.52, 0.82, 0.36])
+        self._span = None
+        self._draw_histogram()
+
+        ax = fig.add_axes([0.36, 0.38, 0.24, 0.06])
+        self.thickness = TextBox(
+            ax, "thickness (nm) ", initial=str(app.slice_thickness)
+        )
+        self.thickness.on_submit(self._guarded(self._on_thickness))
+
+        ax = fig.add_axes([0.12, 0.26, 0.70, 0.05])
+        self.position = Slider(
+            ax, "slice", 0, max(app.n_slices() - 1, 1),
+            valinit=app.slice_position, valstep=1,
+        )
+        self.position.on_changed(self._guarded(
+            lambda v: self._set_slice(int(v))
+        ))
+
+        ax = fig.add_axes([0.12, 0.12, 0.14, 0.08])
+        self.prev_button = Button(ax, "prev")
+        self.prev_button.on_clicked(self._guarded(
+            lambda ev: self._set_slice(self.app.slice_position - 1)
+        ))
+        ax = fig.add_axes([0.30, 0.12, 0.14, 0.08])
+        self.next_button = Button(ax, "next")
+        self.next_button.on_clicked(self._guarded(
+            lambda ev: self._set_slice(self.app.slice_position + 1)
+        ))
+        ax = fig.add_axes([0.52, 0.12, 0.20, 0.08])
+        self.stop_button = Button(ax, "full view")
+        self.stop_button.on_clicked(self._guarded(
+            lambda ev: self.app.stop_slicer()
+        ))
+        self._range_text = fig.text(0.04, 0.03, "", fontsize=8)
+        self._update_range_text()
+
+    def _draw_histogram(self):
+        ax = self.hist_ax
+        ax.clear()
+        z = self.app.locs["z"].to_numpy()
+        ax.hist(z, bins=min(100, max(10, z.size // 50)),
+                color="0.6")
+        ax.set_xlabel("z (nm)", fontsize=8)
+        ax.tick_params(labelsize=7)
+        lo, hi = self.app.slice_range()
+        self._span = ax.axvspan(lo, hi, color="C0", alpha=0.35)
+        self.fig.canvas.draw_idle()
+
+    def _update_range_text(self):
+        lo, hi = self.app.slice_range()
+        self._range_text.set_text(
+            f"slice {self.app.slice_position + 1}/"
+            f"{self.app.n_slices()}: z in [{lo:.1f}, {hi:.1f}) nm"
+        )
+
+    def _set_slice(self, position: int):
+        self.app.set_slice(position)
+        self.sync()
+
+    def _on_thickness(self, text):
+        t = _parse_float(text)
+        if t is None or t <= 0:
+            return
+        self.app.start_slicer(thickness_nm=t)
+        with self._no_callbacks():
+            self.position.valmax = max(self.app.n_slices() - 1, 1)
+            self.position.ax.set_xlim(0, self.position.valmax)
+        self.sync()
+
+    def export_stack(self, basepath: str) -> list[str]:
+        """Write one PNG per z slice (reference
+        SlicerDialog.export_stack, gui/render.py:6855)."""
+        return self.app.export_slices(basepath)
+
+    def sync(self):
+        app = self.app
+        with self._no_callbacks():
+            self.position.set_val(app.slice_position)
+            self.thickness.set_val(str(app.slice_thickness))
+        self._draw_histogram()
+        self._update_range_text()
+
+
+class FastRenderPanel(_Panel):
+    """FastRenderDialog equivalent (reference gui/render.py:6519):
+    display a random locs fraction while navigating. The slider sets
+    the kept fraction; 100% restores the full set."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, Slider
+
+        super().__init__(app, "Fast render", figsize=(4.6, 1.8))
+        fig = self.fig
+        fig.text(0.04, 0.82, "Fast render", fontsize=11,
+                 fontweight="bold")
+        ax = fig.add_axes([0.24, 0.45, 0.60, 0.16])
+        self.fraction = Slider(
+            ax, "fraction ", 0.01, 1.0,
+            valinit=float(
+                getattr(app, "fast_render_fraction", 1.0)
+            ),
+        )
+        self.fraction.on_changed(self._guarded(
+            lambda v: app.set_fast_render(float(v))
+        ))
+        ax = fig.add_axes([0.24, 0.08, 0.30, 0.22])
+        self.reset_button = Button(ax, "show all")
+        self.reset_button.on_clicked(
+            self._guarded(lambda ev: self._reset())
+        )
+
+    def _reset(self):
+        self.app.set_fast_render(1.0)
+        self.sync()
+
+    def sync(self):
+        with self._no_callbacks():
+            self.fraction.set_val(float(
+                getattr(self.app, "fast_render_fraction", 1.0)
+            ))

@@ -2021,6 +2021,32 @@ class RenderApp(_PluginHost):
         self.info_panel = InfoPanel(self)
         return self.info_panel
 
+    def open_tools_settings(self):
+        """Pick-tool settings panel (the reference's
+        ToolsSettingsDialog, gui/render.py:5688)."""
+        from picasso_tpu.gui.panels import ToolsSettingsPanel
+
+        self.tools_settings = ToolsSettingsPanel(self)
+        return self.tools_settings
+
+    def open_slicer_panel(self, thickness_nm: float = 50.0):
+        """Interactive z-slicer panel (the reference's SlicerDialog,
+        gui/render.py:6610). Starts the slicer if it isn't running."""
+        from picasso_tpu.gui.panels import SlicerPanel
+
+        self.slicer_panel = SlicerPanel(
+            self, thickness_nm=thickness_nm
+        )
+        return self.slicer_panel
+
+    def open_fast_render_panel(self):
+        """Fast-render subsampling panel (the reference's
+        FastRenderDialog, gui/render.py:6519)."""
+        from picasso_tpu.gui.panels import FastRenderPanel
+
+        self.fast_render_panel = FastRenderPanel(self)
+        return self.fast_render_panel
+
     def molecular_mapping(self, **kwargs):
         """Postprocess > Molecular mapping (G5MDialog
         gui/render.py:2887): per-cluster Gaussian-mixture fitting of

@@ -187,3 +187,126 @@ class TestInfoPanel:
         result = panel.run_frc()
         assert "resolution" in result
         assert "FRC" in panel._text.get_text()
+
+
+class TestToolsSettingsPanel:
+    def test_shape_radio_and_size_field(self, app):
+        panel = app.open_tools_settings()
+        panel.shape.set_active(1)  # Rectangle
+        assert app.pick_shape == "Rectangle"
+        panel.size.set_val("2.5")
+        assert app.pick_width == pytest.approx(2.5)
+        panel.shape.set_active(0)  # Circle
+        assert app.pick_shape == "Circle"
+        panel.size.set_val("3.0")
+        assert app.pick_diameter == pytest.approx(3.0)
+        # changing shape must refresh the size field from app state
+        panel.shape.set_active(3)  # Square
+        assert panel.size.text == str(app.pick_side)
+
+    def test_annotate_checkbox(self, app):
+        panel = app.open_tools_settings()
+        panel.annotate.set_active(0)
+        assert app.annotate_picks is True
+
+    def test_invalid_size_ignored(self, app):
+        panel = app.open_tools_settings()
+        before = app.pick_diameter
+        panel.size.set_val("-1")
+        assert app.pick_diameter == before
+        panel.size.set_val("junk")
+        assert app.pick_diameter == before
+
+    def test_pick_similar_and_clear(self, app):
+        # several seed picks: with one pick both stds are 0 and the
+        # match window degenerates to exact equality (same as the
+        # reference, picasso/postprocess.py:553-556)
+        app.pick_diameter = 3.0
+        for p in [(10.0, 10.0), (16.0, 16.0), (22.0, 22.0)]:
+            app.add_pick(p)
+        panel = app.open_tools_settings()
+        panel.std_range.set_val("3.0")
+        n = panel.run_pick_similar()
+        assert n >= 1
+        assert n == len(app.picks)
+        panel.clear_button.on_clicked  # exists
+        app.clear_picks()
+        panel.sync()
+        assert panel.shape.value_selected == app.pick_shape
+
+
+def _locs_3d(n=3000, seed=3):
+    locs = _locs(n, seed)
+    rng = np.random.default_rng(seed + 1)
+    locs["z"] = rng.uniform(-200, 200, n).astype(np.float32)
+    return locs
+
+
+class TestSlicerPanel:
+    @pytest.fixture
+    def app3d(self):
+        a = gui.RenderApp(_locs_3d(), [dict(d) for d in INFO])
+        yield a
+        a.close()
+
+    def test_requires_z(self, app):
+        with pytest.raises(ValueError, match="z"):
+            app.open_slicer_panel()
+
+    def test_slider_moves_slab(self, app3d):
+        panel = app3d.open_slicer_panel(thickness_nm=100.0)
+        assert app3d.slicer_on
+        n = app3d.n_slices()
+        assert n == panel.position.valmax + 1 or n >= 2
+        panel.position.set_val(1)
+        assert app3d.slice_position == 1
+        lo, hi = app3d.slice_range()
+        assert hi - lo == pytest.approx(100.0)
+
+    def test_prev_next_and_stop(self, app3d):
+        panel = app3d.open_slicer_panel(thickness_nm=100.0)
+        panel._set_slice(0)
+        panel.next_button.on_clicked  # widget exists
+        panel._set_slice(app3d.slice_position + 1)
+        assert app3d.slice_position == 1
+        panel._set_slice(app3d.slice_position - 1)
+        assert app3d.slice_position == 0
+        app3d.stop_slicer()
+        assert not app3d.slicer_on
+
+    def test_thickness_resizes_slider(self, app3d):
+        panel = app3d.open_slicer_panel(thickness_nm=100.0)
+        n_before = app3d.n_slices()
+        panel.thickness.set_val("50")
+        assert app3d.slice_thickness == 50.0
+        assert app3d.n_slices() >= n_before
+        assert panel.position.valmax == max(
+            app3d.n_slices() - 1, 1
+        )
+
+    def test_export_stack(self, app3d, tmp_path):
+        panel = app3d.open_slicer_panel(thickness_nm=200.0)
+        paths = panel.export_stack(str(tmp_path / "stack"))
+        assert len(paths) == app3d.n_slices()
+        import os
+
+        assert all(os.path.exists(p) for p in paths)
+
+
+class TestFastRenderPanel:
+    def test_fraction_slider(self, app):
+        panel = app.open_fast_render_panel()
+        panel.fraction.set_val(0.25)
+        assert app.fast_render_fraction == pytest.approx(0.25)
+        assert len(app._fast_render_masks) == len(app.channels)
+        shown = app._visible_locs()
+        assert 0 < len(shown) < len(app.locs)
+
+    def test_show_all_resets(self, app):
+        panel = app.open_fast_render_panel()
+        panel.fraction.set_val(0.25)
+        panel._reset()
+        assert app.fast_render_fraction == 1.0
+        assert len(app._visible_locs()) == len(app.locs)
+        panel.sync()
+        assert panel.fraction.val == pytest.approx(1.0)
