@@ -23,6 +23,9 @@ __all__ = [
     "ToolsSettingsPanel",
     "SlicerPanel",
     "FastRenderPanel",
+    "UndriftPanel",
+    "ClusterPanel",
+    "MaskPanel",
 ]
 
 _COLORMAPS = ["hot", "gray", "viridis", "inferno", "magma", "plasma"]
@@ -772,3 +775,274 @@ class FastRenderPanel(_Panel):
             self.fraction.set_val(float(
                 getattr(self.app, "fast_render_fraction", 1.0)
             ))
+
+
+class UndriftPanel(_Panel):
+    """Undrift controls (the reference's Postprocess menu +
+    AIMDialog, gui/render.py:2222, and DriftPlotWindow :4141): RCC
+    segmentation, AIM parameters, undrift-from-picked, undo, and the
+    drift curve drawn into the panel after each run."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, TextBox
+
+        super().__init__(app, "Undrift", figsize=(5.2, 5.0))
+        fig = self.fig
+        fig.text(0.04, 0.94, "Undrift", fontsize=11,
+                 fontweight="bold")
+
+        ax = fig.add_axes([0.40, 0.84, 0.18, 0.05])
+        self.segmentation = TextBox(ax, "segmentation ", initial="200")
+        ax = fig.add_axes([0.66, 0.84, 0.28, 0.06])
+        self.rcc_button = Button(ax, "RCC")
+        self.rcc_button.on_clicked(
+            self._guarded(lambda ev: self.run_rcc())
+        )
+
+        ax = fig.add_axes([0.40, 0.74, 0.18, 0.05])
+        self.intersect_d = TextBox(ax, "intersect (nm) ", initial="20")
+        ax = fig.add_axes([0.40, 0.66, 0.18, 0.05])
+        self.roi_r = TextBox(ax, "ROI r (nm) ", initial="60")
+        ax = fig.add_axes([0.66, 0.68, 0.28, 0.06])
+        self.aim_button = Button(ax, "AIM")
+        self.aim_button.on_clicked(
+            self._guarded(lambda ev: self.run_aim())
+        )
+
+        ax = fig.add_axes([0.04, 0.56, 0.42, 0.06])
+        self.picked_button = Button(ax, "from picked")
+        self.picked_button.on_clicked(
+            self._guarded(lambda ev: self.run_from_picked())
+        )
+        ax = fig.add_axes([0.52, 0.56, 0.42, 0.06])
+        self.undo_button = Button(ax, "undo drift")
+        self.undo_button.on_clicked(
+            self._guarded(lambda ev: self._undo())
+        )
+
+        self.drift_ax = fig.add_axes([0.12, 0.10, 0.82, 0.38])
+        self._status = fig.text(0.04, 0.02, "", fontsize=8)
+        self._plot_drift()
+
+    def _seg(self) -> int:
+        return int(_parse_float(self.segmentation.text) or 200)
+
+    def run_rcc(self):
+        drift = self.app.undrift_rcc(segmentation=self._seg())
+        self._after(drift, "RCC")
+        return drift
+
+    def run_aim(self):
+        drift = self.app.undrift_aim(
+            segmentation=self._seg(),
+            intersect_d_nm=_parse_float(self.intersect_d.text) or 20.0,
+            roi_r_nm=_parse_float(self.roi_r.text) or 60.0,
+        )
+        self._after(drift, "AIM")
+        return drift
+
+    def run_from_picked(self):
+        drift = self.app.undrift_from_picked()
+        self._after(drift, "from picked")
+        return drift
+
+    def _undo(self):
+        self.app.undo_drift()
+        self._status.set_text("drift undone")
+        self._plot_drift()
+
+    def _after(self, drift, label: str):
+        n = len(drift) if drift is not None else 0
+        self._status.set_text(f"undrift {label}: {n} frames")
+        self._plot_drift()
+
+    def _plot_drift(self):
+        ax = self.drift_ax
+        ax.clear()
+        drift = self.app.channel.drift
+        if drift is None:
+            ax.text(0.5, 0.5, "no drift computed",
+                    ha="center", va="center", fontsize=8,
+                    transform=ax.transAxes)
+        else:
+            # drift is a DataFrame with x/y(/z) columns
+            # (postprocess.undrift); recarrays work the same way
+            names = (
+                drift.columns if hasattr(drift, "columns")
+                else drift.dtype.names
+            )
+            for name in names:
+                ax.plot(np.asarray(drift[name]), label=name, lw=0.8)
+            ax.legend(fontsize=7)
+            ax.set_xlabel("frame", fontsize=8)
+            ax.set_ylabel("drift (px)", fontsize=8)
+        ax.tick_params(labelsize=7)
+        self.fig.canvas.draw_idle()
+
+    def sync(self):
+        self._plot_drift()
+
+
+class ClusterPanel(_Panel):
+    """Clustering dialogs rolled into one panel (the reference's
+    DbscanDialog gui/render.py:2308, HdbscanDialog :2556, SMLMDialog
+    :2734): pick the algorithm, edit its parameters, run on the
+    active channel. The parameter rows mirror each dialog's fields;
+    only the selected algorithm's values are read on Run."""
+
+    _ALGOS = ("smlm", "dbscan", "hdbscan")
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, RadioButtons, TextBox
+
+        super().__init__(app, "Clustering", figsize=(5.2, 4.6))
+        fig = self.fig
+        fig.text(0.04, 0.94, "Clustering", fontsize=11,
+                 fontweight="bold")
+        ax = fig.add_axes([0.04, 0.62, 0.30, 0.24], frameon=False)
+        self.algo = RadioButtons(ax, self._ALGOS, active=0)
+
+        # SMLM clusterer row
+        fig.text(0.40, 0.84, "smlm", fontsize=8, color="0.35")
+        ax = fig.add_axes([0.62, 0.80, 0.14, 0.05])
+        self.radius_xy = TextBox(ax, "radius xy (px) ", initial="0.3")
+        ax = fig.add_axes([0.84, 0.80, 0.12, 0.05])
+        self.min_locs = TextBox(ax, "min locs ", initial="10")
+
+        # DBSCAN row
+        fig.text(0.40, 0.72, "dbscan", fontsize=8, color="0.35")
+        ax = fig.add_axes([0.62, 0.68, 0.14, 0.05])
+        self.radius = TextBox(ax, "radius (px) ", initial="0.3")
+        ax = fig.add_axes([0.84, 0.68, 0.12, 0.05])
+        self.min_density = TextBox(ax, "min density ", initial="4")
+
+        # HDBSCAN row
+        fig.text(0.40, 0.60, "hdbscan", fontsize=8, color="0.35")
+        ax = fig.add_axes([0.62, 0.56, 0.14, 0.05])
+        self.min_cluster = TextBox(ax, "min cluster ", initial="10")
+        ax = fig.add_axes([0.84, 0.56, 0.12, 0.05])
+        self.min_samples = TextBox(ax, "min samples ", initial="10")
+
+        ax = fig.add_axes([0.04, 0.34, 0.42, 0.08])
+        self.run_button = Button(ax, "Run")
+        self.run_button.on_clicked(
+            self._guarded(lambda ev: self.run())
+        )
+        ax = fig.add_axes([0.54, 0.34, 0.42, 0.08])
+        self.undo_button = Button(ax, "Undo")
+        self.undo_button.on_clicked(
+            self._guarded(lambda ev: self._undo())
+        )
+        self._status = fig.text(0.04, 0.22, "", fontsize=8)
+
+    def run(self) -> int:
+        """Cluster the active channel with the selected algorithm;
+        returns the cluster count (the dialogs' OK action)."""
+        algo = self.algo.value_selected
+        app = self.app
+        if algo == "smlm":
+            n = app.smlm_clusterer(
+                radius_xy=_parse_float(self.radius_xy.text) or 0.3,
+                min_locs=int(_parse_float(self.min_locs.text) or 10),
+            )
+        elif algo == "dbscan":
+            n = app.dbscan(
+                radius=_parse_float(self.radius.text) or 0.3,
+                min_density=int(
+                    _parse_float(self.min_density.text) or 4
+                ),
+            )
+        else:
+            n = app.hdbscan(
+                min_cluster_size=int(
+                    _parse_float(self.min_cluster.text) or 10
+                ),
+                min_samples=int(
+                    _parse_float(self.min_samples.text) or 10
+                ),
+            )
+        self._status.set_text(f"{algo}: {n} clusters")
+        self.fig.canvas.draw_idle()
+        return n
+
+    def _undo(self):
+        label = self.app.undo()
+        self._status.set_text(f"undid: {label}" if label else "")
+        self.fig.canvas.draw_idle()
+
+
+class MaskPanel(_Panel):
+    """MaskSettingsDialog equivalent (reference gui/render.py:4992):
+    threshold method, mask render pixel size and blur, preview the
+    binary mask, and apply it keeping the locs inside or outside."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, RadioButtons, TextBox
+
+        from picasso_tpu import masking
+
+        super().__init__(app, "Mask image", figsize=(5.2, 5.2))
+        fig = self.fig
+        fig.text(0.04, 0.94, "Mask image", fontsize=11,
+                 fontweight="bold")
+        ax = fig.add_axes([0.04, 0.42, 0.34, 0.46], frameon=False)
+        self.method = RadioButtons(
+            ax, list(masking.THRESHOLD_METHODS),
+            active=list(masking.THRESHOLD_METHODS).index("otsu"),
+        )
+        ax = fig.add_axes([0.70, 0.82, 0.20, 0.05])
+        self.disp_px = TextBox(ax, "mask px (nm) ", initial="200")
+        ax = fig.add_axes([0.70, 0.74, 0.20, 0.05])
+        self.blur = TextBox(ax, "blur (nm) ", initial="500")
+
+        self.mask_ax = fig.add_axes([0.46, 0.34, 0.48, 0.36])
+        self.mask_ax.set_axis_off()
+
+        ax = fig.add_axes([0.04, 0.20, 0.28, 0.08])
+        self.preview_button = Button(ax, "Preview")
+        self.preview_button.on_clicked(
+            self._guarded(lambda ev: self.preview())
+        )
+        ax = fig.add_axes([0.36, 0.20, 0.28, 0.08])
+        self.keep_in_button = Button(ax, "Keep inside")
+        self.keep_in_button.on_clicked(
+            self._guarded(lambda ev: self.apply("in"))
+        )
+        ax = fig.add_axes([0.68, 0.20, 0.28, 0.08])
+        self.keep_out_button = Button(ax, "Keep outside")
+        self.keep_out_button.on_clicked(
+            self._guarded(lambda ev: self.apply("out"))
+        )
+        self._status = fig.text(0.04, 0.08, "", fontsize=8)
+        self.last_mask = None
+
+    def _kwargs(self) -> dict:
+        return {
+            "method": self.method.value_selected,
+            "disp_px_size": _parse_float(self.disp_px.text) or 200.0,
+            "blur": _parse_float(self.blur.text) or 500.0,
+        }
+
+    def preview(self):
+        mask, locs_in, locs_out = self.app.mask_image(**self._kwargs())
+        self.last_mask = mask
+        self.mask_ax.clear()
+        self.mask_ax.imshow(mask, cmap="gray", origin="lower")
+        self.mask_ax.set_axis_off()
+        self._status.set_text(
+            f"{len(locs_in)} in / {len(locs_out)} out"
+        )
+        self.fig.canvas.draw_idle()
+        return mask
+
+    def apply(self, keep: str = "in"):
+        """Split the channel by the mask (MaskSettingsDialog's save
+        actions write locs_in/locs_out; here the kept side replaces
+        the channel, with undo)."""
+        mask = self.app.apply_mask(keep=keep, **self._kwargs())
+        self.last_mask = mask
+        self._status.set_text(
+            f"kept {keep}: {len(self.app.locs)} locs"
+        )
+        self.fig.canvas.draw_idle()
+        return mask

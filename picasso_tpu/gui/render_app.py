@@ -2047,6 +2047,31 @@ class RenderApp(_PluginHost):
         self.fast_render_panel = FastRenderPanel(self)
         return self.fast_render_panel
 
+    def open_undrift_panel(self):
+        """Undrift controls + drift plot (the reference's Postprocess
+        menu with AIMDialog gui/render.py:2222 and DriftPlotWindow
+        :4141)."""
+        from picasso_tpu.gui.panels import UndriftPanel
+
+        self.undrift_panel = UndriftPanel(self)
+        return self.undrift_panel
+
+    def open_cluster_panel(self):
+        """Clustering panel (the reference's DbscanDialog
+        gui/render.py:2308, HdbscanDialog :2556, SMLMDialog :2734)."""
+        from picasso_tpu.gui.panels import ClusterPanel
+
+        self.cluster_panel = ClusterPanel(self)
+        return self.cluster_panel
+
+    def open_mask_panel(self):
+        """Mask-image panel (the reference's MaskSettingsDialog,
+        gui/render.py:4992)."""
+        from picasso_tpu.gui.panels import MaskPanel
+
+        self.mask_panel = MaskPanel(self)
+        return self.mask_panel
+
     def molecular_mapping(self, **kwargs):
         """Postprocess > Molecular mapping (G5MDialog
         gui/render.py:2887): per-cluster Gaussian-mixture fitting of

@@ -293,6 +293,92 @@ class TestSlicerPanel:
         assert all(os.path.exists(p) for p in paths)
 
 
+class TestUndriftPanel:
+    def test_rcc_runs_and_plots(self, app):
+        panel = app.open_undrift_panel()
+        panel.segmentation.set_val("20")
+        drift = panel.run_rcc()
+        assert app.channel.drift is not None
+        assert len(drift) == 100  # one row per frame
+        # drift curve got drawn
+        assert panel.drift_ax.lines
+        assert "RCC" in panel._status.get_text()
+
+    def test_undo_clears_drift(self, app):
+        panel = app.open_undrift_panel()
+        panel.segmentation.set_val("20")
+        panel.run_rcc()
+        panel._undo()
+        assert app.channel.drift is None
+        assert not panel.drift_ax.lines
+
+    def test_no_drift_placeholder(self, app):
+        panel = app.open_undrift_panel()
+        assert not panel.drift_ax.lines  # placeholder text only
+
+
+class TestClusterPanel:
+    def test_smlm_run(self, app):
+        panel = app.open_cluster_panel()
+        panel.radius_xy.set_val("0.5")
+        panel.min_locs.set_val("2")
+        n = panel.run()
+        assert n >= 1
+        assert "group" in app.locs.columns
+        assert "smlm" in panel._status.get_text()
+
+    def test_dbscan_and_undo(self, app):
+        panel = app.open_cluster_panel()
+        panel.algo.set_active(1)  # dbscan
+        panel.radius.set_val("0.5")
+        panel.min_density.set_val("2")
+        before = len(app.locs)
+        n = panel.run()
+        assert n >= 1
+        panel._undo()
+        assert len(app.locs) == before
+        assert "group" not in app.locs.columns
+
+    def test_hdbscan_run(self, app):
+        panel = app.open_cluster_panel()
+        panel.algo.set_active(2)  # hdbscan
+        panel.min_cluster.set_val("3")
+        panel.min_samples.set_val("3")
+        n = panel.run()
+        assert n >= 1
+        assert "group" in app.locs.columns
+
+
+class TestMaskPanel:
+    def test_preview(self, app):
+        panel = app.open_mask_panel()
+        mask = panel.preview()
+        assert mask.dtype == bool or set(
+            np.unique(mask)
+        ) <= {0, 1}
+        assert panel.last_mask is not None
+        assert "in /" in panel._status.get_text()
+
+    def test_apply_splits_channel(self, app):
+        panel = app.open_mask_panel()
+        before = len(app.locs)
+        panel.apply("in")
+        kept_in = len(app.locs)
+        assert 0 < kept_in <= before
+        app.undo()
+        assert len(app.locs) == before
+        panel.apply("out")
+        assert len(app.locs) == before - kept_in
+
+    def test_method_radio(self, app):
+        panel = app.open_mask_panel()
+        labels = [t.get_text() for t in panel.method.labels]
+        panel.method.set_active(labels.index("mean"))
+        assert panel._kwargs()["method"] == "mean"
+        mask = panel.preview()
+        assert mask is not None
+
+
 class TestFastRenderPanel:
     def test_fraction_slider(self, app):
         panel = app.open_fast_render_panel()
