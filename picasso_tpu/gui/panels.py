@@ -26,6 +26,9 @@ __all__ = [
     "UndriftPanel",
     "ClusterPanel",
     "MaskPanel",
+    "ApplyPanel",
+    "LinkPanel",
+    "ChangeFOVPanel",
 ]
 
 _COLORMAPS = ["hot", "gray", "viridis", "inferno", "magma", "plasma"]
@@ -1046,3 +1049,152 @@ class MaskPanel(_Panel):
         )
         self.fig.canvas.draw_idle()
         return mask
+
+
+class ApplyPanel(_Panel):
+    """ApplyDialog equivalent (reference gui/render.py:274): a
+    one-line expression over the localization columns (``x += 10``,
+    ``flip x y``, ``spiral 2 3``, ...), with the command history
+    shown and undo."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, TextBox
+
+        super().__init__(app, "Apply expression", figsize=(5.2, 2.6))
+        fig = self.fig
+        fig.text(0.04, 0.88, "Apply expression", fontsize=11,
+                 fontweight="bold")
+        ax = fig.add_axes([0.14, 0.60, 0.82, 0.12])
+        self.expression = TextBox(ax, "cmd ", initial="")
+        self.expression.on_submit(self._guarded(self._on_submit))
+        ax = fig.add_axes([0.04, 0.36, 0.28, 0.16])
+        self.apply_button = Button(ax, "Apply")
+        self.apply_button.on_clicked(self._guarded(
+            lambda ev: self._on_submit(self.expression.text)
+        ))
+        ax = fig.add_axes([0.38, 0.36, 0.28, 0.16])
+        self.undo_button = Button(ax, "Undo")
+        self.undo_button.on_clicked(
+            self._guarded(lambda ev: self._undo())
+        )
+        self.history: list[str] = []
+        self._history_text = fig.text(
+            0.04, 0.26, "", fontsize=8, family="monospace", va="top"
+        )
+
+    def _on_submit(self, text):
+        cmd = text.strip()
+        if not cmd:
+            return
+        self.app.apply_expression(cmd)
+        self.history.append(cmd)
+        self._show_history()
+
+    def _undo(self):
+        label = self.app.undo()
+        if label and self.history:
+            self.history.pop()
+        self._show_history()
+
+    def _show_history(self):
+        self._history_text.set_text(
+            "\n".join(self.history[-3:])
+        )
+        self.fig.canvas.draw_idle()
+
+
+class LinkPanel(_Panel):
+    """LinkDialog equivalent (reference gui/render.py:2663): link
+    localizations persisting across consecutive frames within a
+    radius, tolerating dark gaps."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, TextBox
+
+        super().__init__(app, "Link", figsize=(4.6, 2.4))
+        fig = self.fig
+        fig.text(0.04, 0.86, "Link localizations", fontsize=11,
+                 fontweight="bold")
+        ax = fig.add_axes([0.50, 0.58, 0.20, 0.14])
+        self.r_max = TextBox(ax, "max distance (px) ", initial="0.05")
+        ax = fig.add_axes([0.50, 0.38, 0.20, 0.14])
+        self.max_dark = TextBox(
+            ax, "max dark frames ", initial="1"
+        )
+        ax = fig.add_axes([0.04, 0.08, 0.36, 0.20])
+        self.link_button = Button(ax, "Link")
+        self.link_button.on_clicked(
+            self._guarded(lambda ev: self.run())
+        )
+        ax = fig.add_axes([0.48, 0.08, 0.36, 0.20])
+        self.undo_button = Button(ax, "Undo")
+        self.undo_button.on_clicked(
+            self._guarded(lambda ev: self.app.undo())
+        )
+        self._status = fig.text(0.75, 0.14, "", fontsize=8)
+
+    def run(self) -> int:
+        before = len(self.app.locs)
+        self.app.link(
+            r_max=_parse_float(self.r_max.text) or 0.05,
+            max_dark_time=int(_parse_float(self.max_dark.text) or 1),
+        )
+        n = len(self.app.locs)
+        self._status.set_text(f"{before} -> {n}")
+        self.fig.canvas.draw_idle()
+        return n
+
+
+class ChangeFOVPanel(_Panel):
+    """ChangeFOV equivalent (reference gui/render.py:4168): type the
+    viewport origin and size in camera pixels, or snap back to the
+    full FOV."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, TextBox
+
+        super().__init__(app, "Change FOV", figsize=(4.6, 2.6))
+        fig = self.fig
+        fig.text(0.04, 0.88, "Change field of view", fontsize=11,
+                 fontweight="bold")
+        (y_min, x_min), (y_max, x_max) = app.viewport
+        ax = fig.add_axes([0.18, 0.62, 0.22, 0.13])
+        self.x = TextBox(ax, "x ", initial=f"{x_min:g}")
+        ax = fig.add_axes([0.64, 0.62, 0.22, 0.13])
+        self.y = TextBox(ax, "y ", initial=f"{y_min:g}")
+        ax = fig.add_axes([0.18, 0.42, 0.22, 0.13])
+        self.w = TextBox(ax, "w ", initial=f"{x_max - x_min:g}")
+        ax = fig.add_axes([0.64, 0.42, 0.22, 0.13])
+        self.h = TextBox(ax, "h ", initial=f"{y_max - y_min:g}")
+        ax = fig.add_axes([0.04, 0.08, 0.40, 0.22])
+        self.apply_button = Button(ax, "Set FOV")
+        self.apply_button.on_clicked(
+            self._guarded(lambda ev: self.apply())
+        )
+        ax = fig.add_axes([0.54, 0.08, 0.40, 0.22])
+        self.full_button = Button(ax, "Full FOV")
+        self.full_button.on_clicked(
+            self._guarded(lambda ev: self._full())
+        )
+
+    def apply(self):
+        x = _parse_float(self.x.text)
+        y = _parse_float(self.y.text)
+        w = _parse_float(self.w.text)
+        h = _parse_float(self.h.text)
+        if None in (x, y, w, h) or w <= 0 or h <= 0:
+            return
+        self.app.viewport = ((y, x), (y + h, x + w))
+        self.app.redraw()
+
+    def _full(self):
+        self.app.fit_in_view()
+        self.sync()
+
+    def sync(self):
+        (y_min, x_min), (y_max, x_max) = self.app.viewport
+        with self._no_callbacks():
+            self.x.set_val(f"{x_min:g}")
+            self.y.set_val(f"{y_min:g}")
+            self.w.set_val(f"{x_max - x_min:g}")
+            self.h.set_val(f"{y_max - y_min:g}")

@@ -2072,6 +2072,30 @@ class RenderApp(_PluginHost):
         self.mask_panel = MaskPanel(self)
         return self.mask_panel
 
+    def open_apply_panel(self):
+        """Apply-expression panel (the reference's ApplyDialog,
+        gui/render.py:274)."""
+        from picasso_tpu.gui.panels import ApplyPanel
+
+        self.apply_panel = ApplyPanel(self)
+        return self.apply_panel
+
+    def open_link_panel(self):
+        """Link panel (the reference's LinkDialog,
+        gui/render.py:2663)."""
+        from picasso_tpu.gui.panels import LinkPanel
+
+        self.link_panel = LinkPanel(self)
+        return self.link_panel
+
+    def open_fov_panel(self):
+        """Change-FOV panel (the reference's ChangeFOV dialog,
+        gui/render.py:4168)."""
+        from picasso_tpu.gui.panels import ChangeFOVPanel
+
+        self.fov_panel = ChangeFOVPanel(self)
+        return self.fov_panel
+
     def molecular_mapping(self, **kwargs):
         """Postprocess > Molecular mapping (G5MDialog
         gui/render.py:2887): per-cluster Gaussian-mixture fitting of

@@ -379,6 +379,64 @@ class TestMaskPanel:
         assert mask is not None
 
 
+class TestApplyPanel:
+    def test_expression_and_history(self, app):
+        panel = app.open_apply_panel()
+        x0 = app.locs["x"].to_numpy().copy()
+        panel.expression.set_val("x += 1")
+        assert np.allclose(app.locs["x"].to_numpy(), x0 + 1)
+        assert panel.history == ["x += 1"]
+        panel._undo()
+        assert np.allclose(app.locs["x"].to_numpy(), x0)
+        assert panel.history == []
+
+    def test_blank_ignored(self, app):
+        panel = app.open_apply_panel()
+        panel.expression.set_val("   ")
+        assert panel.history == []
+
+
+class TestLinkPanel:
+    def test_link_reduces_locs(self, app):
+        # stack repeated detections so linking has something to merge
+        locs = app.locs.copy()
+        locs2 = locs.copy()
+        locs2["frame"] = locs2["frame"] + 1
+        app.channel.locs = (
+            pd.concat([locs, locs2], ignore_index=True)
+        )
+        app.channel.rebuild_index()
+        panel = app.open_link_panel()
+        panel.r_max.set_val("0.1")
+        before = len(app.locs)
+        n = panel.run()
+        assert n < before
+        assert "->" in panel._status.get_text()
+
+
+class TestChangeFOVPanel:
+    def test_set_and_full(self, app):
+        panel = app.open_fov_panel()
+        panel.x.set_val("4")
+        panel.y.set_val("6")
+        panel.w.set_val("10")
+        panel.h.set_val("8")
+        panel.apply()
+        assert app.viewport == ((6.0, 4.0), (14.0, 14.0))
+        panel._full()
+        (y0, x0), (y1, x1) = app.viewport
+        assert (y0, x0) == (0.0, 0.0)
+        assert y1 >= 14 and x1 >= 14
+        assert panel.w.text == f"{x1 - x0:g}"
+
+    def test_invalid_ignored(self, app):
+        panel = app.open_fov_panel()
+        vp = app.viewport
+        panel.w.set_val("-5")
+        panel.apply()
+        assert app.viewport == vp
+
+
 class TestFastRenderPanel:
     def test_fraction_slider(self, app):
         panel = app.open_fast_render_panel()
