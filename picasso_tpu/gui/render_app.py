@@ -2361,6 +2361,18 @@ class RenderApp(_PluginHost):
             "+": self.zoom_in,
             "-": self.zoom_out,
             "w": self.fit_in_view,
+            # panel shortcuts (the reference's ctrl+key menu
+            # accelerators, gui/render.py addAction shortcuts)
+            "ctrl+d": self.open_display_settings,
+            "ctrl+f": self.open_channels_panel,
+            "ctrl+i": self.open_info_panel,
+            "ctrl+t": self.open_tools_settings,
+            "ctrl+m": self.open_mask_panel,
+            "ctrl+u": self.open_undrift_panel,
+            "ctrl+k": self.open_cluster_panel,
+            "ctrl+a": self.open_apply_panel,
+            "ctrl+l": self.open_link_panel,
+            "ctrl+g": self.open_fov_panel,
         }
         if self.slicer_on:
             actions["pageup"] = self.next_slice

@@ -265,3 +265,22 @@ class TestEventDrivenChainParity:
         assert (ax1 - ax0) == pytest.approx(sx1 - sx0)
         assert (ax0 + ax1) / 2 == pytest.approx((sx0 + sx1) / 2)
         plt.close(a.fig)
+
+
+class TestPanelShortcuts:
+    def test_ctrl_keys_open_panels(self, app):
+        key(app, "ctrl+d")
+        from picasso_tpu.gui.panels import (
+            DisplaySettingsPanel, ToolsSettingsPanel,
+        )
+
+        assert isinstance(app.display_settings, DisplaySettingsPanel)
+        key(app, "ctrl+t")
+        assert isinstance(app.tools_settings, ToolsSettingsPanel)
+        app.display_settings.close()
+        app.tools_settings.close()
+
+    def test_plain_keys_still_work(self, app):
+        vp0 = app.viewport
+        key(app, "+")
+        assert app.viewport != vp0
