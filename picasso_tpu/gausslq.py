@@ -190,6 +190,13 @@ def localization_precision(
     """Mortensen localization precision for a 2D unweighted Gaussian
     fit, diagonal-covariance form (picasso/gausslq.py:547-589); EMCCD
     excess-noise doubles the variance."""
+    # f64: diverged fits carry huge sigma/bg and the sa*sa_orth*bg
+    # product overflows f32 to inf with a RuntimeWarning; the result
+    # lands in the f32 lpx/lpy columns unchanged for sane spots
+    s = np.asarray(s, np.float64)
+    s_orth = np.asarray(s_orth, np.float64)
+    bg = np.asarray(bg, np.float64)
+    photons = np.asarray(photons, np.float64)
     s2 = s**2
     sa2 = s2 + 1 / 12
     sa = sa2**0.5
