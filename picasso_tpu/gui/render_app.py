@@ -236,6 +236,21 @@ class RenderApp(_PluginHost):
         self.colormap = name
         self.redraw()
 
+    def register_colormap(self, name: str, colors, set_active=True):
+        """Build and register a custom single-channel colormap from a
+        list of anchor colors (the reference's CustomColormapDialog,
+        gui/render.py:1011, which interpolates between user-picked
+        RGB anchors). ``colors`` is a sequence of matplotlib colors
+        (names, hex or RGB tuples); evenly spaced anchors."""
+        import matplotlib
+        from matplotlib.colors import LinearSegmentedColormap
+
+        cmap = LinearSegmentedColormap.from_list(name, list(colors))
+        matplotlib.colormaps.register(cmap, name=name, force=True)
+        if set_active:
+            self.set_colormap(name)
+        return cmap
+
     def set_contrast(self, vmin: float | None, vmax: float | None):
         """Manual contrast limits; (None, None) re-enables autoscale."""
         self.contrast = (

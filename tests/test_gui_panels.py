@@ -454,3 +454,30 @@ class TestFastRenderPanel:
         assert len(app._visible_locs()) == len(app.locs)
         panel.sync()
         assert panel.fraction.val == pytest.approx(1.0)
+
+
+class TestCustomColormap:
+    def test_register_and_render(self, app):
+        cmap = app.register_colormap(
+            "myfire", ["black", "red", "yellow", "white"]
+        )
+        assert app.colormap == "myfire"
+        import matplotlib.pyplot as plt
+
+        # matplotlib registers a copy; compare by value
+        got = plt.get_cmap("myfire")
+        assert got.name == "myfire"
+        assert np.allclose(got(0.5), cmap(0.5))
+        img, _ = app.render_scene()
+        assert img is not None
+        # panel radio shows the custom map first when active
+        panel = app.open_display_settings()
+        labels = [t.get_text() for t in panel.colormap.labels]
+        assert "myfire" in labels
+
+    def test_register_without_activating(self, app):
+        before = app.colormap
+        app.register_colormap(
+            "mycool", [(0, 0, 0), (0, 1, 1)], set_active=False
+        )
+        assert app.colormap == before
