@@ -29,6 +29,7 @@ __all__ = [
     "ApplyPanel",
     "LinkPanel",
     "ChangeFOVPanel",
+    "PicksPanel",
 ]
 
 _COLORMAPS = ["hot", "gray", "viridis", "inferno", "magma", "plasma"]
@@ -1198,3 +1199,105 @@ class ChangeFOVPanel(_Panel):
             self.y.set_val(f"{y_min:g}")
             self.w.set_val(f"{x_max - x_min:g}")
             self.h.set_val(f"{y_max - y_min:g}")
+
+
+class PicksPanel(_Panel):
+    """Pick browser (the reference's Tools menu pick actions +
+    PlotDialog navigation, gui/render.py:1459): step through picks
+    (centering the viewport like 'Move to pick'), inspect the current
+    pick's trace or scatter, and filter the pick list by loc count."""
+
+    def __init__(self, app):
+        from matplotlib.widgets import Button, TextBox
+
+        super().__init__(app, "Picks", figsize=(4.6, 3.4))
+        fig = self.fig
+        fig.text(0.04, 0.92, "Picks", fontsize=11, fontweight="bold")
+        self.current = 0
+
+        ax = fig.add_axes([0.04, 0.72, 0.20, 0.10])
+        self.prev_button = Button(ax, "prev")
+        self.prev_button.on_clicked(
+            self._guarded(lambda ev: self.step(-1))
+        )
+        ax = fig.add_axes([0.28, 0.72, 0.20, 0.10])
+        self.next_button = Button(ax, "next")
+        self.next_button.on_clicked(
+            self._guarded(lambda ev: self.step(1))
+        )
+        self._label = fig.text(0.54, 0.76, "", fontsize=9)
+
+        ax = fig.add_axes([0.04, 0.54, 0.28, 0.10])
+        self.trace_button = Button(ax, "trace")
+        self.trace_button.on_clicked(
+            self._guarded(lambda ev: self.app.plot_trace(self.current))
+        )
+        ax = fig.add_axes([0.36, 0.54, 0.28, 0.10])
+        self.scatter_button = Button(ax, "scatter")
+        self.scatter_button.on_clicked(
+            self._guarded(lambda ev: self.app.show_pick(self.current))
+        )
+        ax = fig.add_axes([0.68, 0.54, 0.28, 0.10])
+        self.scatter3d_button = Button(ax, "3D")
+        self.scatter3d_button.on_clicked(
+            self._guarded(
+                lambda ev: self.app.show_pick_3d(self.current)
+            )
+        )
+
+        fig.text(0.04, 0.42, "Filter by loc count", fontsize=9,
+                 color="0.35")
+        ax = fig.add_axes([0.26, 0.28, 0.16, 0.10])
+        self.min_locs = TextBox(ax, "min ", initial="0")
+        ax = fig.add_axes([0.58, 0.28, 0.16, 0.10])
+        self.max_locs = TextBox(ax, "max ", initial="")
+        ax = fig.add_axes([0.78, 0.28, 0.18, 0.10])
+        self.filter_button = Button(ax, "apply")
+        self.filter_button.on_clicked(
+            self._guarded(lambda ev: self.apply_filter())
+        )
+        ax = fig.add_axes([0.04, 0.08, 0.34, 0.12])
+        self.clear_button = Button(ax, "clear all")
+        self.clear_button.on_clicked(
+            self._guarded(lambda ev: self._clear())
+        )
+        self._status = fig.text(0.44, 0.12, "", fontsize=8)
+        self.sync()
+
+    def step(self, delta: int):
+        """Move to the previous/next pick, recentering the view
+        (Tools > Move to pick, gui/render.py:11942)."""
+        n = len(self.app.picks)
+        if not n:
+            return
+        self.current = (self.current + delta) % n
+        self.app.move_to_pick(self.current)
+        self.sync()
+
+    def apply_filter(self) -> int:
+        """Tools > Filter picks by loc count."""
+        self.app.filter_picks(
+            min_locs=int(_parse_float(self.min_locs.text) or 0),
+            max_locs=(
+                None if _parse_float(self.max_locs.text) is None
+                else int(_parse_float(self.max_locs.text))
+            ),
+        )
+        self.current = 0
+        self.sync()
+        n = len(self.app.picks)
+        self._status.set_text(f"{n} picks kept")
+        return n
+
+    def _clear(self):
+        self.app.clear_picks()
+        self.current = 0
+        self.sync()
+
+    def sync(self):
+        n = len(self.app.picks)
+        self.current = min(self.current, max(n - 1, 0))
+        self._label.set_text(
+            f"pick {self.current + 1}/{n}" if n else "no picks"
+        )
+        self.fig.canvas.draw_idle()

@@ -2111,6 +2111,14 @@ class RenderApp(_PluginHost):
         self.fov_panel = ChangeFOVPanel(self)
         return self.fov_panel
 
+    def open_picks_panel(self):
+        """Pick browser panel (the reference's pick navigation +
+        PlotDialog, gui/render.py:1459)."""
+        from picasso_tpu.gui.panels import PicksPanel
+
+        self.picks_panel = PicksPanel(self)
+        return self.picks_panel
+
     def molecular_mapping(self, **kwargs):
         """Postprocess > Molecular mapping (G5MDialog
         gui/render.py:2887): per-cluster Gaussian-mixture fitting of
@@ -2388,6 +2396,7 @@ class RenderApp(_PluginHost):
             "ctrl+a": self.open_apply_panel,
             "ctrl+l": self.open_link_panel,
             "ctrl+g": self.open_fov_panel,
+            "ctrl+p": self.open_picks_panel,
         }
         if self.slicer_on:
             actions["pageup"] = self.next_slice

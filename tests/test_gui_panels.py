@@ -481,3 +481,51 @@ class TestCustomColormap:
             "mycool", [(0, 0, 0), (0, 1, 1)], set_active=False
         )
         assert app.colormap == before
+
+
+class TestPicksPanel:
+    def _picked_app(self, app):
+        app.pick_diameter = 3.0
+        for p in [(8.0, 8.0), (16.0, 16.0), (24.0, 24.0)]:
+            app.add_pick(p)
+        return app
+
+    def test_step_centers_viewport(self, app):
+        self._picked_app(app)
+        panel = app.open_picks_panel()
+        assert "1/3" in panel._label.get_text()
+        panel.step(1)
+        assert panel.current == 1
+        (y0, x0), (y1, x1) = app.viewport
+        assert (x0 + x1) / 2 == pytest.approx(16.0, abs=0.01)
+        panel.step(-1)
+        assert panel.current == 0
+        panel.step(-1)  # wraps
+        assert panel.current == 2
+
+    def test_filter_by_count(self, app):
+        self._picked_app(app)
+        panel = app.open_picks_panel()
+        n = panel.apply_filter()  # min 0, no max: keeps all
+        assert n == 3
+        panel.min_locs.set_val("100000")
+        n = panel.apply_filter()
+        assert n == 0
+        assert "no picks" in panel._label.get_text()
+
+    def test_trace_and_scatter_buttons(self, app):
+        self._picked_app(app)
+        panel = app.open_picks_panel()
+        app.plot_trace(panel.current)  # same calls the buttons make
+        app.show_pick(panel.current)
+        panel._clear()
+        assert app.picks == []
+
+    def test_ctrl_p_accelerator(self, app):
+        from matplotlib.backend_bases import KeyEvent
+
+        ev = KeyEvent("key_press_event", app.fig.canvas, "ctrl+p")
+        app.fig.canvas.callbacks.process("key_press_event", ev)
+        from picasso_tpu.gui.panels import PicksPanel
+
+        assert isinstance(app.picks_panel, PicksPanel)
